@@ -1,0 +1,128 @@
+"""N-ary contraction engine.
+
+TPU-native rebuild of the reference contraction choke point
+(tensor4all-core/src/defaults/contract.rs:273 `contract`,
+tensorbackend/src/tenferro_bridge.rs einsum path): axes are matched by
+Index identity, lowered to one ``jnp.einsum`` call with opt_einsum path
+optimization (the role omeco plays in the reference). XLA then maps every
+pairwise contraction onto MXU ``dot_general``s and fuses the elementwise
+glue — the graph-compiler/buffer-pool caching of the reference's L0
+(context.rs:73-85) is exactly XLA's compilation cache here.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Sequence
+
+import jax.numpy as jnp
+
+from .index import Index
+from .tensor import Tensor
+
+
+def _einsum_args(tensors, retain):
+    """Build interleaved einsum arguments with integer axis labels.
+
+    Output indices = indices appearing exactly once across operands, plus
+    any retained indices (ref contract.rs `retain_indices`), in first-seen
+    order.
+    """
+    label = {}
+    counts = {}
+    order = []
+    for t in tensors:
+        for i in t.indices:
+            if i not in label:
+                label[i] = len(label)
+                order.append(i)
+            counts[i] = counts.get(i, 0) + 1
+    retained = set(retain) if retain else set()
+    out_inds = tuple(
+        i for i in order if counts[i] == 1 or i in retained
+    )
+    args = []
+    for t in tensors:
+        args.append(t.data)
+        args.append([label[i] for i in t.indices])
+    args.append([label[i] for i in out_inds])
+    return args, out_inds
+
+
+def _check_connected(tensors) -> None:
+    """Reject disconnected networks (ref contract.rs:300 connectivity check);
+    use `outer_product` for deliberate outer products."""
+    n = len(tensors)
+    if n <= 1:
+        return
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    owner = {}
+    for k, t in enumerate(tensors):
+        for i in t.indices:
+            if i in owner:
+                ra, rb = find(owner[i]), find(k)
+                parent[ra] = rb
+            else:
+                owner[i] = k
+    roots = {find(k) for k in range(n)}
+    if len(roots) != 1:
+        raise ValueError(
+            f"contract: network is disconnected ({len(roots)} components); "
+            "use outer_product for deliberate outer products"
+        )
+
+
+def contract(
+    tensors: Sequence[Tensor],
+    *,
+    retain: Optional[Iterable[Index]] = None,
+    conj: Optional[Sequence[bool]] = None,
+    check_connected: bool = True,
+    optimize: Optional[object] = None,
+) -> Tensor:
+    """Contract a connected network of tensors over all shared indices.
+
+    Args:
+      tensors: operands; shared Index identities define the hyper-edges.
+      retain: indices to keep in the output even though they are shared
+        (ref contract.rs `retain_indices` — hyperedge semantics).
+      conj: per-operand conjugation flags (ref conj flags in contract).
+      check_connected: reject disconnected networks (ref behavior).
+      optimize: opt_einsum path spec; default 'optimal' for <=5 operands
+        else 'auto' (mirrors omeco time-optimized path choice,
+        tenferro_bridge.rs:290-390).
+    """
+    tensors = list(tensors)
+    if not tensors:
+        raise ValueError("contract: empty operand list")
+    if conj is not None:
+        tensors = [t.conj() if c else t for t, c in zip(tensors, conj)]
+    if len(tensors) == 1:
+        t = tensors[0]
+        shared = ()  # sum over nothing; single tensor passes through
+        return t
+    if check_connected:
+        _check_connected(tensors)
+    if optimize is None:
+        optimize = "optimal" if len(tensors) <= 5 else "auto"
+    args, out_inds = _einsum_args(tensors, retain)
+    data = jnp.einsum(*args, optimize=optimize)
+    return Tensor(out_inds, data)
+
+
+def tensordot(a: Tensor, b: Tensor, **kw) -> Tensor:
+    """Pairwise contraction over all shared indices (ref contract.rs:369)."""
+    return contract([a, b], **kw)
+
+
+def outer_product(a: Tensor, b: Tensor) -> Tensor:
+    """Outer product of tensors with disjoint index sets (ref :381)."""
+    if a.common_indices(b):
+        raise ValueError("outer_product: operands share indices")
+    return contract([a, b], check_connected=False)

@@ -1,0 +1,304 @@
+"""Tensor factorizations: SVD / QR / factorize + truncation.
+
+TPU-native rebuild of tensor4all-core/src/defaults/svd.rs:310 (`svd`),
+qr.rs:208 (`qr`), factorize.rs:80 (`factorize`), direct_sum.rs, and the
+truncation machinery (truncation.rs:25-208). Tensors are permuted/reshaped
+to matrices on-device (pure XLA transposes/reshapes), factorized with
+``jnp.linalg`` (CPU: LAPACK, TPU: XLA's QDWH/Householder paths), and
+truncated per policy. Rank decisions are data-dependent and made on host —
+the same place the reference makes them; inside hot sweeps callers can pass
+``maxdim``-only policies to keep shapes static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (
+    SingularValueMeasure,
+    SvdTruncationPolicy,
+    ThresholdScale,
+    get_default_qr_rtol,
+    get_default_svd_truncation_policy,
+)
+from .index import Index
+from .tensor import Tensor
+
+
+class FactorizeAlg(enum.Enum):
+    """Factorization algorithm selector (ref tensor_like.rs:120)."""
+
+    SVD = "svd"
+    QR = "qr"
+    LU = "lu"
+    CI = "ci"
+
+
+class Canonical(enum.Enum):
+    """Which factor carries the orthogonality (ref tensor_like.rs:169)."""
+
+    LEFT = "left"
+    RIGHT = "right"
+    BOTH = "both"  # SVD with sqrt(S) split on both sides
+
+
+@dataclasses.dataclass
+class TruncationSpec:
+    """Report of a truncation decision."""
+
+    rank: int
+    error: float  # discarded weight per the policy's measure
+    singular_values: np.ndarray
+
+
+def truncation_rank(s: np.ndarray, policy: SvdTruncationPolicy) -> Tuple[int, float]:
+    """Rank to keep for singular values `s` (descending) under `policy`.
+
+    Ref: truncation.rs `SvdTruncationPolicy::rank` semantics. Returns
+    (rank, discarded error measure).
+    """
+    s = np.asarray(s, dtype=np.float64)
+    n = s.shape[0]
+    if n == 0:
+        return 0, 0.0
+    maxdim = min(policy.maxdim, n) if policy.maxdim is not None else n
+    if policy.measure is SingularValueMeasure.VALUE:
+        cut = policy.tol * (s[0] if policy.scale is ThresholdScale.RELATIVE else 1.0)
+        rank = int(np.sum(s > cut))
+    else:  # SQUARED_TAIL
+        s2 = s * s
+        total = float(np.sum(s2))
+        budget = policy.tol * (total if policy.scale is ThresholdScale.RELATIVE else 1.0)
+        # keep the smallest prefix whose discarded tail stays <= budget
+        tail = np.concatenate([np.cumsum(s2[::-1])[::-1][1:], [0.0]])
+        rank = int(np.searchsorted(-tail, -budget, side="left")) + 1
+        rank = min(rank, n)
+        # all values could be discarded only if total <= budget
+        if total <= budget:
+            rank = 0
+    rank = max(rank, min(policy.mindim, n))
+    rank = min(rank, maxdim)
+    rank = max(rank, 1) if n > 0 else 0
+    if policy.measure is SingularValueMeasure.VALUE:
+        err = float(s[rank]) if rank < n else 0.0
+    else:
+        err = float(np.sum((s * s)[rank:]))
+    return rank, err
+
+
+def truncated_svd_matrix(
+    a: jnp.ndarray,
+    policy: Optional[SvdTruncationPolicy] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, TruncationSpec]:
+    """SVD of a matrix, truncated per policy. Returns (U, s, Vh, spec)."""
+    if policy is None:
+        policy = get_default_svd_truncation_policy()
+    u, s, vh = jnp.linalg.svd(a, full_matrices=False)
+    s_host = np.asarray(s)
+    rank, err = truncation_rank(s_host, policy)
+    spec = TruncationSpec(rank=rank, error=err, singular_values=s_host)
+    return u[:, :rank], s[:rank], vh[:rank, :], spec
+
+
+def _split_matrixize(t: Tensor, left_inds: Sequence[Index]):
+    """Permute to (left..., right...) and reshape to a matrix."""
+    left = tuple(left_inds)
+    lset = set(left)
+    if len(lset) != len(left):
+        raise ValueError("duplicate left indices")
+    for i in left:
+        if not t.hasindex(i):
+            raise KeyError(f"left index {i!r} not in tensor")
+    right = tuple(i for i in t.indices if i not in lset)
+    tp = t.permute(left + right)
+    m = int(np.prod([i.dim for i in left], dtype=np.int64)) if left else 1
+    n = int(np.prod([i.dim for i in right], dtype=np.int64)) if right else 1
+    return tp.data.reshape(m, n), left, right
+
+
+def svd(
+    t: Tensor,
+    left_inds: Sequence[Index],
+    policy: Optional[SvdTruncationPolicy] = None,
+    link_tags: str = "Link",
+) -> Tuple[Tensor, Tensor, Tensor, TruncationSpec]:
+    """Index-partitioned tensor SVD with truncation.
+
+    Ref: tensor4all-core/src/defaults/svd.rs:310. Returns
+    ``(U, S, Vh, spec)`` with ``U: (left..., u)``, ``S: (u, v)`` diagonal,
+    ``Vh: (v, right...)`` such that ``contract([U,S,Vh]) ≈ t``.
+    """
+    a, left, right = _split_matrixize(t, left_inds)
+    u, s, vh, spec = truncated_svd_matrix(a, policy)
+    r = u.shape[1]
+    iu = Index(r, tags=link_tags)
+    iv = Index(r, tags=link_tags)
+    U = Tensor(left + (iu,), u.reshape([i.dim for i in left] + [r]))
+    S = Tensor.diag(s, iu, iv)
+    Vh = Tensor((iv,) + right, vh.reshape([r] + [i.dim for i in right]))
+    return U, S, Vh, spec
+
+
+def svd_two(
+    t: Tensor,
+    left_inds: Sequence[Index],
+    policy: Optional[SvdTruncationPolicy] = None,
+    canonical: Canonical = Canonical.LEFT,
+    link_tags: str = "Link",
+) -> Tuple[Tensor, Tensor, TruncationSpec]:
+    """Two-factor SVD split: ``t ≈ L · R`` sharing one bond index.
+
+    ``canonical=LEFT`` gives L=U isometric and R=S·Vh; RIGHT the mirror;
+    BOTH splits sqrt(S) to each side (Vidal-style).
+    """
+    a, left, right = _split_matrixize(t, left_inds)
+    u, s, vh, spec = truncated_svd_matrix(a, policy)
+    r = u.shape[1]
+    bond = Index(r, tags=link_tags)
+    if canonical is Canonical.LEFT:
+        lm, rm = u, s[:, None] * vh
+    elif canonical is Canonical.RIGHT:
+        lm, rm = u * s[None, :], vh
+    else:
+        sq = jnp.sqrt(s)
+        lm, rm = u * sq[None, :], sq[:, None] * vh
+    L = Tensor(left + (bond,), lm.reshape([i.dim for i in left] + [r]))
+    R = Tensor((bond,) + right, rm.reshape([r] + [i.dim for i in right]))
+    return L, R, spec
+
+
+def qr(
+    t: Tensor,
+    left_inds: Sequence[Index],
+    link_tags: str = "Link",
+    rtol: Optional[float] = None,
+) -> Tuple[Tensor, Tensor]:
+    """Index-partitioned thin QR: ``t = Q·R`` with Q isometric on the left.
+
+    Ref: tensor4all-core/src/defaults/qr.rs:208. `rtol` (default global,
+    qr.rs:105) optionally rank-truncates by the diagonal of R relative to
+    its largest magnitude (column-pivot-free heuristic matching the
+    reference's default use inside canonicalization where exactness
+    dominates: rtol only drops exact-zero tails).
+    """
+    a, left, right = _split_matrixize(t, left_inds)
+    q, r = jnp.linalg.qr(a, mode="reduced")
+    if rtol is None:
+        rtol = get_default_qr_rtol()
+    if rtol > 0 and min(a.shape) > 1:
+        d = np.abs(np.asarray(jnp.diagonal(r)))
+        dmax = d.max() if d.size else 0.0
+        if dmax > 0:
+            keep = int(np.sum(d > rtol * dmax))
+            keep = max(keep, 1)
+            if keep < q.shape[1]:
+                q, r = q[:, :keep], r[:keep, :]
+    k = q.shape[1]
+    bond = Index(k, tags=link_tags)
+    Q = Tensor(left + (bond,), q.reshape([i.dim for i in left] + [k]))
+    R = Tensor((bond,) + right, r.reshape([k] + [i.dim for i in right]))
+    return Q, R
+
+
+def lq(
+    t: Tensor,
+    left_inds: Sequence[Index],
+    link_tags: str = "Link",
+) -> Tuple[Tensor, Tensor]:
+    """LQ split: ``t = L·Q`` with Q isometric on the right."""
+    a, left, right = _split_matrixize(t, left_inds)
+    qt, rt = jnp.linalg.qr(a.T, mode="reduced")
+    k = qt.shape[1]
+    bond = Index(k, tags=link_tags)
+    L = Tensor(left + (bond,), rt.T.reshape([i.dim for i in left] + [k]))
+    Q = Tensor((bond,) + right, qt.T.reshape([k] + [i.dim for i in right]))
+    return L, Q
+
+
+def factorize(
+    t: Tensor,
+    left_inds: Sequence[Index],
+    alg: FactorizeAlg = FactorizeAlg.SVD,
+    canonical: Canonical = Canonical.LEFT,
+    policy: Optional[SvdTruncationPolicy] = None,
+    link_tags: str = "Link",
+) -> Tuple[Tensor, Tensor, Optional[TruncationSpec]]:
+    """Two-factor split dispatching on algorithm (ref factorize.rs:80).
+
+    Returns ``(L, R, spec)`` with ``contract([L, R]) ≈ t``.
+    """
+    if alg is FactorizeAlg.SVD:
+        L, R, spec = svd_two(t, left_inds, policy, canonical, link_tags)
+        return L, R, spec
+    if alg is FactorizeAlg.QR:
+        if canonical is Canonical.LEFT:
+            Q, R = qr(t, left_inds, link_tags)
+            return Q, R, None
+        elif canonical is Canonical.RIGHT:
+            L, Q = lq(t, left_inds, link_tags)
+            return L, Q, None
+        raise ValueError("QR factorize requires LEFT or RIGHT canonical")
+    if alg in (FactorizeAlg.LU, FactorizeAlg.CI):
+        # Pivoted-LU / cross-interpolation factorization (ref tcicore rrLU /
+        # MatrixLUCI) — implemented in ops.rrlu; imported lazily to avoid a
+        # core->ops dependency cycle.
+        from ..ops.rrlu import factorize_lu
+
+        return factorize_lu(t, left_inds, alg, canonical, policy, link_tags)
+    raise ValueError(f"unknown FactorizeAlg {alg}")
+
+
+def direct_sum(
+    a: Tensor,
+    b: Tensor,
+    pairs: Sequence[Tuple[Index, Index]],
+    link_tags: str = "Link",
+) -> Tuple[Tensor, Tuple[Index, ...]]:
+    """Direct sum of two tensors along paired axes (ref direct_sum.rs).
+
+    Axes listed in `pairs` are block-concatenated (dims add, producing fresh
+    indices, returned second); all other indices must coincide between `a`
+    and `b` (those axes are summed elementwise after zero-padding — the TT
+    addition rule).
+    """
+    pa = tuple(p[0] for p in pairs)
+    pb = tuple(p[1] for p in pairs)
+    resta = tuple(i for i in a.indices if i not in set(pa))
+    restb = tuple(i for i in b.indices if i not in set(pb))
+    if set(resta) != set(restb):
+        raise ValueError("direct_sum: non-paired indices must match")
+    a_p = a.permute(pa + resta)
+    b_p = b.permute(pb + resta)
+    k = len(pairs)
+    new_inds = tuple(
+        Index(ia.dim + ib.dim, tags=link_tags) for ia, ib in pairs
+    )
+    out_shape = [ni.dim for ni in new_inds] + [i.dim for i in resta]
+    dtype = jnp.promote_types(a.dtype, b.dtype)
+    out = jnp.zeros(out_shape, dtype=dtype)
+    sl_a = tuple(slice(0, ia.dim) for ia, _ in pairs) + (Ellipsis,)
+    sl_b = tuple(slice(ia.dim, ia.dim + ib.dim) for ia, ib in pairs) + (Ellipsis,)
+    out = out.at[sl_a].add(a_p.data.astype(dtype))
+    out = out.at[sl_b].add(b_p.data.astype(dtype))
+    return Tensor(new_inds + resta, out), new_inds
+
+
+def eigh(
+    t: Tensor, left_inds: Sequence[Index], link_tags: str = "Link"
+) -> Tuple[jnp.ndarray, Tensor]:
+    """Hermitian eigendecomposition over an index bipartition (ref eigh).
+
+    Returns (eigenvalues ascending, U) with ``U: (left..., bond)``.
+    """
+    a, left, right = _split_matrixize(t, left_inds)
+    if a.shape[0] != a.shape[1]:
+        raise ValueError("eigh requires square bipartition")
+    w, v = jnp.linalg.eigh(a)
+    bond = Index(a.shape[0], tags=link_tags)
+    U = Tensor(left + (bond,), v.reshape([i.dim for i in left] + [a.shape[0]]))
+    return w, U
