@@ -1,0 +1,207 @@
+"""Matrix product operators over rank-4 cores, with naive and zipup apply.
+
+TPU-native rebuild of tensor4all-simplett/src/mpo/
+(mod.rs:1-31 `MPO`, contract_zipup.rs, contract_fit.rs, environment.rs).
+Core layout: ``W[k] : (l_k, out_d, in_d, l_{k+1})`` with boundary links 1.
+
+``apply_naive`` multiplies cores exactly (ranks multiply) —
+the test oracle (ref ContractMethod::Naive, options.rs:119-121).
+``apply_zipup`` contracts site-by-site with on-the-fly SVD truncation
+(ref contract_zipup.rs). Variational ``fit`` lives with the tree framework
+(treetn.fit) which subsumes the chain case.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+
+from ..config import (
+    SingularValueMeasure,
+    SvdTruncationPolicy,
+    ThresholdScale,
+)
+from ..core.decomp import truncated_svd_matrix
+from .tensortrain import TensorTrain
+
+
+class MPO:
+    """Matrix product operator (ref simplett `MPO`)."""
+
+    def __init__(self, cores: Sequence[jnp.ndarray]):
+        cores = [jnp.asarray(c) for c in cores]
+        for c in cores:
+            if c.ndim != 4:
+                raise ValueError(f"MPO core must be rank-4, got {c.shape}")
+        if cores[0].shape[0] != 1 or cores[-1].shape[-1] != 1:
+            raise ValueError("boundary links must be 1")
+        for a, b in zip(cores, cores[1:]):
+            if a.shape[-1] != b.shape[0]:
+                raise ValueError(f"link mismatch {a.shape}->{b.shape}")
+        self.cores: List[jnp.ndarray] = cores
+
+    def __len__(self):
+        return len(self.cores)
+
+    @property
+    def out_dims(self):
+        return [int(c.shape[1]) for c in self.cores]
+
+    @property
+    def in_dims(self):
+        return [int(c.shape[2]) for c in self.cores]
+
+    @property
+    def ranks(self):
+        return [int(c.shape[-1]) for c in self.cores[:-1]]
+
+    @staticmethod
+    def identity(local_dims: Sequence[int], dtype=jnp.float64) -> "MPO":
+        return MPO([jnp.eye(d, dtype=dtype)[None, :, :, None] for d in local_dims])
+
+    def to_dense_matrix(self) -> jnp.ndarray:
+        """Dense operator matrix (prod(out) x prod(in)); test oracle."""
+        out = self.cores[0]  # (1, o, i, r)
+        n_out = out.shape[1]
+        n_in = out.shape[2]
+        acc = out[0]  # (o, i, r)
+        for c in self.cores[1:]:
+            acc = jnp.einsum("oir,rpjs->opijs", acc, c).reshape(
+                acc.shape[0] * c.shape[1], acc.shape[1] * c.shape[2], c.shape[3]
+            )
+        return acc[..., 0]
+
+    def transpose(self) -> "MPO":
+        return MPO([jnp.swapaxes(c, 1, 2) for c in self.cores])
+
+    def conj(self) -> "MPO":
+        return MPO([jnp.conj(c) for c in self.cores])
+
+    def scale(self, s) -> "MPO":
+        cores = list(self.cores)
+        cores[0] = cores[0] * s
+        return MPO(cores)
+
+    def __add__(self, other: "MPO") -> "MPO":
+        """Direct-sum addition of MPOs."""
+        if self.out_dims != other.out_dims or self.in_dims != other.in_dims:
+            raise ValueError("MPO add: dims mismatch")
+        L = len(self)
+        if L == 1:
+            return MPO([self.cores[0] + other.cores[0]])
+        dtype = jnp.result_type(self.cores[0].dtype, other.cores[0].dtype)
+        out = []
+        for k, (a, b) in enumerate(zip(self.cores, other.cores)):
+            ra0, o, i, ra1 = a.shape
+            rb0, _, _, rb1 = b.shape
+            if k == 0:
+                c = jnp.concatenate([a, b], axis=3).astype(dtype)
+            elif k == L - 1:
+                c = jnp.concatenate([a, b], axis=0).astype(dtype)
+            else:
+                top = jnp.concatenate([a, jnp.zeros((ra0, o, i, rb1), dtype)], axis=3)
+                bot = jnp.concatenate([jnp.zeros((rb0, o, i, ra1), dtype), b], axis=3)
+                c = jnp.concatenate([top, bot], axis=0)
+            out.append(c)
+        return MPO(out)
+
+    # ------------------------------------------------------------------
+    # application to a TT / another MPO
+    # ------------------------------------------------------------------
+    def apply_naive(self, tt: TensorTrain) -> TensorTrain:
+        """Exact MPO|tt>: per-site core contraction, ranks multiply."""
+        if self.in_dims != tt.local_dims:
+            raise ValueError("apply: dims mismatch")
+        out = []
+        for W, A in zip(self.cores, tt.cores):
+            l0, o, i, l1 = W.shape
+            a0, _, a1 = A.shape
+            c = jnp.einsum("loim,aib->laomb", W, A)
+            out.append(c.reshape(l0 * a0, o, l1 * a1))
+        return TensorTrain(out)
+
+    def apply_zipup(
+        self,
+        tt: TensorTrain,
+        tol: float = 1e-12,
+        maxdim: Optional[int] = None,
+    ) -> TensorTrain:
+        """MPO|tt> with on-the-fly truncation (ref contract_zipup.rs).
+
+        Sweeps left-to-right: at each site contract (bond, W_k, A_k),
+        SVD-split keeping `bond` truncated, carry the remainder.
+        """
+        if self.in_dims != tt.local_dims:
+            raise ValueError("apply: dims mismatch")
+        pol = SvdTruncationPolicy(
+            tol=tol,
+            scale=ThresholdScale.RELATIVE,
+            measure=SingularValueMeasure.VALUE,
+            maxdim=maxdim,
+        )
+        L = len(tt)
+        dtype = jnp.result_type(self.cores[0].dtype, tt.cores[0].dtype)
+        # carry C: (chi, l_k, a_k) mapping new bond -> (mpo link, tt bond)
+        C = jnp.ones((1, 1, 1), dtype=dtype)
+        out_cores = []
+        for k in range(L):
+            W, A = self.cores[k], tt.cores[k]
+            l0, o, i, l1 = W.shape
+            a0, _, a1 = A.shape
+            # theta: (chi, o, l1, a1)
+            theta = jnp.einsum("xla,loid,aib->xodb", C, W, A)
+            chi = theta.shape[0]
+            if k == L - 1:
+                out_cores.append(theta.reshape(chi, o, l1 * a1))
+                break
+            m = theta.reshape(chi * o, l1 * a1)
+            u, s, vh, _ = truncated_svd_matrix(m, pol)
+            r = u.shape[1]
+            out_cores.append(u.reshape(chi, o, r))
+            C = (s[:, None] * vh).reshape(r, l1, a1)
+        return TensorTrain(out_cores)
+
+    def compose_naive(self, other: "MPO") -> "MPO":
+        """self @ other as an MPO (ranks multiply)."""
+        if self.in_dims != other.out_dims:
+            raise ValueError("compose: dims mismatch")
+        out = []
+        for W, V in zip(self.cores, other.cores):
+            l0, o, m, l1 = W.shape
+            k0, _, i, k1 = V.shape
+            c = jnp.einsum("lomd,kmie->lkoide", W, V)
+            out.append(c.reshape(l0 * k0, o, i, l1 * k1))
+        return MPO(out)
+
+    def compose_zipup(
+        self, other: "MPO", tol: float = 1e-12, maxdim: Optional[int] = None
+    ) -> "MPO":
+        """self @ other with on-the-fly truncation (ref MPO zipup)."""
+        if self.in_dims != other.out_dims:
+            raise ValueError("compose: dims mismatch")
+        pol = SvdTruncationPolicy(
+            tol=tol,
+            scale=ThresholdScale.RELATIVE,
+            measure=SingularValueMeasure.VALUE,
+            maxdim=maxdim,
+        )
+        L = len(self)
+        dtype = jnp.result_type(self.cores[0].dtype, other.cores[0].dtype)
+        C = jnp.ones((1, 1, 1), dtype=dtype)
+        out_cores = []
+        for k in range(L):
+            W, V = self.cores[k], other.cores[k]
+            l0, o, m, l1 = W.shape
+            k0, _, i, k1 = V.shape
+            theta = jnp.einsum("xlk,lomd,kmie->xoide", C, W, V)
+            chi = theta.shape[0]
+            if k == L - 1:
+                out_cores.append(theta.reshape(chi, o, i, l1 * k1))
+                break
+            mm = theta.reshape(chi * o * i, l1 * k1)
+            u, s, vh, _ = truncated_svd_matrix(mm, pol)
+            r = u.shape[1]
+            out_cores.append(u.reshape(chi, o, i, r))
+            C = (s[:, None] * vh).reshape(r, l1, k1)
+        return MPO(out_cores)

@@ -1,0 +1,200 @@
+"""TensorTrain / MPO tests — dense oracles (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensor4all_tpu.tt import (
+    MPO,
+    SiteTensorTrain,
+    TensorTrain,
+    TTCache,
+    VidalTensorTrain,
+    left_orthogonalize,
+    right_orthogonalize,
+    tt_svd_dense,
+)
+
+
+@pytest.fixture
+def random_tt(key):
+    return TensorTrain.random(key, [2, 3, 4, 3, 2], rank=5)
+
+
+def dense(tt):
+    return np.asarray(tt.full_tensor())
+
+
+def test_constant_evaluate_sum():
+    # BASELINE.json config 1: TensorTrain::constant([2,3,4]) evaluate/sum
+    tt = TensorTrain.constant([2, 3, 4], value=1.5)
+    assert abs(float(tt.evaluate([1, 2, 3])) - 1.5) < 1e-14
+    assert abs(float(tt.sum()) - 1.5 * 24) < 1e-12
+    assert tt.ranks == [1, 1]
+
+
+def test_evaluate_batch_matches_dense(random_tt, rng):
+    d = dense(random_tt)
+    idx = np.stack(
+        [rng.integers(0, dim, size=50) for dim in random_tt.local_dims], axis=1
+    )
+    vals = np.asarray(random_tt.evaluate_batch(idx))
+    expect = d[tuple(idx.T)]
+    np.testing.assert_allclose(vals, expect, atol=1e-12)
+
+
+def test_sum_inner_norm(random_tt, key):
+    d = dense(random_tt)
+    assert abs(float(random_tt.sum()) - d.sum()) < 1e-10
+    other = TensorTrain.random(jax.random.PRNGKey(1), random_tt.local_dims, rank=3)
+    od = dense(other)
+    assert abs(float(random_tt.inner(other)) - np.vdot(d, od)) < 1e-10
+    assert abs(float(random_tt.norm()) - np.linalg.norm(d)) < 1e-10
+    ln = float(random_tt.log_norm())
+    assert abs(ln - np.log(np.linalg.norm(d))) < 1e-10
+
+
+def test_add_scale_sub(random_tt, key):
+    other = TensorTrain.random(jax.random.PRNGKey(2), random_tt.local_dims, rank=2)
+    np.testing.assert_allclose(
+        dense(random_tt + other), dense(random_tt) + dense(other), atol=1e-12
+    )
+    np.testing.assert_allclose(dense(random_tt.scale(-2.5)), -2.5 * dense(random_tt))
+    np.testing.assert_allclose(
+        dense(random_tt - other), dense(random_tt) - dense(other), atol=1e-12
+    )
+
+
+def test_hadamard(random_tt, key):
+    other = TensorTrain.random(jax.random.PRNGKey(3), random_tt.local_dims, rank=2)
+    np.testing.assert_allclose(
+        dense(random_tt.hadamard(other)), dense(random_tt) * dense(other), atol=1e-12
+    )
+
+
+def test_tt_svd_dense_roundtrip(rng):
+    a = rng.standard_normal((2, 3, 4, 3))
+    tt = tt_svd_dense(a)
+    np.testing.assert_allclose(dense(tt), a, atol=1e-12)
+
+
+def test_orthogonalize_preserves(random_tt):
+    d = dense(random_tt)
+    lo = left_orthogonalize(random_tt)
+    np.testing.assert_allclose(dense(lo), d, atol=1e-10)
+    # left cores isometric
+    for c in lo.cores[:-1]:
+        m = np.asarray(c).reshape(-1, c.shape[-1])
+        np.testing.assert_allclose(m.T @ m, np.eye(m.shape[1]), atol=1e-12)
+    ro = right_orthogonalize(random_tt)
+    np.testing.assert_allclose(dense(ro), d, atol=1e-10)
+
+
+def test_compress_reduces_padded_rank(key):
+    # sum of two rank-1 TTs has rank 2 but stored rank 2+2 after addition
+    a = TensorTrain.random(key, [2, 3, 2, 3], rank=1)
+    b = TensorTrain.random(jax.random.PRNGKey(9), [2, 3, 2, 3], rank=1)
+    s = a + b + a  # stored rank 3, true rank <= 2
+    c = s.compress(tol=1e-12)
+    assert c.max_rank <= 2
+    np.testing.assert_allclose(dense(c), dense(s), atol=1e-10)
+
+
+def test_compress_maxdim(key):
+    tt = TensorTrain.random(key, [4, 4, 4, 4], rank=6)
+    c = tt.compress(tol=0.0, maxdim=3)
+    assert c.max_rank <= 3
+    # best rank-3 truncation error is bounded by the discarded SVs
+    rel = np.linalg.norm(dense(c) - dense(tt)) / np.linalg.norm(dense(tt))
+    assert rel < 1.0
+
+
+def test_site_canonical(random_tt):
+    d = dense(random_tt)
+    s = SiteTensorTrain.from_tt(random_tt, center=2)
+    np.testing.assert_allclose(dense(s.to_tt()), d, atol=1e-10)
+    for k, c in enumerate(s.cores):
+        m = np.asarray(c)
+        if k < s.center:
+            q = m.reshape(-1, m.shape[-1])
+            np.testing.assert_allclose(q.T @ q, np.eye(q.shape[1]), atol=1e-12)
+        elif k > s.center:
+            q = m.reshape(m.shape[0], -1)
+            np.testing.assert_allclose(q @ q.T, np.eye(q.shape[0]), atol=1e-12)
+    s.move_center(0)
+    np.testing.assert_allclose(dense(s.to_tt()), d, atol=1e-10)
+
+
+def test_vidal_roundtrip(random_tt):
+    d = dense(random_tt)
+    v = VidalTensorTrain.from_tt(random_tt)
+    np.testing.assert_allclose(dense(v.to_tt()), d, atol=1e-10)
+
+
+def test_ttcache(random_tt):
+    cache = TTCache(random_tt)
+    d = dense(random_tt)
+    idx = [(0, 1, 2, 1, 0), (0, 1, 2, 1, 1), (0, 1, 3, 0, 0)]
+    for i in idx:
+        assert abs(cache.evaluate(i) - d[i]) < 1e-12
+    # second eval of same prefix should hit
+    h0 = cache.hits
+    cache.evaluate((0, 1, 2, 1, 1))
+    assert cache.hits > h0
+
+
+def test_mpo_identity_apply(random_tt):
+    mpo = MPO.identity(random_tt.local_dims)
+    out = mpo.apply_naive(random_tt)
+    np.testing.assert_allclose(dense(out), dense(random_tt), atol=1e-12)
+
+
+def test_mpo_apply_naive_vs_dense(key):
+    dims = [2, 3, 2]
+    tt = TensorTrain.random(key, dims, rank=3)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    # random MPO with link rank 2
+    cores = []
+    links = [1, 2, 2, 1]
+    kk = jax.random.split(k1, len(dims))
+    for i, d in enumerate(dims):
+        cores.append(jax.random.normal(kk[i], (links[i], d, d, links[i + 1])))
+    mpo = MPO(cores)
+    op = np.asarray(mpo.to_dense_matrix())
+    vec = dense(tt).reshape(-1)
+    expect = (op @ vec).reshape(dims)
+    np.testing.assert_allclose(dense(mpo.apply_naive(tt)), expect, atol=1e-10)
+    z = mpo.apply_zipup(tt, tol=1e-13)
+    np.testing.assert_allclose(dense(z), expect, atol=1e-8)
+
+
+def test_mpo_compose(key):
+    dims = [2, 2, 2]
+    links = [1, 3, 2, 1]
+    kk = jax.random.split(key, 6)
+    a = MPO([jax.random.normal(kk[i], (links[i], d, d, links[i + 1]))
+             for i, d in enumerate(dims)])
+    b = MPO([jax.random.normal(kk[3 + i], (links[i], d, d, links[i + 1]))
+             for i, d in enumerate(dims)])
+    prod = np.asarray(a.to_dense_matrix()) @ np.asarray(b.to_dense_matrix())
+    np.testing.assert_allclose(
+        np.asarray(a.compose_naive(b).to_dense_matrix()), prod, atol=1e-10
+    )
+    z = a.compose_zipup(b, tol=1e-13)
+    np.testing.assert_allclose(np.asarray(z.to_dense_matrix()), prod, atol=1e-8)
+
+
+def test_mpo_add(key):
+    dims = [2, 2]
+    links = [1, 2, 1]
+    kk = jax.random.split(key, 4)
+    a = MPO([jax.random.normal(kk[i], (links[i], d, d, links[i + 1]))
+             for i, d in enumerate(dims)])
+    b = MPO([jax.random.normal(kk[2 + i], (links[i], d, d, links[i + 1]))
+             for i, d in enumerate(dims)])
+    np.testing.assert_allclose(
+        np.asarray((a + b).to_dense_matrix()),
+        np.asarray(a.to_dense_matrix()) + np.asarray(b.to_dense_matrix()),
+        atol=1e-12,
+    )
