@@ -1,0 +1,224 @@
+"""Rank-revealing full-pivot LU and LU-based cross interpolation (CI).
+
+TPU-native rebuild of tensor4all-tcicore
+(crates/tensor4all-tcicore/src/matrixlu.rs:69 `RrLU`, :713 `rrlu_inplace`,
+:822 `rrlu`; matrix_luci.rs:48 `MatrixLUCI`).
+
+Design: the data-dependent pivot loop is the worst case for TPU
+(SURVEY.md §7 hard part 2). We run it as ONE jitted ``lax.while_loop`` over
+a static ``max_rank`` bound: each step is a global argmax over the residual
+(VPU reduction) plus a rank-1 update (outer product). Shapes never change —
+rank is carried as a traced scalar, and only that scalar syncs to host.
+L/U factor buffers are preallocated at ``max_rank`` and sliced host-side.
+
+Key identities used for the CI factors (all exact for full-pivot LU):
+with pivot rows I, cols J, ``P = A[I,J] = L[I,:] @ U[:,J]`` where
+``L[I,:]`` is unit lower triangular and ``U[:,J]`` upper triangular; then
+``A[:,J] @ inv(P) @ A[I,:] = L @ U`` — so the LU product *is* the CI
+approximation and factors can be re-expressed with triangular solves.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class RrLUResult:
+    """Ref: RrLU struct (matrixlu.rs:69)."""
+
+    rank: int
+    row_pivots: np.ndarray  # (rank,) row index of k-th pivot
+    col_pivots: np.ndarray  # (rank,)
+    L: jnp.ndarray  # (n, rank); L[row_pivots, :] unit lower-triangular
+    U: jnp.ndarray  # (rank, m); U[:, col_pivots] upper-triangular
+    pivot_magnitudes: np.ndarray  # (rank,) |pivot| per step (decreasing-ish)
+    last_pivot_error: float  # |first discarded pivot| (0 if full rank)
+
+    @property
+    def lu(self) -> jnp.ndarray:
+        """The rank-`rank` approximation L @ U."""
+        return self.L @ self.U
+
+    def ci_factors(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(A[:,J] @ inv(P), A[I,:]) with interpolation property
+        ``left[I,:] = eye`` — computed as ``L @ inv(L[I,:])`` and
+        ``L[I,:] @ U`` via a triangular solve."""
+        LI = self.L[self.row_pivots, :]
+        left = jax.scipy.linalg.solve_triangular(
+            LI.T, self.L.T, lower=False, unit_diagonal=True
+        ).T
+        right = LI @ self.U
+        return left, right
+
+
+@functools.partial(jax.jit, static_argnames=("max_rank",))
+def _rrlu_kernel(a: jnp.ndarray, rtol: float, atol: float, max_rank: int):
+    """Full-pivot LU loop; returns padded factors + traced rank."""
+    n, m = a.shape
+    dtype = a.dtype
+    Lb = jnp.zeros((n, max_rank), dtype)
+    Ub = jnp.zeros((max_rank, m), dtype)
+    rows = jnp.full((max_rank,), -1, jnp.int32)
+    cols = jnp.full((max_rank,), -1, jnp.int32)
+    pivs = jnp.zeros((max_rank,), jnp.float64)
+    first = jnp.max(jnp.abs(a))
+    thresh = jnp.maximum(rtol * first, atol)
+
+    def cond(carry):
+        A, Lb, Ub, rows, cols, pivs, k, done, lastdrop = carry
+        return jnp.logical_and(k < max_rank, jnp.logical_not(done))
+
+    def body(carry):
+        A, Lb, Ub, rows, cols, pivs, k, done, lastdrop = carry
+        absA = jnp.abs(A)
+        flat = jnp.argmax(absA)
+        i, j = flat // m, flat % m
+        piv = A[i, j]
+        pmag = jnp.abs(piv)
+        good = pmag > thresh
+
+        def take(args):
+            A, Lb, Ub, rows, cols, pivs, k = args
+            colv = A[:, j] / piv  # L column (unit at row i)
+            rowv = A[i, :]  # U row
+            A2 = A - jnp.outer(colv, rowv)
+            # exact zeros on eliminated row/col to stop re-selection
+            A2 = A2.at[i, :].set(0).at[:, j].set(0)
+            Lb2 = Lb.at[:, k].set(colv)
+            Ub2 = Ub.at[k, :].set(rowv)
+            return (
+                A2,
+                Lb2,
+                Ub2,
+                rows.at[k].set(i.astype(jnp.int32)),
+                cols.at[k].set(j.astype(jnp.int32)),
+                pivs.at[k].set(pmag.astype(jnp.float64)),
+                k + 1,
+            )
+
+        def skip(args):
+            return args
+
+        A, Lb, Ub, rows, cols, pivs, k = jax.lax.cond(
+            good, take, skip, (A, Lb, Ub, rows, cols, pivs, k)
+        )
+        lastdrop = jnp.where(good, lastdrop, pmag.astype(jnp.float64))
+        return (A, Lb, Ub, rows, cols, pivs, k, jnp.logical_not(good), lastdrop)
+
+    init = (a, Lb, Ub, rows, cols, pivs, jnp.int32(0), jnp.bool_(False),
+            jnp.float64(0.0))
+    A, Lb, Ub, rows, cols, pivs, k, done, lastdrop = jax.lax.while_loop(
+        cond, body, init
+    )
+    return Lb, Ub, rows, cols, pivs, k, lastdrop
+
+
+def rrlu(
+    a,
+    rtol: float = 1e-12,
+    atol: float = 0.0,
+    max_rank: Optional[int] = None,
+) -> RrLUResult:
+    """Rank-revealing full-pivot LU: ``A ≈ L @ U`` with chosen pivots.
+
+    Ref: matrixlu.rs:822 `rrlu` / RrLUOptions :668. `rtol` is relative to
+    the largest |entry| of A (the first pivot); elimination stops when the
+    next pivot magnitude drops below ``max(rtol*|A|_max, atol)``.
+    """
+    a = jnp.asarray(a)
+    n, m = a.shape
+    if max_rank is None:
+        max_rank = min(n, m)
+    else:
+        max_rank = min(max_rank, n, m)
+    if max_rank == 0 or n == 0 or m == 0:
+        return RrLUResult(0, np.zeros(0, np.int64), np.zeros(0, np.int64),
+                          jnp.zeros((n, 0), a.dtype), jnp.zeros((0, m), a.dtype),
+                          np.zeros(0), 0.0)
+    Lb, Ub, rows, cols, pivs, k, lastdrop = _rrlu_kernel(
+        a, float(rtol), float(atol), int(max_rank)
+    )
+    rank = int(k)
+    return RrLUResult(
+        rank=rank,
+        row_pivots=np.asarray(rows)[:rank].astype(np.int64),
+        col_pivots=np.asarray(cols)[:rank].astype(np.int64),
+        L=Lb[:, :rank],
+        U=Ub[:rank, :],
+        pivot_magnitudes=np.asarray(pivs)[:rank],
+        last_pivot_error=float(lastdrop),
+    )
+
+
+def matrix_ci_factors(
+    a,
+    rtol: float = 1e-12,
+    max_rank: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, np.ndarray, np.ndarray, float]:
+    """LU-based cross interpolation of a dense matrix.
+
+    Ref: matrix_luci.rs:365 `matrix_luci_factors_from_matrix`. Returns
+    ``(left, right, row_pivots, col_pivots, error)`` with
+    ``A ≈ left @ right``, ``left = A[:,J] inv(A[I,J])`` (identity at rows
+    I), ``right = A[I,:]``.
+    """
+    res = rrlu(a, rtol=rtol, max_rank=max_rank)
+    if res.rank == 0:
+        n, m = jnp.asarray(a).shape
+        return (jnp.zeros((n, 0)), jnp.zeros((0, m)),
+                res.row_pivots, res.col_pivots, res.last_pivot_error)
+    left, right = res.ci_factors()
+    return left, right, res.row_pivots, res.col_pivots, res.last_pivot_error
+
+
+def factorize_matrix_lu(
+    m,
+    policy,
+    variant: str = "lu",
+    canonical: str = "right",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-factor LU/CI split used by TT compression (ref compression.rs
+    CompressionMethod::{LU, CI}).
+
+    `policy` is an SvdTruncationPolicy; its tol is interpreted as the rrLU
+    relative pivot tolerance, maxdim as the rank cap. `canonical='right'`
+    returns (left, right) where `right` rows are actual matrix rows
+    (CI form: well-conditioned carrier for further sweeping).
+    """
+    rtol = policy.tol if policy.scale.name == "RELATIVE" else 0.0
+    atol = policy.tol if policy.scale.name == "ABSOLUTE" else 0.0
+    res = rrlu(m, rtol=rtol, atol=atol, max_rank=policy.maxdim)
+    if res.rank == 0:
+        # zero matrix: rank-1 zero factorization keeps TT structure valid
+        n, mm = jnp.asarray(m).shape
+        return jnp.zeros((n, 1), res.L.dtype), jnp.zeros((1, mm), res.U.dtype)
+    left, right = res.ci_factors()
+    if variant == "lu" and canonical == "left":
+        return res.L, res.U  # unused currently; parity hook
+    return left, right
+
+
+def factorize_lu(t, left_inds, alg, canonical, policy, link_tags="Link"):
+    """Tensor-level LU/CI factorize (core.decomp.factorize dispatch target)."""
+    from ..config import SvdTruncationPolicy
+    from ..core.decomp import _split_matrixize
+    from ..core.index import Index
+    from ..core.tensor import Tensor
+
+    if policy is None:
+        policy = SvdTruncationPolicy(tol=1e-12)
+    a, left, right = _split_matrixize(t, left_inds)
+    lf, rf = factorize_matrix_lu(a, policy, variant=alg.value,
+                                 canonical="right")
+    r = lf.shape[1]
+    bond = Index(r, tags=link_tags)
+    L = Tensor(tuple(left) + (bond,), lf.reshape([i.dim for i in left] + [r]))
+    R = Tensor((bond,) + tuple(right), rf.reshape([r] + [i.dim for i in right]))
+    return L, R, None

@@ -1,0 +1,151 @@
+"""Memoized black-box function evaluation with batch support.
+
+TPU-native rebuild of tensor4all-tcicore/src/cached_function/mod.rs:391-793
+(`CachedFunction`): thread-safe memoization of ``f(multi-index) -> value``
+keyed by mixed-radix packed integers, with batch evaluation and hit
+statistics.
+
+The host/device boundary design (SURVEY.md §7 hard part 3): the *primary*
+contract is a batched function ``f_batch(idx: (B, L) int array) -> (B,)``.
+For jittable f this is a single device program over the whole batch (and
+shardable over a mesh via `parallel`); for Python black boxes it is one
+host callback per batch instead of per point — preserving the reference's
+batched-f API (tensorci2.rs:1586-1608).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+
+class CachedFunction:
+    """Memoized function over multi-indices.
+
+    Args:
+      f: scalar function ``f(tuple) -> value`` (optional if batch_f given).
+      local_dims: dimension of each index slot (defines the key packing).
+      batch_f: batched evaluator ``f(np.ndarray (B,L)) -> np.ndarray (B,)``.
+        If absent, batches loop over `f` on host.
+    """
+
+    def __init__(
+        self,
+        f: Optional[Callable] = None,
+        local_dims: Optional[Sequence[int]] = None,
+        batch_f: Optional[Callable] = None,
+        dtype=np.float64,
+    ):
+        if f is None and batch_f is None:
+            raise ValueError("need f or batch_f")
+        self.f = f
+        self.batch_f = batch_f
+        if local_dims is None:
+            raise ValueError("local_dims required")
+        self.local_dims = tuple(int(d) for d in local_dims)
+        # mixed-radix weights for packed integer keys (ref cache_key.rs /
+        # index_int.rs — Python ints are arbitrary-precision, subsuming the
+        # reference's u64->U1024 auto-widening)
+        w = [1]
+        for d in self.local_dims[:-1]:
+            w.append(w[-1] * d)
+        self._weights = np.asarray(w, dtype=object)
+        self._wvec = np.asarray(w, dtype=np.float64)  # overflow check only
+        self.dtype = np.dtype(dtype)
+        self._cache: dict = {}
+        self._lock = threading.Lock()
+        self.num_evals = 0
+        self.num_cache_hits = 0
+
+    def __len__(self):
+        return len(self.local_dims)
+
+    def _key(self, idx) -> int:
+        k = 0
+        for v, d, w in zip(idx, self.local_dims, self._weights):
+            vi = int(v)
+            if not 0 <= vi < d:
+                raise IndexError(f"index {vi} out of range for dim {d}")
+            k += vi * w
+        return k
+
+    def __call__(self, idx):
+        key = self._key(idx)
+        with self._lock:
+            if key in self._cache:
+                self.num_cache_hits += 1
+                return self._cache[key]
+        val = self._eval_batch_raw(np.asarray([idx], dtype=np.int64))[0]
+        with self._lock:
+            self._cache[key] = val
+        return val
+
+    def _eval_batch_raw(self, idx: np.ndarray) -> np.ndarray:
+        self.num_evals += int(idx.shape[0])
+        if self.batch_f is not None:
+            out = np.asarray(self.batch_f(idx))
+            if out.shape != (idx.shape[0],):
+                raise ValueError(
+                    f"batch_f returned shape {out.shape}, expected ({idx.shape[0]},)"
+                )
+            return out.astype(self.dtype, copy=False)
+        return np.asarray([self.f(tuple(row)) for row in idx], dtype=self.dtype)
+
+    def eval_batch(self, idx) -> np.ndarray:
+        """Evaluate a batch (B, L), consulting and filling the cache."""
+        idx = np.asarray(idx, dtype=np.int64)
+        if idx.ndim != 2 or idx.shape[1] != len(self.local_dims):
+            raise ValueError(f"batch must be (B, {len(self.local_dims)})")
+        B = idx.shape[0]
+        out = np.empty(B, dtype=self.dtype)
+        missing_rows = []
+        missing_pos = []
+        with self._lock:
+            for b in range(B):
+                key = self._key(idx[b])
+                v = self._cache.get(key)
+                if v is None:
+                    missing_rows.append(idx[b])
+                    missing_pos.append(b)
+                else:
+                    self.num_cache_hits += 1
+                    out[b] = v
+        if missing_rows:
+            vals = self._eval_batch_raw(np.stack(missing_rows))
+            with self._lock:
+                for b, v, row in zip(missing_pos, vals, missing_rows):
+                    out[b] = v
+                    self._cache[self._key(row)] = self.dtype.type(v)
+        return out
+
+    @property
+    def cache_size(self) -> int:
+        return len(self._cache)
+
+    @property
+    def cache_hit_ratio(self) -> float:
+        tot = self.num_cache_hits + self.num_evals
+        return self.num_cache_hits / tot if tot else 0.0
+
+    def clear(self):
+        with self._lock:
+            self._cache.clear()
+
+
+def make_jax_batch_f(jax_f, n_args: int):
+    """Wrap a jittable pointwise JAX function into a batched evaluator.
+
+    `jax_f` takes an (L,)-int array (or L scalars) and returns a scalar;
+    the result is vmapped+jitted over the batch — the pure-device fast path
+    for jittable integrands.
+    """
+    import jax
+
+    batched = jax.jit(jax.vmap(jax_f))
+
+    def batch_f(idx: np.ndarray) -> np.ndarray:
+        return np.asarray(batched(idx))
+
+    return batch_f

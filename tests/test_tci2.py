@@ -1,0 +1,181 @@
+"""TCI2 tests — closed-form function oracles (SURVEY.md §4: polynomials,
+Gaussians; BASELINE.json config 2)."""
+
+import numpy as np
+import pytest
+
+from tensor4all_tpu.tci import (
+    CachedFunction,
+    IndexSet,
+    TCI2Options,
+    crossinterpolate2,
+    estimate_true_error,
+    make_jax_batch_f,
+)
+
+
+def test_indexset():
+    s = IndexSet([(0, 1), (2, 3)])
+    assert len(s) == 2
+    assert s.position((2, 3)) == 1
+    assert s.add((0, 1)) == 0  # no dup
+    assert s.add((4, 5)) == 2
+    assert (4, 5) in s
+
+
+def test_cached_function_stats():
+    calls = []
+
+    def f(idx):
+        calls.append(idx)
+        return float(sum(idx))
+
+    cf = CachedFunction(f=f, local_dims=[3, 3])
+    assert cf((1, 2)) == 3.0
+    assert cf((1, 2)) == 3.0
+    assert cf.num_evals == 1 and cf.num_cache_hits == 1
+    out = cf.eval_batch([[1, 2], [0, 0], [1, 2]])
+    np.testing.assert_allclose(out, [3.0, 0.0, 3.0])
+    assert cf.num_evals == 2  # only (0,0) was new
+    assert cf.cache_hit_ratio > 0
+
+
+def test_cached_function_batch_f():
+    def batch_f(idx):
+        return idx.sum(axis=1).astype(float)
+
+    cf = CachedFunction(batch_f=batch_f, local_dims=[2, 2, 2])
+    out = cf.eval_batch([[1, 1, 1], [0, 1, 0]])
+    np.testing.assert_allclose(out, [3.0, 1.0])
+
+
+def test_tci2_rank1_product():
+    # separable function -> rank 1
+    dims = [4, 5, 6]
+
+    def batch_f(idx):
+        return np.prod(1.0 + idx, axis=1).astype(float)
+
+    tci, ranks, errs = crossinterpolate2(
+        batch_f=batch_f, local_dims=dims,
+        options=TCI2Options(tol=1e-10, max_iter=6),
+    )
+    tt = tci.to_tensortrain()
+    assert max(tt.ranks) == 1
+    err = estimate_true_error(tt, tci.func, n_samples=200)
+    assert err < 1e-8
+
+
+def test_tci2_sum_function():
+    # f = sum of coordinates -> rank 2
+    dims = [3, 3, 3, 3, 3]
+
+    def batch_f(idx):
+        return idx.sum(axis=1).astype(float) + 1.0
+
+    tci, ranks, errs = crossinterpolate2(
+        batch_f=batch_f, local_dims=dims,
+        options=TCI2Options(tol=1e-10, max_iter=8),
+    )
+    tt = tci.to_tensortrain()
+    assert max(tt.ranks) <= 2
+    assert estimate_true_error(tt, tci.func) < 1e-8
+
+
+def test_tci2_gaussian_10d():
+    # BASELINE.json config 2: 10-D multivariate Gaussian to tol 1e-8
+    L, d = 10, 4
+    xs = np.linspace(-1, 1, d)
+
+    def batch_f(idx):
+        x = xs[idx]
+        return np.exp(-np.sum(x * x, axis=1))
+
+    tci, ranks, errs = crossinterpolate2(
+        batch_f=batch_f, local_dims=[d] * L,
+        options=TCI2Options(tol=1e-10, max_iter=12),
+    )
+    tt = tci.to_tensortrain()
+    err = estimate_true_error(tt, tci.func, n_samples=2000)
+    assert err < 1e-8
+    # separable gaussian: near rank-1; allow small slack
+    assert max(tt.ranks) <= 3
+
+
+def test_tci2_oscillatory_2d_exact():
+    # small 2-D grid: compare against the full dense tensor
+    d0, d1 = 8, 9
+
+    def batch_f(idx):
+        x = idx[:, 0] / d0
+        y = idx[:, 1] / d1
+        return np.cos(5 * x * y) + x
+
+    tci, _, _ = crossinterpolate2(
+        batch_f=batch_f, local_dims=[d0, d1],
+        options=TCI2Options(tol=1e-12, max_iter=10),
+    )
+    tt = tci.to_tensortrain()
+    dense = np.asarray(tt.full_tensor())
+    ii, jj = np.meshgrid(np.arange(d0), np.arange(d1), indexing="ij")
+    idx = np.stack([ii.ravel(), jj.ravel()], axis=1)
+    expect = batch_f(idx).reshape(d0, d1)
+    np.testing.assert_allclose(dense, expect, atol=1e-8)
+
+
+def test_tci2_global_pivots_find_missed_region():
+    # narrow (but smooth) Gaussian bump far from the initial pivot
+    # (0,...,0): greedy ascent from random starts must localize it
+    # (ref globalsearch.rs random starts + local descent on |f - tt|)
+    L, d = 6, 4
+    center = np.asarray([3, 3, 3, 3, 3, 3])
+
+    def batch_f(idx):
+        base = 1e-3 * np.prod(np.cos(idx * 0.1), axis=1)
+        r2 = np.sum((idx - center) ** 2, axis=1)
+        return base + 10.0 * np.exp(-r2 / 2.0)
+
+    opts = TCI2Options(tol=1e-8, max_iter=12, n_global_pivots=4,
+                       global_search_starts=64, seed=3)
+    tci, _, _ = crossinterpolate2(batch_f=batch_f, local_dims=[d] * L,
+                                  options=opts)
+    tt = tci.to_tensortrain()
+    from tensor4all_tpu.tci import estimate_true_error as ete
+    err = ete(tt, tci.func, n_samples=4000)
+    assert err < 1e-6 * tci.f_max
+    bump_val = float(tt.evaluate(center))
+    f_true = batch_f(center[None, :])[0]
+    assert abs(bump_val - f_true) < 1e-6 * abs(f_true)
+
+
+def test_tci2_maxbonddim():
+    dims = [6] * 4
+    rng = np.random.default_rng(0)
+    tensor = rng.standard_normal(dims)  # full-rank noise
+
+    def batch_f(idx):
+        return tensor[tuple(idx.T)]
+
+    opts = TCI2Options(tol=1e-14, max_iter=4, maxbonddim=3)
+    tci, _, _ = crossinterpolate2(batch_f=batch_f, local_dims=dims,
+                                  options=opts)
+    tt = tci.to_tensortrain()
+    assert max(tt.ranks) <= 3
+
+
+def test_tci2_jax_fast_path(key):
+    import jax.numpy as jnp
+
+    xs = np.linspace(0, 1, 8)
+
+    def jf(idx):
+        x = jnp.take(jnp.asarray(xs), idx)
+        return jnp.exp(-jnp.sum(x**2))
+
+    batch_f = make_jax_batch_f(jf, n_args=5)
+    tci, _, _ = crossinterpolate2(
+        batch_f=batch_f, local_dims=[8] * 5,
+        options=TCI2Options(tol=1e-10, max_iter=8),
+    )
+    tt = tci.to_tensortrain()
+    assert estimate_true_error(tt, tci.func) < 1e-8
