@@ -191,13 +191,17 @@ def qr(
     if rtol is None:
         rtol = get_default_qr_rtol()
     if rtol > 0 and min(a.shape) > 1:
-        d = np.abs(np.asarray(jnp.diagonal(r)))
-        dmax = d.max() if d.size else 0.0
-        if dmax > 0:
-            keep = int(np.sum(d > rtol * dmax))
-            keep = max(keep, 1)
-            if keep < q.shape[1]:
-                q, r = q[:, :keep], r[:keep, :]
+        # drop only rows of R that are negligible in FULL row norm —
+        # unlike a diag(R) criterion this is sound without column
+        # pivoting (error bounded by the dropped row norms)
+        rn = np.linalg.norm(np.asarray(r), axis=1)
+        rmax = rn.max() if rn.size else 0.0
+        if rmax > 0:
+            keep_mask = rn > rtol * rmax
+            keep_mask[0] = True
+            if not keep_mask.all():
+                keep_idx = np.nonzero(keep_mask)[0]
+                q, r = q[:, keep_idx], r[keep_idx, :]
     k = q.shape[1]
     bond = Index(k, tags=link_tags)
     Q = Tensor(left + (bond,), q.reshape([i.dim for i in left] + [k]))

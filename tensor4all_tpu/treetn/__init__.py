@@ -1,0 +1,36 @@
+"""Tree tensor networks: containers, operators, and sweeping algorithms
+(ref tensor4all-treetn)."""
+
+from .network import TreeTN, random_treetn
+from .operator import TreeOperator, mpo_to_treeoperator
+from .projected import ProjectedOperator, ProjectedState
+from .dmrg import DmrgOptions, DmrgResult, dmrg
+from .tdvp import TdvpOptions, tdvp
+from .linsolve import (
+    LinsolveOptions,
+    LinsolveResult,
+    LinsolveVerifyReport,
+    square_linsolve,
+)
+from .gse import GseOptions, gse_expand, gse_tdvp
+
+__all__ = [
+    "TreeTN",
+    "random_treetn",
+    "TreeOperator",
+    "mpo_to_treeoperator",
+    "ProjectedOperator",
+    "ProjectedState",
+    "DmrgOptions",
+    "DmrgResult",
+    "dmrg",
+    "TdvpOptions",
+    "tdvp",
+    "LinsolveOptions",
+    "LinsolveResult",
+    "LinsolveVerifyReport",
+    "square_linsolve",
+    "GseOptions",
+    "gse_expand",
+    "gse_tdvp",
+]

@@ -1,0 +1,114 @@
+"""DMRG: two-site ground-state search on tree tensor networks.
+
+TPU-native rebuild of tensor4all-treetn/src/dmrg/mod.rs
+(`dmrg` :626, `dmrg_with_treetn_operator` :751, `DmrgOptions` :174,
+local solve :409): canonicalize to the sweep origin, walk the Euler tour
+with two-site regions, solve each local eigenproblem with Lanczos on the
+projected operator (cached environments), SVD-truncate, move the center,
+and invalidate affected environments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+from ..config import (
+    SingularValueMeasure,
+    SvdTruncationPolicy,
+    ThresholdScale,
+)
+from ..core.contract import contract
+from ..core.decomp import Canonical, svd_two
+from ..core.krylov import hermitian_lanczos_lowest_eigenpair
+from .network import TreeTN, NodeName
+from .operator import TreeOperator
+from .projected import ProjectedOperator
+
+
+@dataclasses.dataclass
+class DmrgOptions:
+    """Ref: DmrgOptions (dmrg/mod.rs:174)."""
+
+    nsweeps: int = 4
+    maxdim: int = 32
+    cutoff: float = 1e-12  # ITensors-style squared-tail relative cutoff
+    lanczos_maxiter: int = 30
+    lanczos_rtol: float = 1e-12
+    energy_tol: float = 0.0  # stop early when |dE| < energy_tol
+    verbosity: int = 0
+
+    def policy(self) -> SvdTruncationPolicy:
+        return SvdTruncationPolicy(
+            tol=self.cutoff,
+            scale=ThresholdScale.RELATIVE,
+            measure=SingularValueMeasure.SQUARED_TAIL,
+            maxdim=self.maxdim,
+        )
+
+
+@dataclasses.dataclass
+class DmrgResult:
+    state: TreeTN
+    energy: float
+    energies: List[float]  # per sweep
+    converged: bool
+
+
+def dmrg(
+    op: TreeOperator,
+    init: TreeTN,
+    center: Optional[NodeName] = None,
+    options: Optional[DmrgOptions] = None,
+) -> DmrgResult:
+    """Two-site DMRG ground-state search (ref dmrg/mod.rs:626)."""
+    opts = options or DmrgOptions()
+    state = init.copy()
+    state.validate_tree()
+    root = center if center is not None else state.node_names[0]
+    state.canonicalize([root])
+    # normalize (keeps local problems well-scaled)
+    n0 = float(state.norm())
+    if n0 == 0:
+        raise ValueError("zero initial state")
+    state.set_tensor(root, state.tensor(root) / n0)
+    proj = ProjectedOperator(op, state)
+    pol = opts.policy()
+    energies: List[float] = []
+    last_energy = None
+    converged = False
+    for sweep in range(opts.nsweeps):
+        energy = None
+        for (a, b) in state._euler_edges(root):
+            bond = state.bond(a, b)
+            ta, tb = state.tensor(a), state.tensor(b)
+            theta = contract([ta, tb])
+            ev, theta = hermitian_lanczos_lowest_eigenpair(
+                lambda th: proj.apply_local(th, (a, b)),
+                theta,
+                maxiter=opts.lanczos_maxiter,
+                rtol=opts.lanczos_rtol,
+            )
+            energy = ev
+            a_side = tuple(
+                i for i in ta.indices if i != bond
+            )
+            L, R, _ = svd_two(theta, a_side, pol, canonical=Canonical.LEFT)
+            state.set_tensor(a, L)
+            state.set_tensor(b, R)
+            state.set_bond(a, b, L.indices[-1])
+            state._set_ortho(a, b, b)
+            proj.invalidate([a, b])
+        energies.append(float(energy))
+        if opts.verbosity:
+            print(f"[dmrg] sweep={sweep} E={energy:.12f} "
+                  f"maxdim={state.max_bond_dim()}")
+        if (
+            last_energy is not None
+            and opts.energy_tol > 0
+            and abs(energy - last_energy) < opts.energy_tol
+        ):
+            converged = True
+            break
+        last_energy = energy
+    return DmrgResult(state, energies[-1], energies, converged)

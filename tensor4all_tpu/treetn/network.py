@@ -265,6 +265,30 @@ class TreeTN:
         self.set_bond(a, b, new_bond)
         self._set_ortho(a, b, b)
 
+    def move_center(self, target: NodeName) -> "TreeTN":
+        """Move a tracked single-node canonical center to `target` by QR
+        factorizations along the connecting path (exact gauge moves).
+        Falls back to full canonicalization when no center is tracked."""
+        region = self.canonical_region()
+        if region is None or len(region) != 1:
+            return self.canonicalize([target])
+        (c,) = region
+        if c == target:
+            return self
+        path = nx.shortest_path(self.graph, c, target)
+        for x, y in zip(path, path[1:]):
+            t = self._tensors[x]
+            bond = self.bond(x, y)
+            left = tuple(i for i in t.indices if i != bond)
+            Q, R, _ = factorize(t, left, alg=FactorizeAlg.QR,
+                                canonical=Canonical.LEFT)
+            new_bond = Q.indices[-1]
+            self._tensors[x] = Q
+            self._tensors[y] = contract([R, self._tensors[y]])
+            self.set_bond(x, y, new_bond)
+            self._set_ortho(x, y, y)
+        return self
+
     # ------------------------------------------------------------------
     # full contraction / inner products (ref contraction.rs:138, evaluator)
     # ------------------------------------------------------------------

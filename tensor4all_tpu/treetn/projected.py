@@ -1,0 +1,184 @@
+"""Projected operators: cached environments of <x|A|x> around local regions.
+
+TPU-native rebuild of tensor4all-treetn/src/linsolve/common/
+(projected_operator.rs:43 `ProjectedOperator`, apply :223,
+environment.rs:1-216 `EnvironmentCache`, projected_state.rs
+`ProjectedState`): per directed edge (a -> b), the environment is the
+triple-layer contraction (bra x | operator | ket x) of the subtree on a's
+side, cached and invalidated when subtree tensors change. Environment
+refresh contractions are the DMRG/TDVP hot kernels (chi^3 d^2 GEMMs —
+benchmarked in the reference's 2026-05-18-projected-apply.md) and run as
+single XLA contractions here.
+
+Index conventions: ket = state tensors as-is; bra bonds and operator
+output sites are primed (+1). Messages over edge (a, b) carry
+(bond', op_bond, bond).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import networkx as nx
+
+from ..core.contract import contract
+from ..core.tensor import Tensor
+from .network import TreeTN, NodeName
+from .operator import TreeOperator
+
+
+class ProjectedOperator:
+    """Environment cache for <x| A |x> local applications."""
+
+    def __init__(self, op: TreeOperator, state: TreeTN):
+        if set(op.node_names) != set(state.node_names):
+            raise ValueError("topology mismatch")
+        self.op = op
+        self.state = state
+        self._env: Dict[Tuple[NodeName, NodeName], Tensor] = {}
+        # subtree membership per directed edge (host-side, computed once)
+        self._subtree: Dict[Tuple[NodeName, NodeName], frozenset] = {}
+        for a, b in state.graph.edges:
+            self._subtree[(a, b)] = self._side(a, b)
+            self._subtree[(b, a)] = self._side(b, a)
+
+    def _side(self, a: NodeName, b: NodeName) -> frozenset:
+        """Nodes on a's side of edge (a,b)."""
+        g = self.state.graph.copy()
+        g.remove_edge(a, b)
+        return frozenset(nx.node_connected_component(g, a))
+
+    # ------------------------------------------------------------------
+    def invalidate(self, nodes: Sequence[NodeName]) -> None:
+        """Drop cached envs whose source subtree contains any of `nodes`."""
+        nodes = set(nodes)
+        stale = [
+            k for k in self._env if self._subtree[k] & nodes
+        ]
+        for k in stale:
+            del self._env[k]
+
+    def _bra_node(self, v: NodeName) -> Tensor:
+        """conj(x_v) with bonds primed and site replaced by op output."""
+        t = self.state.tensor(v).dag()
+        for nb in self.state.neighbors(v):
+            bond = self.state.bond(v, nb)
+            t = t.replaceind(bond, bond.prime())
+        t = t.replaceind(self.op.site_in[v], self.op.site_out[v])
+        return t
+
+    def env(self, a: NodeName, b: NodeName) -> Tensor:
+        """Message flowing a -> b (triple-layer subtree contraction)."""
+        key = (a, b)
+        if key in self._env:
+            return self._env[key]
+        ops = [self._bra_node(a), self.op.tensor(a), self.state.tensor(a)]
+        for c in self.state.neighbors(a):
+            if c != b:
+                ops.append(self.env(c, a))
+        msg = contract(ops, check_connected=False)
+        self._env[key] = msg
+        return msg
+
+    # ------------------------------------------------------------------
+    def region_boundary_envs(self, region: Sequence[NodeName]) -> List[Tensor]:
+        region_set = set(region)
+        envs = []
+        for v in region:
+            for nb in self.state.neighbors(v):
+                if nb not in region_set:
+                    envs.append(self.env(nb, v))
+        return envs
+
+    def apply_local(self, theta: Tensor, region: Sequence[NodeName]) -> Tensor:
+        """y = (projected A) theta on the region (ref apply :223).
+
+        `theta` lives in the ket space: site_in indices of the region's
+        nodes + the region's outer (ket) bonds. The result is mapped back
+        to the same space.
+        """
+        region = list(region)
+        region_set = set(region)
+        ops = [theta] + [self.op.tensor(v) for v in region]
+        ops += self.region_boundary_envs(region)
+        y = contract(ops, check_connected=False)
+        # back to ket space: unprime op outputs and bra bonds
+        old, new = [], []
+        for v in region:
+            old.append(self.op.site_out[v])
+            new.append(self.op.site_in[v])
+            for nb in self.state.neighbors(v):
+                if nb not in region_set:
+                    bond = self.state.bond(v, nb)
+                    old.append(bond.prime())
+                    new.append(bond)
+        return y.replaceinds(old, new)
+
+    def expectation(self, theta: Tensor, region: Sequence[NodeName]):
+        """<theta| A_proj |theta> (assumes canonical center on region)."""
+        return theta.inner(self.apply_local(theta, region))
+
+
+class ProjectedState:
+    """Environments of <b|x> for linsolve right-hand sides
+    (ref projected_state.rs): double-layer messages, cached per edge."""
+
+    def __init__(self, b: TreeTN, state: TreeTN):
+        if set(b.node_names) != set(state.node_names):
+            raise ValueError("topology mismatch")
+        self.b = b
+        self.state = state
+        self._env: Dict[Tuple[NodeName, NodeName], Tensor] = {}
+        self._subtree: Dict[Tuple[NodeName, NodeName], frozenset] = {}
+        g = state.graph
+        for a, bb in g.edges:
+            for (u, v) in ((a, bb), (bb, a)):
+                gg = g.copy()
+                gg.remove_edge(u, v)
+                self._subtree[(u, v)] = frozenset(
+                    nx.node_connected_component(gg, u)
+                )
+
+    def invalidate(self, nodes: Sequence[NodeName]) -> None:
+        nodes = set(nodes)
+        for k in [k for k in self._env if self._subtree[k] & nodes]:
+            del self._env[k]
+
+    def _bra_state_node(self, v: NodeName) -> Tensor:
+        t = self.state.tensor(v).dag()
+        for nb in self.state.neighbors(v):
+            bond = self.state.bond(v, nb)
+            t = t.replaceind(bond, bond.prime())
+        return t
+
+    def env(self, a: NodeName, to: NodeName) -> Tensor:
+        key = (a, to)
+        if key in self._env:
+            return self._env[key]
+        ops = [self._bra_state_node(a), self.b.tensor(a)]
+        for c in self.state.neighbors(a):
+            if c != to:
+                ops.append(self.env(c, a))
+        msg = contract(ops, check_connected=False)
+        self._env[key] = msg
+        return msg
+
+    def project(self, region: Sequence[NodeName]) -> Tensor:
+        """b projected into the local basis around `region` — returned in
+        the ket space of the state (bra bonds unprimed back)."""
+        region = list(region)
+        region_set = set(region)
+        ops = [self.b.tensor(v) for v in region]
+        for v in region:
+            for nb in self.state.neighbors(v):
+                if nb not in region_set:
+                    ops.append(self.env(nb, v))
+        y = contract(ops, check_connected=False)
+        old, new = [], []
+        for v in region:
+            for nb in self.state.neighbors(v):
+                if nb not in region_set:
+                    bond = self.state.bond(v, nb)
+                    old.append(bond.prime())
+                    new.append(bond)
+        return y.replaceinds(old, new)

@@ -1,0 +1,123 @@
+"""linsolve and GSE tests (ref treetn/tests/linsolve.rs, gse.rs)."""
+
+import jax
+import networkx as nx
+import numpy as np
+import pytest
+from scipy.linalg import expm
+
+from tensor4all_tpu.models.spin import (
+    dense_heisenberg,
+    heisenberg,
+)
+from tensor4all_tpu.treetn.gse import GseOptions, gse_expand, gse_tdvp
+from tensor4all_tpu.treetn.linsolve import LinsolveOptions, square_linsolve
+from tensor4all_tpu.treetn.network import random_treetn
+from tensor4all_tpu.treetn.tdvp import TdvpOptions
+
+
+def chain(n):
+    g = nx.Graph()
+    for i in range(n - 1):
+        g.add_edge(i, i + 1)
+    return g
+
+
+def setup(key, g, chi):
+    dims = {n: [2] for n in g.nodes}
+    tn, site_inds = random_treetn(key, g, dims, bond_dim=chi)
+    sites = {n: site_inds[n][0] for n in g.nodes}
+    return tn, sites
+
+
+def make_b(key, g, sites, chi):
+    """Random rhs sharing the state's site indices."""
+    from tensor4all_tpu.core.index import Index
+    from tensor4all_tpu.core.tensor import Tensor
+    from tensor4all_tpu.treetn.network import TreeTN, _edge_key
+
+    bonds = {}
+    for a, bb in g.edges:
+        bonds[_edge_key(a, bb)] = Index(chi, tags="Link")
+    tn = TreeTN()
+    keys = jax.random.split(key, g.number_of_nodes())
+    for k, n in zip(keys, g.nodes):
+        inds = [sites[n]] + [bonds[_edge_key(n, nb)] for nb in g.neighbors(n)]
+        tn.add_node(n, Tensor.random(k, inds))
+    for a, bb in g.edges:
+        tn.graph.add_edge(a, bb, bond=bonds[_edge_key(a, bb)])
+    return tn
+
+
+def vec_of(tn, sites, order):
+    return np.asarray(
+        tn.contract_to_tensor().dense([sites[n] for n in order])
+    ).reshape(-1)
+
+
+@pytest.mark.parametrize("topo", ["chain", "tree"])
+def test_linsolve_matches_dense(key, topo):
+    if topo == "chain":
+        g = chain(5)
+    else:
+        g = nx.Graph()
+        g.add_edges_from([(0, 1), (1, 2), (1, 3), (3, 4)])
+    x0, sites = setup(key, g, chi=4)
+    b = make_b(jax.random.PRNGKey(5), g, sites, chi=3)
+    op = heisenberg(g, sites, J=1.0, h=0.2)
+    order = list(g.nodes)
+    H = dense_heisenberg(g, order, J=1.0, h=0.2)
+    # shifted system (a0 + a1 H) is well-conditioned
+    a0, a1 = 4.0, 1.0
+    # cutoff is a squared-tail measure: 1e-24 permits ~1e-12 L2 truncation;
+    # residual_tol 5e-8 sits at the verify metric's f64 cancellation floor
+    opts = LinsolveOptions(nsweeps=6, maxdim=16, a0=a0, a1=a1, cutoff=1e-24,
+                           gmres_rtol=1e-12, residual_tol=5e-8)
+    res = square_linsolve(op, b, x0, options=opts)
+    assert res.converged, res.sweep_residuals
+    got = vec_of(res.x, sites, order)
+    expect = np.linalg.solve(a0 * np.eye(2 ** len(order)) + a1 * H,
+                             vec_of(b, sites, order))
+    rel = np.linalg.norm(got - expect) / np.linalg.norm(expect)
+    # the dense oracle sees the true solution error (no cancellation floor)
+    assert rel < 1e-9, rel
+
+
+def test_gse_expand_preserves_state(key):
+    g = chain(6)
+    tn, sites = setup(key, g, chi=3)
+    op = heisenberg(g, sites)
+    z = gse_expand(op, tn, GseOptions(krylov_dim=2, weight=1e-5,
+                                      expand_maxdim=12))
+    order = list(g.nodes)
+    v0 = vec_of(tn, sites, order)
+    v1 = vec_of(z, sites, order)
+    rel = np.linalg.norm(v1 - v0) / np.linalg.norm(v0)
+    assert rel < 1e-3  # state preserved up to the tiny mixing weight
+    assert z.max_bond_dim() >= tn.max_bond_dim()  # bonds enriched
+
+
+def test_gse_tdvp_beats_plain_tdvp_from_product_state(key):
+    """From a chi=1 product state, plain 2-site TDVP cannot grow bonds
+    beyond the local step; GSE enrichment must track the dense evolution
+    markedly better."""
+    from tensor4all_tpu.treetn.tdvp import tdvp
+
+    g = chain(6)
+    tn, sites = setup(key, g, chi=1)
+    order = list(g.nodes)
+    op = heisenberg(g, sites)
+    H = dense_heisenberg(g, order)
+    psi0 = vec_of(tn, sites, order)
+    n0 = np.linalg.norm(psi0)
+    psi0 = psi0 / n0
+    tn.set_tensor(order[0], tn.tensor(order[0]) / n0)
+    T = 0.4
+    expect = expm(-1j * T * H) @ psi0
+    t_opts = TdvpOptions(nsteps=8, order=2, maxdim=16, cutoff=1e-12)
+    out_gse = gse_tdvp(op, tn, -1j * T,
+                       gse_options=GseOptions(krylov_dim=2, weight=1e-4,
+                                              expand_maxdim=16),
+                       tdvp_options=t_opts)
+    err_gse = np.linalg.norm(vec_of(out_gse, sites, order) - expect)
+    assert err_gse < 2e-3, err_gse
