@@ -1,0 +1,253 @@
+"""Quantics layer tests: grids, QTT interpolation (BASELINE config 3:
+R=30 oscillatory 1-D + derivative/shift MPOs), transform operators."""
+
+import numpy as np
+import pytest
+
+from tensor4all_tpu.quantics import (
+    DiscretizedGrid,
+    InherentDiscreteGrid,
+    UnfoldingScheme,
+    affine_operator,
+    cumsum_operator,
+    difference_kernel_mpo,
+    flip_operator,
+    phase_rotation_operator,
+    quantics_fourier_operator,
+    quantics_from_array,
+    quanticscrossinterpolate,
+    quanticscrossinterpolate_discrete,
+    shift_operator,
+    shift_operator_multivar,
+    triangle_operator,
+)
+from tensor4all_tpu.tci.tensorci2 import TCI2Options
+
+
+# ----------------------------------------------------------------------
+# grids
+# ----------------------------------------------------------------------
+def test_discrete_grid_roundtrip():
+    for unf in UnfoldingScheme:
+        g = InherentDiscreteGrid(R=5, d=3, unfolding=unf)
+        rng = np.random.default_rng(0)
+        m = rng.integers(0, 32, size=(50, 3))
+        q = g.index_to_quantics(m)
+        assert q.shape == (50, g.n_sites)
+        back = g.quantics_to_index(q)
+        np.testing.assert_array_equal(back, m)
+
+
+def test_discrete_grid_msb_first():
+    g = InherentDiscreteGrid(R=3, d=1)
+    q = g.index_to_quantics(np.array([[4]]))
+    np.testing.assert_array_equal(q[0], [1, 0, 0])  # MSB first
+
+
+def test_discretized_grid_coords():
+    g = DiscretizedGrid.create(R=4, lower=-1.0, upper=1.0)
+    x = g.index_to_coord(np.array([[0], [8]]))
+    np.testing.assert_allclose(x[:, 0], [-1.0, 0.0])
+    m = g.coord_to_index(np.array([[0.0], [-1.0], [0.9]]))
+    assert m[0, 0] == 8 and m[1, 0] == 0
+
+
+# ----------------------------------------------------------------------
+# QTT interpolation
+# ----------------------------------------------------------------------
+def test_qtci_oscillatory_R30():
+    # BASELINE.json config 3: 1-D oscillatory function at R=30 bits
+    grid = DiscretizedGrid.create(R=30, lower=0.0, upper=1.0)
+
+    def f(x):
+        return np.cos(20 * np.pi * x[:, 0]) * np.exp(-x[:, 0])
+
+    q = quanticscrossinterpolate(f, grid,
+                                 options=TCI2Options(tol=1e-10, max_iter=14))
+    rng = np.random.default_rng(1)
+    xs = rng.uniform(0, 1, size=(500, 1))
+    # evaluate at exact grid points
+    m = grid.coord_to_index(xs)
+    xg = grid.index_to_coord(m)
+    got = q.evaluate(xg)
+    expect = f(xg)
+    assert np.abs(got - expect).max() < 1e-8
+    assert max(q.tt.ranks) < 20  # smooth oscillation stays low rank
+    # integral vs analytic: int_0^1 cos(20 pi x) e^-x dx
+    a = 20 * np.pi
+    exact = ((np.exp(-1) * (np.sin(a) * a - np.cos(a)) + 1) / (1 + a * a))
+    assert abs(q.integral() - exact) < 1e-8
+
+
+def test_qtci_discrete():
+    grid = InherentDiscreteGrid(R=8, d=2, unfolding=UnfoldingScheme.FUSED)
+
+    def f(m):
+        return (m[:, 0] + 2.0 * m[:, 1]) / 256.0
+
+    q = quanticscrossinterpolate_discrete(
+        f, grid, options=TCI2Options(tol=1e-10, max_iter=8)
+    )
+    rng = np.random.default_rng(2)
+    m = rng.integers(0, 256, size=(100, 2))
+    got = q.evaluate_quantics(grid.index_to_quantics(m))
+    np.testing.assert_allclose(got, f(m), atol=1e-8)
+
+
+def test_quantics_from_array_1d():
+    R = 6
+    x = np.arange(2 ** R) / 2 ** R
+    a = np.exp(-3 * x)
+    tt, grid = quantics_from_array(a)
+    q = grid.index_to_quantics(np.arange(2 ** R)[:, None])
+    vals = np.asarray(tt.evaluate_batch(q))
+    np.testing.assert_allclose(vals, a, atol=1e-10)
+
+
+def test_quantics_from_array_2d_both_unfoldings():
+    R = 4
+    n = 2 ** R
+    x = np.arange(n) / n
+    a = np.outer(np.sin(2 * np.pi * x), np.cos(2 * np.pi * x))
+    for unf in UnfoldingScheme:
+        tt, grid = quantics_from_array(a, unfolding=unf)
+        rng = np.random.default_rng(3)
+        m = rng.integers(0, n, size=(60, 2))
+        q = grid.index_to_quantics(m)
+        vals = np.asarray(tt.evaluate_batch(q))
+        np.testing.assert_allclose(vals, a[m[:, 0], m[:, 1]], atol=1e-10,
+                                   err_msg=str(unf))
+
+
+# ----------------------------------------------------------------------
+# transform operators — dense oracles on small R
+# ----------------------------------------------------------------------
+def op_matrix(mpo, R):
+    return np.asarray(mpo.to_dense_matrix()).reshape(2 ** R, 2 ** R)
+
+
+def test_shift_operator_periodic():
+    R = 5
+    N = 2 ** R
+    for s in (1, 3, -2, 11):
+        O = op_matrix(shift_operator(R, s, bc="periodic"), R)
+        expect = np.zeros((N, N))
+        for x in range(N):
+            expect[x, (x + s) % N] = 1.0
+        np.testing.assert_allclose(O, expect, atol=1e-12, err_msg=f"s={s}")
+
+
+def test_shift_operator_open():
+    R = 4
+    N = 16
+    for s in (2, -3):
+        O = op_matrix(shift_operator(R, s, bc="open"), R)
+        expect = np.zeros((N, N))
+        for x in range(N):
+            if 0 <= x + s < N:
+                expect[x, x + s] = 1.0
+        np.testing.assert_allclose(O, expect, atol=1e-12, err_msg=f"s={s}")
+
+
+def test_flip_operator():
+    R = 4
+    N = 16
+    O = op_matrix(flip_operator(R), R)
+    expect = np.zeros((N, N))
+    for x in range(N):
+        expect[x, (-x) % N] = 1.0
+    np.testing.assert_allclose(O, expect, atol=1e-10)
+
+
+def test_phase_rotation():
+    R = 4
+    theta = 0.371
+    O = op_matrix(phase_rotation_operator(R, theta), R)
+    expect = np.diag(np.exp(1j * theta * np.arange(16)))
+    np.testing.assert_allclose(O, expect, atol=1e-12)
+
+
+def test_cumsum_triangle():
+    R = 4
+    N = 16
+    O = op_matrix(cumsum_operator(R), R)
+    expect = np.tril(np.ones((N, N)), -1)
+    np.testing.assert_allclose(O, expect, atol=1e-12)
+    T = op_matrix(triangle_operator(R), R)
+    np.testing.assert_allclose(T, np.tril(np.ones((N, N))), atol=1e-12)
+
+
+def test_fourier_operator():
+    R = 5
+    N = 2 ** R
+    F = quantics_fourier_operator(R, sign=-1, tol=1e-12)
+    assert max(F.ranks) <= 14  # Chen-Lindsey low rank
+    M = op_matrix(F, R)
+    # output bits reversed: row k of M corresponds to bit-reversed k
+    def bitrev(k):
+        return int(format(k, f"0{R}b")[::-1], 2)
+
+    dft = np.exp(-2j * np.pi * np.outer(np.arange(N), np.arange(N)) / N)
+    dft /= np.sqrt(N)
+    perm = np.array([bitrev(k) for k in range(N)])
+    np.testing.assert_allclose(M[perm, :], dft, atol=1e-9)
+
+
+def test_affine_operator():
+    R = 4
+    N = 16
+    O = op_matrix(affine_operator(R, a=3, b=2, bc="periodic"), R)
+    expect = np.zeros((N, N))
+    for x in range(N):
+        expect[x, (3 * x + 2) % N] = 1.0
+    np.testing.assert_allclose(O, expect, atol=1e-12)
+
+
+def test_difference_kernel_derivative():
+    # BASELINE config 3: derivative MPO on a quantics TT
+    R = 10
+    N = 2 ** R
+    grid = DiscretizedGrid.create(R=R, lower=0.0, upper=1.0)
+
+    def f(x):
+        return np.sin(2 * np.pi * x[:, 0])
+
+    q = quanticscrossinterpolate(f, grid,
+                                 options=TCI2Options(tol=1e-12, max_iter=10))
+    D = difference_kernel_mpo(R, kind="central", bc="open")
+    dtt = D.apply_zipup(q.tt, tol=1e-12)
+    h = grid.step[0]
+    m = np.arange(1, N - 1)
+    qidx = grid.discrete.index_to_quantics(m[:, None])
+    got = np.asarray(dtt.evaluate_batch(qidx)) / h
+    x = grid.index_to_coord(m[:, None])[:, 0]
+    expect = 2 * np.pi * np.cos(2 * np.pi * x)
+    # central difference error ~ h^2 * |f'''| ~ (1/1024)^2 * 248
+    assert np.abs(got - expect).max() < 1e-3
+
+
+def test_shift_multivar():
+    R, d = 3, 2
+    g = InherentDiscreteGrid(R, d, UnfoldingScheme.INTERLEAVED)
+    O = shift_operator_multivar(R, d, [1, -2], bc="periodic")
+    M = np.asarray(O.to_dense_matrix())
+    N = 2 ** (R * d)
+    # oracle: act on basis vectors via index math
+    rng = np.random.default_rng(4)
+    m = rng.integers(0, 8, size=(30, 2))
+    q = g.index_to_quantics(m)
+
+    # column index of quantics digit-string (row-major over sites)
+    def flat(qrow):
+        v = 0
+        for digit in qrow:
+            v = v * 2 + int(digit)
+        return v
+
+    shifted = np.stack([(m[:, 0] + 1) % 8, (m[:, 1] - 2) % 8], axis=1)
+    q_shift = g.index_to_quantics(shifted)
+    for i in range(30):
+        row = flat(q[i])
+        col = flat(q_shift[i])
+        assert abs(M[row, col] - 1.0) < 1e-10
+    assert np.abs(M.sum() - 30 * 0 - N) < 1e-6  # permutation matrix
