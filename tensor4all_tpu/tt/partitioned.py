@@ -1,0 +1,182 @@
+"""Partitioned tensor trains: domain decomposition with projectors.
+
+TPU-native rebuild of tensor4all-partitionedtt
+(crates/tensor4all-partitionedtt/src/lib.rs:12-33 `Projector`,
+`SubDomainTT`, `PartitionedTT`; patching.rs:37-346 adaptive patching).
+
+A Projector fixes a subset of sites to concrete values; a SubDomainTT is
+a TT over the free sites valid only on its patch; a PartitionedTT is a
+set of sub-domain TTs on pairwise-disjoint patches whose sum represents
+the full function. Patches are embarrassingly parallel — the natural DCN
+axis for multi-slice runs (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..tci.tensorci2 import TCI2Options, crossinterpolate2, estimate_true_error
+from .tensortrain import TensorTrain
+
+
+@dataclasses.dataclass(frozen=True)
+class Projector:
+    """Site -> fixed value map (ref projector.rs)."""
+
+    fixed: Tuple[Tuple[int, int], ...]  # sorted ((site, value), ...)
+
+    @staticmethod
+    def make(fixed: Dict[int, int]) -> "Projector":
+        return Projector(tuple(sorted((int(k), int(v))
+                                      for k, v in fixed.items())))
+
+    @property
+    def as_dict(self) -> Dict[int, int]:
+        return dict(self.fixed)
+
+    def matches(self, idx: Sequence[int]) -> bool:
+        return all(idx[site] == val for site, val in self.fixed)
+
+    def matches_batch(self, idx: np.ndarray) -> np.ndarray:
+        ok = np.ones(idx.shape[0], dtype=bool)
+        for site, val in self.fixed:
+            ok &= idx[:, site] == val
+        return ok
+
+    def overlaps(self, other: "Projector") -> bool:
+        """Patches overlap unless they conflict on some shared site."""
+        d = self.as_dict
+        for site, val in other.fixed:
+            if site in d and d[site] != val:
+                return False
+        return True
+
+
+@dataclasses.dataclass
+class SubDomainTT:
+    """TT over the free sites of one patch (ref subdomain_tt.rs)."""
+
+    projector: Projector
+    tt: TensorTrain  # over free sites, in increasing site order
+    local_dims: List[int]  # full-domain dims
+
+    @property
+    def free_sites(self) -> List[int]:
+        fixed = {s for s, _ in self.projector.fixed}
+        return [k for k in range(len(self.local_dims)) if k not in fixed]
+
+    def evaluate_batch(self, idx: np.ndarray) -> np.ndarray:
+        idx = np.asarray(idx)
+        out = np.zeros(idx.shape[0], dtype=np.asarray(self.tt.cores[0]).dtype)
+        ok = self.projector.matches_batch(idx)
+        if ok.any():
+            sub = idx[ok][:, self.free_sites]
+            out[ok] = np.asarray(self.tt.evaluate_batch(sub))
+        return out
+
+    def sum(self) -> complex:
+        return complex(self.tt.sum())
+
+
+class PartitionedTT:
+    """Disjoint patches covering (part of) the domain (ref lib.rs)."""
+
+    def __init__(self, patches: Sequence[SubDomainTT]):
+        patches = list(patches)
+        for i, a in enumerate(patches):
+            for b in patches[i + 1:]:
+                if a.projector.overlaps(b.projector):
+                    raise ValueError(
+                        f"patches overlap: {a.projector} / {b.projector}"
+                    )
+        self.patches = patches
+
+    def __len__(self):
+        return len(self.patches)
+
+    def evaluate_batch(self, idx) -> np.ndarray:
+        idx = np.asarray(idx)
+        out = None
+        for p in self.patches:
+            v = p.evaluate_batch(idx)
+            out = v if out is None else out + v
+        return out
+
+    def sum(self) -> complex:
+        return sum((p.sum() for p in self.patches), 0.0)
+
+    def max_rank(self) -> int:
+        return max((p.tt.max_rank for p in self.patches), default=1)
+
+    def add(self, other: "PartitionedTT",
+            tol: float = 1e-12, maxdim: Optional[int] = None) -> "PartitionedTT":
+        """Patch-wise addition; requires identical partitions
+        (ref add_with_patching handles refinement — here both operands
+        must already share the partition; use `refine_like` first)."""
+        if len(self.patches) != len(other.patches):
+            raise ValueError("partitions differ")
+        by_proj = {p.projector: p for p in other.patches}
+        out = []
+        for p in self.patches:
+            q = by_proj.get(p.projector)
+            if q is None:
+                raise ValueError("partitions differ")
+            s = (p.tt + q.tt).compress(tol=tol, maxdim=maxdim)
+            out.append(SubDomainTT(p.projector, s, p.local_dims))
+        return PartitionedTT(out)
+
+
+def partitioned_interpolate(
+    batch_f: Callable[[np.ndarray], np.ndarray],
+    local_dims: Sequence[int],
+    tol: float = 1e-8,
+    maxbonddim: int = 64,
+    max_patch_depth: int = 3,
+    options: Optional[TCI2Options] = None,
+    _projector: Optional[Projector] = None,
+) -> PartitionedTT:
+    """Adaptive patching interpolation (ref patching.rs:37-346
+    `add_with_patching` / adaptive split strategies): TCI the domain; if
+    the rank cap binds before `tol` is met, fix the first free site to
+    each of its values and recurse into the sub-domains."""
+    local_dims = list(local_dims)
+    proj = _projector or Projector.make({})
+    fixed = proj.as_dict
+    free = [k for k in range(len(local_dims)) if k not in fixed]
+    if len(free) < 2:
+        raise ValueError("patching exhausted the free sites")
+
+    def sub_f(sub_idx: np.ndarray) -> np.ndarray:
+        B = sub_idx.shape[0]
+        full = np.zeros((B, len(local_dims)), dtype=np.int64)
+        for s, v in fixed.items():
+            full[:, s] = v
+        full[:, free] = sub_idx
+        return batch_f(full)
+
+    opts = options or TCI2Options(tol=tol, max_iter=10)
+    opts = dataclasses.replace(opts, maxbonddim=maxbonddim)
+    tci, _, errs = crossinterpolate2(
+        batch_f=sub_f, local_dims=[local_dims[k] for k in free],
+        options=opts,
+    )
+    tt = tci.to_tensortrain()
+    err = estimate_true_error(tt, tci.func, n_samples=500)
+    rel = err / max(tci.f_max, 1e-300)
+    if rel <= tol * 10 or max_patch_depth == 0:
+        return PartitionedTT([SubDomainTT(proj, tt, local_dims)])
+    # split on the first free site
+    split_site = free[0]
+    patches: List[SubDomainTT] = []
+    for v in range(local_dims[split_site]):
+        child = Projector.make({**fixed, split_site: v})
+        sub = partitioned_interpolate(
+            batch_f, local_dims, tol=tol, maxbonddim=maxbonddim,
+            max_patch_depth=max_patch_depth - 1, options=options,
+            _projector=child,
+        )
+        patches.extend(sub.patches)
+    return PartitionedTT(patches)

@@ -1,0 +1,211 @@
+"""ACI, itensorlike MPS layer, partitioned TT, interpolative QTT tests."""
+
+import jax
+import numpy as np
+import pytest
+
+from tensor4all_tpu.tt import TensorTrain
+from tensor4all_tpu.tt.aci import AciOptions, elementwise_batched, hadamard_aci, invert_tt
+from tensor4all_tpu.tt.partitioned import (
+    PartitionedTT,
+    Projector,
+    SubDomainTT,
+    partitioned_interpolate,
+)
+from tensor4all_tpu.quantics.interpolative import (
+    adaptive_interpolative_qtt,
+    chebyshev_nodes,
+    interpolative_qtt,
+    lagrange_basis,
+)
+
+
+# ----------------------------------------------------------------------
+# ACI
+# ----------------------------------------------------------------------
+def test_aci_hadamard_matches_exact(key):
+    a = TensorTrain.random(key, [3, 3, 3, 3], rank=2)
+    b = TensorTrain.random(jax.random.PRNGKey(1), [3, 3, 3, 3], rank=2)
+    exact = a.hadamard(b)
+    got = hadamard_aci(a, b, AciOptions(tol=1e-11, max_iter=10))
+    np.testing.assert_allclose(
+        np.asarray(got.full_tensor()), np.asarray(exact.full_tensor()),
+        atol=1e-8,
+    )
+    assert got.max_rank <= 4
+
+
+def test_aci_nonlinear_op(key):
+    a = TensorTrain.random(key, [2, 2, 2, 2, 2], rank=2)
+    got = elementwise_batched(lambda x: np.exp(x), [a],
+                              AciOptions(tol=1e-10))
+    d = np.asarray(a.full_tensor())
+    np.testing.assert_allclose(
+        np.asarray(got.full_tensor()), np.exp(d), atol=1e-7
+    )
+
+
+def test_aci_invert(key):
+    a = TensorTrain.constant([2, 2, 2], 1.0)
+    b = TensorTrain.random(key, [2, 2, 2], rank=1).scale(0.1)
+    s = a + b  # values near 1
+    inv = invert_tt(s, AciOptions(tol=1e-11))
+    d = np.asarray(s.full_tensor())
+    np.testing.assert_allclose(
+        np.asarray(inv.full_tensor()), 1.0 / d, atol=1e-8
+    )
+
+
+# ----------------------------------------------------------------------
+# MPS layer
+# ----------------------------------------------------------------------
+def test_mps_roundtrip_and_ortho(key):
+    from tensor4all_tpu.mps import MPS
+
+    tt = TensorTrain.random(key, [2, 3, 2, 3], rank=3)
+    m = MPS.from_tt(tt)
+    np.testing.assert_allclose(
+        np.asarray(m.to_tt().full_tensor()), np.asarray(tt.full_tensor()),
+        atol=1e-12,
+    )
+    m.orthogonalize(2)
+    assert (m.llim, m.rlim) == (1, 3)
+    np.testing.assert_allclose(
+        np.asarray(m.to_tt().full_tensor()), np.asarray(tt.full_tensor()),
+        atol=1e-10,
+    )
+    assert abs(float(m.norm()) - float(tt.norm())) < 1e-10
+
+
+def test_mps_add_inner(key):
+    from tensor4all_tpu.mps import MPS
+
+    sites = None
+    a = MPS.from_tt(TensorTrain.random(key, [2, 2, 2], rank=2))
+    b = MPS.from_tt(TensorTrain.random(jax.random.PRNGKey(2), [2, 2, 2],
+                                       rank=2), sites=a.sites)
+    s = a + b
+    np.testing.assert_allclose(
+        np.asarray(s.to_dense()),
+        np.asarray(a.to_dense()) + np.asarray(b.to_dense()), atol=1e-10,
+    )
+    got = complex(a.inner(b))
+    expect = np.vdot(np.asarray(a.to_dense()), np.asarray(b.to_dense()))
+    assert abs(got - expect) < 1e-10
+
+
+def test_mps_mpo_contract_and_linsolve(key):
+    import networkx as nx
+
+    from tensor4all_tpu.mps import MPS, contract_mpo_mps, linsolve, mpo_operator
+    from tensor4all_tpu.treetn.linsolve import LinsolveOptions
+    from tensor4all_tpu.tt.mpo import MPO as PlainMPO
+
+    L, d, chi = 4, 2, 2
+    x0 = MPS.from_tt(TensorTrain.random(key, [d] * L, rank=chi))
+    links = [1, 3, 3, 3, 1]
+    ks = jax.random.split(jax.random.PRNGKey(3), L)
+    mpo = PlainMPO([
+        jax.random.normal(ks[k], (links[k], d, d, links[k + 1]))
+        for k in range(L)
+    ])
+    op = mpo_operator(mpo, x0.sites)
+    out = contract_mpo_mps(op, x0, method="zipup")
+    H = np.asarray(mpo.to_dense_matrix())
+    vec = np.asarray(x0.to_dense()).reshape(-1)
+    np.testing.assert_allclose(
+        np.asarray(out.to_dense()).reshape(-1), H @ vec, atol=1e-8
+    )
+    # linsolve facade: (5 + A) x = b with A the random MPO (shifted s.p.d.-ish)
+    b = MPS.from_tt(TensorTrain.random(jax.random.PRNGKey(4), [d] * L,
+                                       rank=2), sites=x0.sites)
+    res = linsolve(op, b, x0, LinsolveOptions(nsweeps=8, maxdim=8,
+                                              cutoff=1e-24, a0=5.0, a1=1.0,
+                                              gmres_rtol=1e-12))
+    xs = np.linalg.solve(5.0 * np.eye(2 ** L) + H,
+                         np.asarray(b.to_dense()).reshape(-1))
+    got = np.asarray(res.x.contract_to_tensor().dense(tuple(x0.sites))).reshape(-1)
+    rel = np.linalg.norm(got - xs) / np.linalg.norm(xs)
+    assert rel < 1e-8, rel
+
+
+# ----------------------------------------------------------------------
+# partitioned TT
+# ----------------------------------------------------------------------
+def test_projector_and_subdomain(key):
+    dims = [2, 3, 2]
+    p = Projector.make({1: 2})
+    tt = TensorTrain.random(key, [2, 2], rank=2)  # free sites 0, 2
+    sd = SubDomainTT(p, tt, dims)
+    assert sd.free_sites == [0, 2]
+    idx = np.array([[0, 2, 1], [0, 1, 1]])
+    vals = sd.evaluate_batch(idx)
+    assert vals[1] == 0.0  # projector mismatch
+    assert abs(vals[0] - float(tt.evaluate([0, 1]))) < 1e-12
+
+
+def test_partitioned_disjoint_enforced(key):
+    dims = [2, 2]
+    t = TensorTrain.random(key, [2], rank=1)
+    a = SubDomainTT(Projector.make({0: 0}), t, dims)
+    b = SubDomainTT(Projector.make({0: 0}), t, dims)
+    with pytest.raises(ValueError):
+        PartitionedTT([a, b])
+    c = SubDomainTT(Projector.make({0: 1}), t, dims)
+    pt = PartitionedTT([a, c])
+    assert len(pt) == 2
+
+
+def test_partitioned_interpolate_splits():
+    # high-rank function under a tiny rank cap -> patching kicks in
+    dims = [4] * 5
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal(5)
+
+    def batch_f(idx):
+        # rank grows with |cos| products; cap of 2 forces splitting
+        return np.cos(3.0 * (idx * w[None, :]).sum(axis=1)) + 2.0
+
+    pt = partitioned_interpolate(batch_f, dims, tol=1e-9, maxbonddim=3,
+                                 max_patch_depth=2)
+    rng2 = np.random.default_rng(1)
+    idx = np.stack([rng2.integers(0, 4, size=300) for _ in range(5)], axis=1)
+    got = pt.evaluate_batch(idx)
+    np.testing.assert_allclose(got, batch_f(idx), atol=1e-6)
+
+
+# ----------------------------------------------------------------------
+# interpolative QTT
+# ----------------------------------------------------------------------
+def test_lagrange_basis_partition_of_unity():
+    t = chebyshev_nodes(9)
+    y = np.linspace(0, 1, 33)
+    L = lagrange_basis(t, y)
+    np.testing.assert_allclose(L.sum(axis=0), 1.0, atol=1e-12)
+    # exact at nodes
+    Ln = lagrange_basis(t, t)
+    np.testing.assert_allclose(Ln, np.eye(9), atol=1e-10)
+
+
+def test_interpolative_qtt_smooth():
+    R = 12
+
+    def f(x):
+        return np.exp(-3 * x) * np.sin(7 * x)
+
+    q = interpolative_qtt(f, R=R, K=20)
+    rng = np.random.default_rng(0)
+    m = rng.integers(0, 2 ** R, size=400)
+    x = m / 2 ** R
+    np.testing.assert_allclose(q.evaluate(x), f(x), atol=1e-10)
+
+
+def test_adaptive_interpolative_qtt():
+    def f(x):
+        return 1.0 / (1.0 + 25.0 * (x - 0.4) ** 2)
+
+    q = adaptive_interpolative_qtt(f, R=10, tol=1e-9, K_max=40)
+    rng = np.random.default_rng(1)
+    m = rng.integers(0, 2 ** 10, size=300)
+    x = m / 2 ** 10
+    assert np.abs(q.evaluate(x) - f(x)).max() < 1e-7
