@@ -1,0 +1,17 @@
+"""Mesh parallelism (new vs the single-process reference; SURVEY.md §5.8)."""
+
+from .mesh import (
+    default_mesh,
+    make_sharded_tt_batch_eval,
+    parallel_map_patches,
+    shard_batch_eval,
+    sharded_gram,
+)
+
+__all__ = [
+    "default_mesh",
+    "make_sharded_tt_batch_eval",
+    "parallel_map_patches",
+    "shard_batch_eval",
+    "sharded_gram",
+]

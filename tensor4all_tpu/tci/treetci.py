@@ -1,0 +1,253 @@
+"""TreeTCI: tensor cross interpolation on tree topologies.
+
+TPU-native rebuild of tensor4all-treetci
+(crates/tensor4all-treetci/src/api.rs:77 `crossinterpolate2`,
+state.rs:38 `TreeTCI2`, optimize.rs:179 edge-local pivot updates,
+materialize.rs:17 pivot-system solves, graph.rs `TreeTciGraph`,
+batch.rs:30 `GlobalIndexBatch`).
+
+Pivots live on directed edges: ``piv[(a, b)]`` is a set of assignments to
+the nodes on a's side of edge (a, b). Edge updates build the Pi matrix
+from merged side-assignments x site values — one batched function
+evaluation per edge (col-major GlobalIndexBatch in the reference; a flat
+(B, n_nodes) int array here) — and re-pivot with the jitted rrLU kernel.
+``materialize`` solves each edge's pivot cross matrix into the rootward
+tensor, producing a TreeTN-equivalent (returned as per-node arrays).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Callable, Dict, Hashable, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import networkx as nx
+import numpy as np
+
+from ..ops.rrlu import rrlu
+from .cached_function import CachedFunction
+
+NodeName = Hashable
+# an assignment maps a tuple of node positions to values; stored as a
+# tuple of (node_pos, value) pairs sorted by node_pos
+Assignment = Tuple[Tuple[int, int], ...]
+
+
+@dataclasses.dataclass
+class TreeTciOptions:
+    """Ref: treetci options (api.rs / optimize.rs)."""
+
+    tol: float = 1e-8
+    maxbonddim: Optional[int] = None
+    max_iter: int = 10
+    verbosity: int = 0
+
+
+def _merge(*assignments: Assignment) -> Assignment:
+    out: Dict[int, int] = {}
+    for a in assignments:
+        for k, v in a:
+            out[k] = v
+    return tuple(sorted(out.items()))
+
+
+class TreeTCI2:
+    """TCI2 state on a tree (ref state.rs:38)."""
+
+    def __init__(
+        self,
+        func: CachedFunction,
+        topology: nx.Graph,
+        node_order: Optional[Sequence[NodeName]] = None,
+    ):
+        self.func = func
+        self.graph = topology
+        nodes = list(node_order) if node_order else sorted(
+            topology.nodes, key=repr
+        )
+        if set(nodes) != set(topology.nodes):
+            raise ValueError("node_order mismatch")
+        if len(nodes) != len(func.local_dims):
+            raise ValueError("one local dim per node required")
+        self.nodes = nodes
+        self.pos = {n: i for i, n in enumerate(nodes)}
+        n = topology.number_of_nodes()
+        if not nx.is_connected(topology) or topology.number_of_edges() != n - 1:
+            raise ValueError("topology must be a tree")
+        # pivots per directed edge; initialized from the zero assignment
+        self.piv: Dict[Tuple[NodeName, NodeName], List[Assignment]] = {}
+        self._side_cache: Dict[Tuple[NodeName, NodeName], List[NodeName]] = {}
+        for a, b in topology.edges:
+            for (u, v) in ((a, b), (b, a)):
+                side = self._side(u, v)
+                self.piv[(u, v)] = [
+                    tuple(sorted((self.pos[w], 0) for w in side))
+                ]
+        self.f_max = 0.0
+        self.pivot_errors: Dict[Tuple[NodeName, NodeName], float] = {}
+
+    def _side(self, a: NodeName, b: NodeName) -> List[NodeName]:
+        key = (a, b)
+        if key not in self._side_cache:
+            g = self.graph.copy()
+            g.remove_edge(a, b)
+            self._side_cache[key] = sorted(
+                nx.node_connected_component(g, a), key=repr
+            )
+        return self._side_cache[key]
+
+    # ------------------------------------------------------------------
+    def _eval_assignments(self, rows: List[Assignment],
+                          cols: List[Assignment]) -> np.ndarray:
+        """f on the product of row/col assignments (GlobalIndexBatch)."""
+        R, C = len(rows), len(cols)
+        n = len(self.nodes)
+        idx = np.zeros((R * C, n), dtype=np.int64)
+        for i, r in enumerate(rows):
+            for j, c in enumerate(cols):
+                a = _merge(r, c)
+                row = idx[i * C + j]
+                for k, v in a:
+                    row[k] = v
+        vals = self.func.eval_batch(idx)
+        self.f_max = max(self.f_max, float(np.abs(vals).max(initial=0.0)))
+        return vals.reshape(R, C)
+
+    def _candidates(self, a: NodeName, b: NodeName) -> List[Assignment]:
+        """Pivots of a's other subtrees x values of s_a, merged."""
+        d_a = self.func.local_dims[self.pos[a]]
+        incoming = [self.piv[(c, a)] for c in self.graph.neighbors(a)
+                    if c != b]
+        out: List[Assignment] = []
+        for combo in itertools.product(*incoming) if incoming else [()]:
+            for s in range(d_a):
+                out.append(_merge(*combo, ((self.pos[a], s),)))
+        return out
+
+    def update_edge(self, a: NodeName, b: NodeName,
+                    opts: TreeTciOptions) -> None:
+        """Two-site pivot update at edge (a, b) (ref optimize.rs:179)."""
+        rows = self._candidates(a, b)
+        cols = self._candidates(b, a)
+        Pi = self._eval_assignments(rows, cols)
+        atol = opts.tol * self.f_max
+        res = rrlu(jnp.asarray(Pi), rtol=0.0, atol=atol,
+                   max_rank=opts.maxbonddim)
+        if res.rank == 0:
+            rp, cp = np.array([0]), np.array([0])
+            err = 0.0
+        else:
+            rp, cp = res.row_pivots, res.col_pivots
+            err = res.last_pivot_error
+        self.piv[(a, b)] = [rows[i] for i in rp]
+        self.piv[(b, a)] = [cols[j] for j in cp]
+        self.pivot_errors[(a, b)] = err
+        self.pivot_errors[(b, a)] = err
+
+    def sweep(self, opts: TreeTciOptions) -> None:
+        root = self.nodes[0]
+        order = list(nx.bfs_edges(self.graph, root))
+        for a, b in order + [(b, a) for a, b in reversed(order)]:
+            self.update_edge(a, b, opts)
+
+    def ranks(self) -> Dict[Tuple[NodeName, NodeName], int]:
+        return {e: len(p) for e, p in self.piv.items()}
+
+    # ------------------------------------------------------------------
+    def materialize(self) -> Dict[NodeName, np.ndarray]:
+        """Node tensors solving the pivot systems (ref materialize.rs:17).
+
+        Returns per-node arrays with axes ``(edge bonds in neighbor order,
+        site)``; bond labels index the pivot lists of the edge pointing
+        INTO the node; the edge's P^{-1} is absorbed on the rootward side.
+        Contracting all node tensors over shared edge labels reproduces f.
+        """
+        root = self.nodes[0]
+        parent = dict(nx.bfs_predecessors(self.graph, root))
+        out: Dict[NodeName, np.ndarray] = {}
+        for v in self.nodes:
+            nbrs = sorted(self.graph.neighbors(v), key=repr)
+            in_piv = [self.piv[(c, v)] for c in nbrs]
+            d_v = self.func.local_dims[self.pos[v]]
+            # T tensor: rows = product of incoming pivots + site value
+            rows: List[Assignment] = []
+            shape = [len(p) for p in in_piv] + [d_v]
+            for combo in itertools.product(*in_piv) if in_piv else [()]:
+                for s in range(d_v):
+                    rows.append(_merge(*combo, ((self.pos[v], s),)))
+            n = len(self.nodes)
+            idx = np.zeros((len(rows), n), dtype=np.int64)
+            for i, r in enumerate(rows):
+                for k, val in r:
+                    idx[i, k] = val
+            T = self.func.eval_batch(idx).reshape(shape)
+            if v in parent:
+                p = parent[v]
+                # Each edge carries exactly one P^{-1}, absorbed into the
+                # child: the child's parent axis currently indexes
+                # piv[(p,v)]; applying inv(P) with
+                # P[i,j] = f(piv[(p,v)][i] ∪ piv[(v,p)][j]) re-labels it to
+                # piv[(v,p)] — matching the parent tensor's axis (which was
+                # built from its incoming pivots piv[(v,p)]).
+                P = self._eval_assignments(self.piv[(p, v)], self.piv[(v, p)])
+                ax = nbrs.index(p)
+                Tm = np.moveaxis(T, ax, -1)
+                sh = Tm.shape
+                Tm = Tm.reshape(-1, sh[-1])
+                sol = (np.linalg.solve(P, Tm.T)
+                       if P.shape[0] == P.shape[1]
+                       else np.linalg.lstsq(P, Tm.T, rcond=None)[0]).T
+                T = np.moveaxis(sol.reshape(sh), -1, ax)
+            out[v] = T
+        return out
+
+    def evaluate_batch(self, idx: np.ndarray) -> np.ndarray:
+        """Evaluate the interpolant (via materialized tensors)."""
+        tensors = self.materialize()
+        idx = np.asarray(idx)
+        root = self.nodes[0]
+        parent = dict(nx.bfs_predecessors(self.graph, root))
+        order = list(nx.dfs_postorder_nodes(self.graph, root))
+        msgs: Dict[NodeName, np.ndarray] = {}
+        for v in order:
+            nbrs = sorted(self.graph.neighbors(v), key=repr)
+            T = tensors[v]  # (bonds in nbrs order..., site)
+            # select the site value per batch element -> (B, bonds...)
+            sel = np.moveaxis(np.take(T, idx[:, self.pos[v]], axis=-1), -1, 0)
+            axes = list(nbrs)  # bond axis labels (offset by the batch axis)
+            for c in (c for c in nbrs if parent.get(c) == v):
+                ax = axes.index(c) + 1
+                m = msgs.pop(c)  # (B, chi_c)
+                sel = np.moveaxis(sel, ax, -1)
+                bshape = (slice(None),) + (None,) * (sel.ndim - 2)
+                sel = (sel * m[bshape]).sum(axis=-1)
+                axes.remove(c)
+            msgs[v] = sel  # non-root: (B, chi_parent); root: (B,)
+        return msgs[root]
+
+
+def tree_crossinterpolate2(
+    batch_f: Callable[[np.ndarray], np.ndarray],
+    topology: nx.Graph,
+    local_dims: Sequence[int],
+    node_order: Optional[Sequence[NodeName]] = None,
+    options: Optional[TreeTciOptions] = None,
+    dtype=np.float64,
+) -> TreeTCI2:
+    """Cross-interpolate f over a tree topology (ref api.rs:77)."""
+    opts = options or TreeTciOptions()
+    func = CachedFunction(batch_f=batch_f, local_dims=local_dims, dtype=dtype)
+    tci = TreeTCI2(func, topology, node_order)
+    prev_ranks = None
+    for it in range(opts.max_iter):
+        tci.sweep(opts)
+        err = max(tci.pivot_errors.values()) / max(tci.f_max, 1e-300)
+        ranks = tci.ranks()
+        if opts.verbosity:
+            print(f"[treetci] iter={it} err={err:.3e} "
+                  f"maxrank={max(ranks.values())}")
+        if err < opts.tol and ranks == prev_ranks:
+            break
+        prev_ranks = ranks
+    return tci

@@ -1,0 +1,90 @@
+"""HDF5 round-trip tests (ref hdf5 crate tests; ITensors.jl schema)."""
+
+import numpy as np
+import pytest
+
+from tensor4all_tpu import Index, Tensor
+from tensor4all_tpu.io import load_itensor, load_mps, save_itensor, save_mps
+from tensor4all_tpu.tt import TensorTrain
+
+h5py = pytest.importorskip("h5py")
+
+
+def test_itensor_roundtrip(tmp_path, rng):
+    i = Index(3, tags="Site,n=1", plev=1)
+    j = Index(4, tags="Link")
+    t = Tensor((i, j), rng.standard_normal((3, 4)))
+    p = str(tmp_path / "t.h5")
+    save_itensor(p, "T", t)
+    t2 = load_itensor(p, "T")
+    assert t2.indices == t.indices  # identity preserved incl. id/tags/plev
+    np.testing.assert_allclose(np.asarray(t2.data), np.asarray(t.data))
+
+
+def test_itensor_complex_roundtrip(tmp_path, rng):
+    i = Index(2)
+    j = Index(5)
+    data = rng.standard_normal((2, 5)) + 1j * rng.standard_normal((2, 5))
+    t = Tensor((i, j), data)
+    p = str(tmp_path / "tc.h5")
+    save_itensor(p, "T", t)
+    t2 = load_itensor(p, "T")
+    np.testing.assert_allclose(np.asarray(t2.data), data)
+
+
+def test_itensor_schema_layout(tmp_path, rng):
+    """The on-disk layout must follow the ITensors.jl schema."""
+    i = Index(2, tags="a,b")
+    t = Tensor((i,), rng.standard_normal(2))
+    p = str(tmp_path / "schema.h5")
+    save_itensor(p, "T", t)
+    with h5py.File(p, "r") as f:
+        g = f["T"]
+        assert str(g.attrs["type"]) == "ITensor"
+        assert int(g.attrs["version"]) == 1
+        assert int(g["inds"]["length"][()]) == 1
+        ig = g["inds"]["index_1"]
+        assert int(ig["dim"][()]) == 2
+        assert int(ig["dir"][()]) == 0
+        tags = ig["tags"]["tags"][()]
+        tags = tags.decode() if isinstance(tags, bytes) else str(tags)
+        assert tags == "a,b"
+        assert "Dense{Float64}" in str(g["storage"].attrs["type"])
+
+
+def test_itensor_column_major_payload(tmp_path):
+    """Payload must be column-major (first index fastest) for Julia parity."""
+    i, j = Index(2), Index(3)
+    data = np.arange(6.0).reshape(2, 3)
+    p = str(tmp_path / "cm.h5")
+    save_itensor(p, "T", Tensor((i, j), data))
+    with h5py.File(p, "r") as f:
+        payload = np.asarray(f["T"]["storage"]["data"][()])
+    np.testing.assert_allclose(payload, data.flatten(order="F"))
+
+
+def test_mps_roundtrip(tmp_path, key):
+    from tensor4all_tpu.mps import MPS
+
+    tt = TensorTrain.random(key, [2, 3, 2], rank=3)
+    m = MPS.from_tt(tt)
+    m.orthogonalize(1)
+    p = str(tmp_path / "mps.h5")
+    save_mps(p, "psi", m)
+    m2 = load_mps(p, "psi")
+    assert (m2.llim, m2.rlim) == (0, 2)
+    assert m2.sites == m.sites
+    np.testing.assert_allclose(
+        np.asarray(m2.to_dense()), np.asarray(m.to_dense()), atol=1e-12
+    )
+
+
+def test_mps_from_plain_tt(tmp_path, key):
+    tt = TensorTrain.random(key, [2, 2, 2, 2], rank=2)
+    p = str(tmp_path / "mps2.h5")
+    save_mps(p, "psi", tt)
+    m2 = load_mps(p, "psi")
+    np.testing.assert_allclose(
+        np.asarray(m2.to_tt().full_tensor()), np.asarray(tt.full_tensor()),
+        atol=1e-12,
+    )

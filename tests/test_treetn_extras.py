@@ -1,0 +1,135 @@
+"""Fit apply, restructure (fuse/split/swap), batched evaluator tests."""
+
+import jax
+import networkx as nx
+import numpy as np
+import pytest
+
+from tensor4all_tpu.config import SvdTruncationPolicy
+from tensor4all_tpu.models.spin import dense_heisenberg, heisenberg
+from tensor4all_tpu.treetn.evaluator import TreeTNEvaluator
+from tensor4all_tpu.treetn.fit import fit_apply
+from tensor4all_tpu.treetn.network import random_treetn
+from tensor4all_tpu.treetn.restructure import (
+    fuse_to,
+    split_node,
+    steiner_nodes,
+    swap_site_indices,
+)
+
+
+def chain(n):
+    g = nx.Graph()
+    for i in range(n - 1):
+        g.add_edge(i, i + 1)
+    return g
+
+
+def tree6():
+    g = nx.Graph()
+    g.add_edges_from([(0, 1), (1, 2), (1, 3), (3, 4), (3, 5)])
+    return g
+
+
+def setup(key, g, chi=3):
+    dims = {n: [2] for n in g.nodes}
+    tn, site_inds = random_treetn(key, g, dims, bond_dim=chi)
+    sites = {n: site_inds[n][0] for n in g.nodes}
+    return tn, sites
+
+
+def dense_of(tn, sites, order):
+    return np.asarray(tn.contract_to_tensor().dense([sites[n] for n in order]))
+
+
+def test_fit_apply_matches_naive(key):
+    g = chain(5)
+    tn, sites = setup(key, g, chi=3)
+    op = heisenberg(g, sites)
+    order = list(g.nodes)
+    exact = op.apply(tn, method="naive")
+    fitted = fit_apply(op, tn, SvdTruncationPolicy(tol=1e-12), nsweeps=2)
+    np.testing.assert_allclose(
+        dense_of(fitted, sites, order), dense_of(exact, sites, order),
+        atol=1e-8,
+    )
+
+
+def test_fit_apply_tree_topology(key):
+    g = tree6()
+    tn, sites = setup(key, g, chi=2)
+    op = heisenberg(g, sites, J=0.7, h=0.1)
+    order = list(g.nodes)
+    exact = op.apply(tn, method="naive")
+    fitted = fit_apply(op, tn, SvdTruncationPolicy(tol=1e-12), nsweeps=3)
+    np.testing.assert_allclose(
+        dense_of(fitted, sites, order), dense_of(exact, sites, order),
+        atol=1e-8,
+    )
+
+
+def test_steiner_nodes(key):
+    g = tree6()
+    tn, _ = setup(key, g)
+    assert steiner_nodes(tn, [0, 4]) == {0, 1, 3, 4}
+    assert steiner_nodes(tn, [2]) == {2}
+
+
+def test_fuse_to(key):
+    g = tree6()
+    tn, sites = setup(key, g)
+    order = list(g.nodes)
+    before = dense_of(tn, sites, order)
+    fused = fuse_to(tn, [1, 3], new_name="m")
+    fused.validate_tree()
+    assert "m" in fused.node_names and 1 not in fused.node_names
+    t = fused.contract_to_tensor()
+    after = np.asarray(t.dense([sites[n] for n in order]))
+    np.testing.assert_allclose(after, before, atol=1e-10)
+
+
+def test_split_node(key):
+    g = chain(3)
+    tn, sites = setup(key, g, chi=2)
+    order = list(g.nodes)
+    before = dense_of(tn, sites, order)
+    # fuse the middle with the right node, then split back
+    fused = fuse_to(tn, [1, 2], new_name="m")
+    left_inds = (sites[1], fused.bond("m", 0))
+    back = split_node(fused, "m", left_inds, left_name="x", right_name="y")
+    back.validate_tree()
+    after = np.asarray(back.contract_to_tensor().dense(
+        [sites[n] for n in order]
+    ))
+    np.testing.assert_allclose(after, before, atol=1e-10)
+
+
+def test_swap_site_indices(key):
+    g = chain(4)
+    tn, sites = setup(key, g, chi=3)
+    order = list(g.nodes)
+    before = dense_of(tn, sites, order)
+    swapped = swap_site_indices(tn, 1, 2)
+    # sites of nodes 1 and 2 exchanged; the network value is unchanged
+    assert sites[2] in swapped.site_indices(1)
+    assert sites[1] in swapped.site_indices(2)
+    after = np.asarray(swapped.contract_to_tensor().dense(
+        [sites[n] for n in order]
+    ))
+    np.testing.assert_allclose(after, before, atol=1e-10)
+
+
+def test_batched_evaluator(key):
+    g = tree6()
+    tn, sites = setup(key, g, chi=3)
+    order = list(g.nodes)
+    ev = TreeTNEvaluator(tn, [sites[n] for n in order])
+    d = dense_of(tn, sites, order)
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, 2, size=(40, len(order)))
+    got = ev.evaluate_batch(idx)
+    expect = d[tuple(idx.T)]
+    np.testing.assert_allclose(got, expect, atol=1e-12)
+    # single point path
+    a = {sites[n]: int(idx[0][k]) for k, n in enumerate(order)}
+    assert abs(float(ev.evaluate(a)) - expect[0]) < 1e-12
