@@ -30,6 +30,15 @@ import jax
 if not os.environ.get("T4A_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
+# Some TPU plugins ignore the JAX_PLATFORMS env var; honor it explicitly
+# (before backend init) so CPU-pinned runs behave as requested.
+_plat = os.environ.get("JAX_PLATFORMS", "")
+if _plat:
+    try:
+        jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass
+
 from .config import (  # noqa: E402
     SingularValueMeasure,
     SvdTruncationPolicy,
