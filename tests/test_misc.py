@@ -1,0 +1,111 @@
+"""BlockTensor, profiling, checkpoint, memory utils tests."""
+
+import numpy as np
+import pytest
+
+from tensor4all_tpu import Index, Tensor
+from tensor4all_tpu.core.block_tensor import BlockTensor
+from tensor4all_tpu.core.krylov import gmres
+from tensor4all_tpu.io.checkpoint import (
+    load_tci2,
+    load_tensortrain,
+    save_tci2,
+    save_tensortrain,
+)
+from tensor4all_tpu.utils.memory import (
+    device_memory_stats,
+    live_array_bytes,
+    memory_pressure_relief,
+)
+from tensor4all_tpu.utils.profiling import (
+    print_and_reset_profile,
+    profile_report,
+    timed,
+)
+
+
+def test_block_tensor_gmres(rng):
+    # block system: two decoupled dense systems through one GMRES
+    i = Index(5)
+    a1 = np.eye(5) + 0.1 * rng.standard_normal((5, 5))
+    a2 = np.eye(5) + 0.1 * rng.standard_normal((5, 5))
+    b = BlockTensor({
+        "u": Tensor((i,), rng.standard_normal(5)),
+        "v": Tensor((i,), rng.standard_normal(5)),
+    })
+    import jax.numpy as jnp
+
+    m1, m2 = jnp.asarray(a1), jnp.asarray(a2)
+
+    def apply_a(x: BlockTensor) -> BlockTensor:
+        return BlockTensor({
+            "u": Tensor((i,), m1 @ x["u"].data),
+            "v": Tensor((i,), m2 @ x["v"].data),
+        })
+
+    res = gmres(apply_a, b, rtol=1e-12)
+    assert res.converged
+    np.testing.assert_allclose(
+        np.asarray(res.x["u"].data),
+        np.linalg.solve(a1, np.asarray(b["u"].data)), atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.x["v"].data),
+        np.linalg.solve(a2, np.asarray(b["v"].data)), atol=1e-9,
+    )
+
+
+def test_block_tensor_structure_mismatch(rng):
+    i = Index(3)
+    a = BlockTensor({"u": Tensor((i,), rng.standard_normal(3))})
+    b = BlockTensor({"w": Tensor((i,), rng.standard_normal(3))})
+    with pytest.raises(ValueError):
+        a + b
+
+
+def test_profiling_counters():
+    with timed("unit-test-op"):
+        pass
+    rep = profile_report()
+    assert "unit-test-op" in rep
+    print_and_reset_profile()
+    assert "unit-test-op" not in profile_report()
+
+
+def test_checkpoint_tt_roundtrip(tmp_path, key):
+    from tensor4all_tpu.tt import TensorTrain
+
+    tt = TensorTrain.random(key, [2, 3, 2], rank=3)
+    p = str(tmp_path / "tt.npz")
+    save_tensortrain(p, tt)
+    tt2 = load_tensortrain(p)
+    np.testing.assert_allclose(
+        np.asarray(tt2.full_tensor()), np.asarray(tt.full_tensor())
+    )
+
+
+def test_checkpoint_tci2_roundtrip(tmp_path):
+    from tensor4all_tpu.tci import TCI2Options, crossinterpolate2
+
+    def batch_f(idx):
+        return np.exp(-np.sum(idx * 0.3, axis=1))
+
+    tci, _, _ = crossinterpolate2(
+        batch_f=batch_f, local_dims=[3, 3, 3],
+        options=TCI2Options(tol=1e-10, max_iter=6),
+    )
+    save_tci2(str(tmp_path / "ck"), tci)
+    tci2 = load_tci2(str(tmp_path / "ck"), batch_f=batch_f)
+    assert tci2.ranks == tci.ranks
+    tt_a = tci.to_tensortrain()
+    tt_b = tci2.to_tensortrain()
+    np.testing.assert_allclose(
+        np.asarray(tt_b.full_tensor()), np.asarray(tt_a.full_tensor()),
+        atol=1e-10,
+    )
+
+
+def test_memory_utils():
+    assert live_array_bytes() >= 0
+    device_memory_stats()  # must not raise
+    memory_pressure_relief()
