@@ -102,21 +102,31 @@ def bench_mpo_zipup():
 
 def main():
     ladder = [bench_dmrg, bench_rrlu, bench_mpo_zipup]
-    last_err = None
+    failures = []
     for bench in ladder:
         try:
             result = bench()
-            print(json.dumps(result))
-            return
         except Exception as e:  # noqa: BLE001 — fall down the ladder
-            last_err = f"{bench.__name__}: {type(e).__name__}: {e}"
+            import traceback
+
+            msg = f"{bench.__name__}: {type(e).__name__}: {e}"
+            failures.append(msg)
+            print(f"[bench] rung failed: {msg}", file=sys.stderr)
+            traceback.print_exc(file=sys.stderr)
             continue
+        if failures:
+            # a fallback result must be distinguishable from a healthy run
+            detail = result.setdefault("detail", {})
+            if isinstance(detail, dict):
+                detail["failed_rungs"] = failures
+        print(json.dumps(result))
+        return
     print(json.dumps({
         "metric": "error",
         "value": 0,
         "unit": "none",
         "vs_baseline": 0,
-        "detail": last_err,
+        "detail": {"failed_rungs": failures},
     }))
 
 

@@ -45,21 +45,21 @@ def run(median_time):
     mps0 = pad_mps(list(tt.cores), chi)
 
     result = {}
-
-    # Runtime scheduling decision: this config (chi=32, f64, sequential
-    # tiny kernels) is latency-bound and far below MXU-efficient shapes;
-    # the execution engine places it on the host CPU backend, exactly as
-    # the reference's CPU engine does. Large-chi workloads run on TPU
-    # (see BENCH.md throughput table).
-    cpu = jax.devices("cpu")[0]
-    h_c = jax.device_put(h, cpu)
-    mps_c = jax.device_put(mps0, cpu)
+    device = jax.devices()[0]
+    h_d = jax.device_put(h, device)
+    mps_d = jax.device_put(mps0, device)
+    # Precision strategy (ops.dmrg_chain docstring): on accelerators the
+    # sweep hot loop runs f32 (full-precision MXU passes) and the energy
+    # is a global f64 Rayleigh quotient — err ~ eps_f32^2 ~ 1e-12.
+    on_cpu = jax.default_backend() == "cpu"
+    sweep_dtype = None if on_cpu else jnp.float32
 
     def body():
-        with jax.default_device(cpu):
-            e, mps = dmrg_run(h_c, mps_c, n_sweeps=4, lanczos_iters=12)
-            mps.block_until_ready()
-            result["energy"] = float(e)
+        e, mps = dmrg_run(h_d, mps_d, n_sweeps=4, lanczos_iters=12,
+                          sweep_dtype=sweep_dtype)
+        # block via host read-back: block_until_ready is unreliable on
+        # the axon remote backend (returns before execution completes)
+        result["energy"] = float(e)
         return e
 
     t = median_time(body, warmup=2, reps=5)
@@ -70,5 +70,9 @@ def run(median_time):
         "value": t * 1e3,
         "unit": "ms",
         "vs_baseline": 135.4 / (t * 1e3),
-        "detail": {"energy_abs_err": err},
+        "detail": {
+            "energy_abs_err": err,
+            "device": str(device),
+            "sweep_dtype": "float64" if sweep_dtype is None else "float32",
+        },
     }

@@ -4,6 +4,16 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# Pin the CPU backend BEFORE any process imports jax: installed pytest
+# plugins (jaxtyping) import jax before tests/conftest.py runs, and the
+# axon TPU plugin blocks forever if another process holds the chip.
+export JAX_PLATFORMS=cpu
+export JAX_ENABLE_X64=1
+case "${XLA_FLAGS:-}" in
+  *xla_force_host_platform_device_count*) ;;
+  *) export XLA_FLAGS="${XLA_FLAGS:-} --xla_force_host_platform_device_count=8" ;;
+esac
+
 echo "== lint (pyflakes via compileall + warnings) =="
 python -m compileall -q tensor4all_tpu tests benchmarks tools
 

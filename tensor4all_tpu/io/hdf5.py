@@ -6,7 +6,7 @@ attributes; index.rs Index/IndexSet groups; itensor.rs Dense storage;
 mps.rs MPS metadata). The on-disk layout follows the ITensors.jl schema:
 
 - every object group carries string attr ``type`` + i64 attr ``version``;
-- Index: scalar datasets id (u64), dim/dir/plev (i64), space_type "Int",
+- Index: scalar datasets id (u64), dim/dir/plev (i64), attr space_type "Int",
   subgroup tags/ with a comma-joined string dataset;
 - IndexSet: dataset length + 1-indexed subgroups index_1..;
 - ITensor: inds/ + storage/ (``Dense{Float64}`` | ``Dense{ComplexF64}``,
@@ -49,7 +49,9 @@ def _require_type(group, expected: str) -> None:
 
 def _write_index(group, index: Index) -> None:
     _write_type_version(group, "Index", 1)
-    group.create_dataset("space_type", data="Int")
+    # ITensors.jl stores this as a *group attribute* (ref
+    # tensor4all-hdf5/src/index.rs:85-91 `@space_type`), not a dataset.
+    group.attrs["space_type"] = "Int"
     group.create_dataset("id", data=np.uint64(index.id))
     group.create_dataset("dim", data=np.int64(index.dim))
     group.create_dataset("dir", data=np.int64(0))

@@ -4,18 +4,33 @@ This is the bucket-and-mask design of SURVEY.md §7 applied to DMRG: every
 MPS core is zero-padded to a static (chi, d, chi) shape (boundaries
 embedded at slot 0), so an ENTIRE multi-sweep DMRG run is one XLA program
 — no host round trips, no recompilation as ranks grow, every kernel on
-the MXU. Zero-padding is self-consistent: padded rows/columns stay zero
-through contractions, SVD produces zero singular values for them, and the
-top-chi split keeps real content while garbage singular vectors are
-annihilated by the zero rows they multiply.
+the MXU.
+
+TPU precision strategy (SURVEY.md §7 hard part 4, measured on a v5e):
+f64 einsums are ~100x slower than f32 (x64 is emulated) and the native
+SVD/eigh kernels are both slow (25 ms per 64x64 SVD inside a program) and
+only ~f32-accurate even in f64. The engine therefore runs the sweep hot
+loop in a configurable ``sweep_dtype`` (f32 on TPU) and recovers full
+accuracy from variational structure: the final energy is a global f64
+Rayleigh quotient <psi|H|psi>/<psi|psi> of the optimized MPS, so a state
+error eps from the f32 sweeps costs only O(eps^2) ~ 1e-12 in the energy.
+
+Two-site splits avoid the native SVD entirely: a warm-started subspace
+iteration (2 steps of Y <- theta theta^T Y + QR) extracts the dominant
+chi-dimensional bond basis. Since the padded engine always keeps exactly
+chi directions, only the *span* matters, never the singular-value order —
+QR (accurate in all dtypes on TPU) is the only factorization needed.
+
+Local eigensolver: fixed-iteration Lanczos on the two-site block with the
+(chi, w, chi) environments applied as one einsum per iteration; the small
+tridiagonal Ritz problem is solved by native eigh in f64 with a
+well-scaled inactive-diagonal sentinel (huge sentinels like 1e8 break the
+TPU's iterative eigh).
 
 The flexible host-driven TreeTN DMRG (treetn.dmrg) shares the same
 algorithm; this engine is the speed-of-light path for chain topologies
-(the reference's headline benchmark, BASELINE.md row 1).
-
-Local eigensolver: fixed-iteration Lanczos on the two-site block with the
-(chi, w, chi) environments applied as one einsum per iteration, and the
-tridiagonal eigenproblem solved on device.
+(the reference's headline benchmark, BASELINE.md row 1; ref
+crates/tensor4all-treetn/src/dmrg/mod.rs:626).
 """
 
 from __future__ import annotations
@@ -53,93 +68,170 @@ def pad_mpo(cores: List[jnp.ndarray]) -> jnp.ndarray:
     return jnp.asarray(out)
 
 
-@functools.partial(jax.jit, static_argnames=("n_sweeps", "lanczos_iters"))
-def dmrg_run(h: jnp.ndarray, mps0: jnp.ndarray, n_sweeps: int = 4,
-             lanczos_iters: int = 20) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _rayleigh_chain(h: jnp.ndarray, mps: jnp.ndarray) -> jnp.ndarray:
+    """Global Rayleigh quotient <psi|H|psi>/<psi|psi> (transfer scan)."""
+    N, chi, d, _ = mps.shape
+    w = h.shape[1]
+    dtype = mps.dtype
+
+    L0 = jnp.zeros((chi, w, chi), dtype).at[0, 0, 0].set(1.0)
+
+    def body_num(L, k):
+        A = jax.lax.dynamic_index_in_dim(mps, k, keepdims=False)
+        W = jax.lax.dynamic_index_in_dim(h, k, keepdims=False)
+        L = jnp.einsum("alx,aib,loir,xoB->brB", L, A, W, jnp.conj(A),
+                       optimize=True)
+        return L, None
+
+    Lf, _ = jax.lax.scan(body_num, L0, jnp.arange(N))
+    num = Lf[0, 0, 0]
+
+    T0 = jnp.zeros((chi, chi), dtype).at[0, 0].set(1.0)
+
+    def body_den(T, k):
+        A = jax.lax.dynamic_index_in_dim(mps, k, keepdims=False)
+        T = jnp.einsum("ax,aib,xiB->bB", T, A, jnp.conj(A), optimize=True)
+        return T, None
+
+    Tf, _ = jax.lax.scan(body_den, T0, jnp.arange(N))
+    den = Tf[0, 0]
+    return jnp.real(num / den)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_sweeps", "lanczos_iters", "sweep_dtype")
+)
+def dmrg_run(
+    h: jnp.ndarray,
+    mps0: jnp.ndarray,
+    n_sweeps: int = 4,
+    lanczos_iters: int = 20,
+    sweep_dtype=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run `n_sweeps` full (left-right-left) two-site DMRG sweeps.
 
     Args:
       h: (N, w, d, d, w) padded MPO (boundary slots 0).
-      mps0: (N, chi, d, chi) padded MPS (right-canonical-ish start is
-        fine; the first half-sweep canonicalizes implicitly through SVD).
-    Returns (energy, optimized padded MPS).
+      mps0: (N, chi, d, chi) padded MPS.
+      sweep_dtype: dtype for the sweep hot loop (default: same as input;
+        pass ``jnp.float32`` on TPU — the final energy is refined to a
+        full-precision global Rayleigh quotient regardless).
+    Returns (energy, optimized padded MPS in sweep_dtype).
     """
+    # TPU MXU default precision for f32 matmuls is bf16 passes (~1e-3
+    # error) — the sweep needs true f32 accumulation for the variational
+    # eps^2 refinement argument to hold.
+    with jax.default_matmul_precision("highest"):
+        return _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype)
+
+
+def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype):
     N, chi, d, _ = mps0.shape
     w = h.shape[1]
-    dtype = mps0.dtype
+    hi_dtype = mps0.dtype
+    st = jnp.dtype(sweep_dtype) if sweep_dtype is not None else hi_dtype
+    hs = h.astype(st)
+    mps = mps0.astype(st)
+    real_st = jnp.finfo(st).dtype
 
     def norm_site(A):
         n = jnp.sqrt(jnp.sum(jnp.abs(A) ** 2))
         return A / jnp.where(n > 0, n, 1.0)
 
-    def lanczos_ground(theta0, L, Wl, Wr, R, m):
-        """Lowest eigvec of the projected 2-site H by fixed-m Lanczos
-        (static m: later sweeps need few iterations, scheduled by caller;
-        a breakdown guard zeroes betas once the Krylov space is exhausted)."""
+    m = lanczos_iters
+
+    def lanczos_ground(theta0, L, Wl, Wr, R):
+        """Ritz ground state of the projected 2-site H, fixed-m Lanczos
+        with full reorthogonalization. Coefficients accumulate in the
+        sweep dtype; the m x m tridiagonal solve runs in f64 with a
+        well-scaled sentinel on inactive slots."""
 
         def apply_h(th):
-            # th (ket): (a, i1, i2, b); W axes (l, out, in, r);
-            # envs (ket bond, mpo bond, bra bond)
             return jnp.einsum(
                 "alx,lpim,mqjr,aijb,brB->xpqB",
                 L, Wl, Wr, th, R, optimize=True,
             )
 
         v0 = norm_site(theta0)
-        basis = jnp.zeros((m, chi, d, d, chi), dtype)
-        # large (but square-safe on TPU's emulated f64) inactive diagonal
-        # keeps eigh's minimum inside the active block
-        alphas = jnp.full((m,), 1e8, jnp.float64)
+        basis = jnp.zeros((m, chi, d, d, chi), st)
+        alphas = jnp.zeros((m,), jnp.float64)
         betas = jnp.zeros((m,), jnp.float64)
+        amask = jnp.zeros((m,), jnp.float64)
 
         def body(i, carry):
-            basis, alphas, betas, v, v_prev, beta_prev, alive = carry
-            basis = basis.at[i].set(v * alive)
+            basis, alphas, betas, amask, v, v_prev, beta_prev, alive = carry
+            alive_s = alive.astype(st)
+            basis = basis.at[i].set(v * alive_s)
             hv = apply_h(v)
             a = jnp.real(jnp.sum(jnp.conj(v) * hv))
-            hv = hv - a * v - beta_prev * v_prev
+            hv = hv - a * v - beta_prev.astype(st) * v_prev
             # full reorthogonalization against the stored basis
             ov = jnp.einsum("macuy,acuy->m", jnp.conj(basis), hv)
             mask = (jnp.arange(m) <= i).astype(hv.dtype)
             hv = hv - jnp.einsum("m,macuy->acuy", ov * mask, basis)
             b = jnp.sqrt(jnp.sum(jnp.abs(hv) ** 2))
-            v_next = hv / jnp.where(b > 1e-300, b, 1.0)
-            alphas = jnp.where(alive > 0, alphas.at[i].set(a), alphas)
-            next_alive = alive * (jnp.real(b) > 1e-13 * jnp.maximum(
-                1.0, jnp.abs(a)))
-            betas = betas.at[i].set(
-                jnp.real(b) * (i + 1 < m) * next_alive
+            v_next = hv / jnp.where(b > 0, b, 1.0)
+            alphas = alphas.at[i].set(
+                jnp.where(alive > 0, a.astype(jnp.float64), 0.0))
+            amask = amask.at[i].set(alive)
+            eps = jnp.asarray(10 * jnp.finfo(real_st).eps, jnp.float64)
+            next_alive = alive * (
+                b.astype(jnp.float64) > eps * jnp.maximum(
+                    1.0, jnp.abs(a).astype(jnp.float64))
             )
-            return (basis, alphas, betas, v_next, v, jnp.real(b) * alive,
-                    next_alive)
+            betas = betas.at[i].set(
+                b.astype(jnp.float64) * (i + 1 < m) * next_alive
+            )
+            return (basis, alphas, betas, amask, v_next, v,
+                    b.astype(jnp.float64) * alive, next_alive)
 
-        carry = (basis, alphas, betas, v0, jnp.zeros_like(v0),
+        carry = (basis, alphas, betas, amask, v0, jnp.zeros_like(v0),
                  jnp.float64(0.0), jnp.float64(1.0))
-        basis, alphas, betas, _, _, _, _ = jax.lax.fori_loop(
+        basis, alphas, betas, amask, _, _, _, _ = jax.lax.fori_loop(
             0, m, body, carry
         )
-        T = (jnp.diag(alphas) + jnp.diag(betas[:-1], 1)
+        # well-scaled sentinel: inactive diagonal sits just above the
+        # active spectrum so eigh's minimum stays in the active block
+        # without wrecking its (iterative, TPU) accuracy
+        big = jnp.where(amask > 0, alphas, -jnp.inf).max()
+        small = jnp.where(amask > 0, alphas, jnp.inf).min()
+        bmax = jnp.abs(betas).max()
+        pad = big + (big - small) + 4.0 * bmax + 1.0
+        diag = jnp.where(amask > 0, alphas, pad)
+        T = (jnp.diag(diag) + jnp.diag(betas[:-1], 1)
              + jnp.diag(betas[:-1], -1))
         evals, evecs = jnp.linalg.eigh(T)
         coef = evecs[:, 0]
-        theta = jnp.einsum("m,macuy->acuy", coef.astype(dtype), basis)
-        return jnp.real(evals[0]), norm_site(theta)
+        theta = jnp.einsum("m,macuy->acuy", coef.astype(st), basis)
+        return jnp.real(evals[0]).astype(jnp.float64), norm_site(theta)
 
-    def split_theta(theta, toward_right):
-        """SVD split keeping chi; returns (left core, right core)."""
+    def split_theta(theta, Q0, toward_right):
+        """Split theta into (left, right) keeping a chi-dim bond basis.
+
+        Warm-started subspace iteration + QR: the padded engine keeps
+        exactly chi directions, so only the dominant *span* is needed
+        (never singular values) — two steps of theta theta^T against the
+        previous core converge it (the discarded spectrum is ~0 once
+        ranks saturate, and DMRG self-corrects earlier).
+        """
         mat = theta.reshape(chi * d, d * chi)
-        U, S, Vh = jnp.linalg.svd(mat, full_matrices=False)
-        U, S, Vh = U[:, :chi], S[:chi], Vh[:chi, :]
         if toward_right:
-            left = U.reshape(chi, d, chi)
-            right = (S[:, None] * Vh).reshape(chi, d, chi)
+            Y = mat @ (jnp.conj(mat).T @ Q0)  # (chi d, chi)
+            Q, _ = jnp.linalg.qr(Y)
+            Y = mat @ (jnp.conj(mat).T @ Q)
+            Q, _ = jnp.linalg.qr(Y)
+            left = Q.reshape(chi, d, chi)
+            right = (jnp.conj(Q).T @ mat).reshape(chi, d, chi)
         else:
-            left = (U * S[None, :]).reshape(chi, d, chi)
-            right = Vh.reshape(chi, d, chi)
+            Y = jnp.conj(mat).T @ (mat @ Q0)  # (d chi, chi)
+            Q, _ = jnp.linalg.qr(Y)
+            Y = jnp.conj(mat).T @ (mat @ Q)
+            Q, _ = jnp.linalg.qr(Y)
+            right = jnp.conj(Q).T.reshape(chi, d, chi)
+            left = (mat @ Q).reshape(chi, d, chi)
         return left, right
 
     def update_left_env(L, A, W):
-        # ket A carries the operator input leg, bra conj(A) the output
         return jnp.einsum("alx,aib,loir,xoB->brB", L, A, W, jnp.conj(A),
                           optimize=True)
 
@@ -147,8 +239,8 @@ def dmrg_run(h: jnp.ndarray, mps0: jnp.ndarray, n_sweeps: int = 4,
         return jnp.einsum("brB,aib,loir,xoB->alx", R, A, W, jnp.conj(A),
                           optimize=True)
 
-    L_bound = jnp.zeros((chi, w, chi), dtype).at[0, 0, 0].set(1.0)
-    R_bound = jnp.zeros((chi, w, chi), dtype).at[0, 0, 0].set(1.0)
+    L_bound = jnp.zeros((chi, w, chi), st).at[0, 0, 0].set(1.0)
+    R_bound = jnp.zeros((chi, w, chi), st).at[0, 0, 0].set(1.0)
 
     def get(stacked, k):
         return jax.lax.dynamic_index_in_dim(stacked, k, keepdims=False)
@@ -160,62 +252,58 @@ def dmrg_run(h: jnp.ndarray, mps0: jnp.ndarray, n_sweeps: int = 4,
         """Rs[k] = env right of bond (k, k+1), k = 0..N-2."""
 
         def body(R, k):
-            Rn = update_right_env(R, get(mps, k), get(h, k))
+            Rn = update_right_env(R, get(mps, k), get(hs, k))
             return Rn, Rn
 
-        _, Rs = jax.lax.scan(body, R_bound,
-                             jnp.arange(N - 1, 0, -1))
-        return jnp.flip(Rs, axis=0)  # Rs[k-1] built at step for site k
-
-    # uniform Lanczos depth: aggressive tapering schedules stall the final
-    # polish (local problems need ~m iterations to hit 1e-14 energy)
-    m = lanczos_iters
+        _, Rs = jax.lax.scan(body, R_bound, jnp.arange(N - 1, 0, -1))
+        return jnp.flip(Rs, axis=0)
 
     def one_sweep(_, state):
         mps, energy = state
 
-        def fwd_body(carry, x, m=m):
+        def fwd_body(carry, x):
             k, Rk = x
             mps, L, _ = carry
             A, B = get(mps, k), get(mps, k + 1)
             theta0 = jnp.einsum("asb,btc->astc", A, B)
-            e, theta = lanczos_ground(theta0, L, get(h, k),
-                                      get(h, k + 1), Rk, m)
-            left, right = split_theta(theta, toward_right=True)
+            e, theta = lanczos_ground(theta0, L, get(hs, k),
+                                      get(hs, k + 1), Rk)
+            left, right = split_theta(theta, A.reshape(chi * d, chi),
+                                      toward_right=True)
             mps = put(put(mps, k, left), k + 1, right)
-            L_next = update_left_env(L, left, get(h, k))
+            L_next = update_left_env(L, left, get(hs, k))
             return (mps, L_next, e), L
 
-        def bwd_body(carry, x, m=m):
+        def bwd_body(carry, x):
             k, Lk = x
             mps, R, _ = carry
             A, B = get(mps, k), get(mps, k + 1)
             theta0 = jnp.einsum("asb,btc->astc", A, B)
-            e, theta = lanczos_ground(theta0, Lk, get(h, k),
-                                      get(h, k + 1), R, m)
-            left, right = split_theta(theta, toward_right=False)
+            e, theta = lanczos_ground(theta0, Lk, get(hs, k),
+                                      get(hs, k + 1), R)
+            left, right = split_theta(
+                theta, B.reshape(chi, d * chi).T, toward_right=False)
             mps = put(put(mps, k, left), k + 1, right)
-            R_next = update_right_env(R, right, get(h, k + 1))
+            R_next = update_right_env(R, right, get(hs, k + 1))
             return (mps, R_next, e), None
 
-        Rs = right_env_scan(mps)  # Rs[k] = env right of bond (k, k+1)
+        Rs = right_env_scan(mps)
         (mps, _, energy), Ls = jax.lax.scan(
-            fwd_body, (mps, L_bound, energy),
-            (jnp.arange(N - 1), Rs),
+            fwd_body, (mps, L_bound, energy), (jnp.arange(N - 1), Rs),
         )
-        # Ls[k] = env left of bond (k, k+1), from the forward pass
         (mps, _, energy), _ = jax.lax.scan(
             bwd_body, (mps, R_bound, energy),
             (jnp.arange(N - 2, -1, -1), jnp.flip(Ls, axis=0)),
         )
         return mps, energy
 
-    # sweeps share one compiled body: fori_loop keeps the program small
-    # (remote TPU compiles are expensive)
-    mps, energy = jax.lax.fori_loop(
-        0, n_sweeps, one_sweep, (mps0, jnp.float64(0.0))
+    mps, _ = jax.lax.fori_loop(
+        0, n_sweeps, one_sweep, (mps, jnp.float64(0.0))
     )
-    return energy, mps
+    # Full-precision global Rayleigh quotient: a sweep-dtype state error
+    # eps costs only O(eps^2) here (variational bound).
+    energy = _rayleigh_chain(h.astype(hi_dtype), mps.astype(hi_dtype))
+    return energy.astype(jnp.float64), mps
 
 
 def treeoperator_to_mpo_cores(op, order) -> List[np.ndarray]:
@@ -248,6 +336,7 @@ def dmrg_chain(
     key=None,
     init_cores: Optional[List[np.ndarray]] = None,
     dtype=jnp.float64,
+    sweep_dtype=None,
 ) -> Tuple[float, jnp.ndarray]:
     """Convenience driver: pad, jit-run, return (energy, padded MPS)."""
     N = len(h_cores)
@@ -271,5 +360,5 @@ def dmrg_chain(
     cores0[0] = cores0[0] / jnp.where(nrm > 0, nrm, 1.0)
     mps0 = pad_mps(cores0, chi)
     e, mps = dmrg_run(h, mps0, n_sweeps=n_sweeps,
-                      lanczos_iters=lanczos_iters)
+                      lanczos_iters=lanczos_iters, sweep_dtype=sweep_dtype)
     return e, mps

@@ -187,17 +187,23 @@ class TensorCI2:
         """
         cores = []
         for p in range(self.L):
-            T = jnp.asarray(self._T_tensor(p))
+            T = self._T_tensor(p)
             nI, d, nJ = T.shape
             if p == self.L - 1:
-                cores.append(T.reshape(nI, d, 1))
+                cores.append(jnp.asarray(T.reshape(nI, d, 1)))
                 break
-            P = jnp.asarray(self._P_matrix(p))  # (|I_{p+1}|, |J_p|)
+            P = self._P_matrix(p)  # (|I_{p+1}|, |J_p|)
+            # Host solve: P is a small rank x rank pivot matrix (pivot
+            # bookkeeping is host-side anyway) and the TPU backend has no
+            # f64 LU ('Only F32 and C64 types are implemented in
+            # LuDecomposition' — axon remote compile rejects
+            # jnp.linalg.solve on f64).
+            Tm = T.reshape(nI * d, nJ).T
             if P.shape[0] != P.shape[1]:
-                B = jnp.linalg.lstsq(P.T, T.reshape(nI * d, nJ).T)[0].T
+                B = np.linalg.lstsq(P.T, Tm, rcond=None)[0].T
             else:
-                B = jnp.linalg.solve(P.T, T.reshape(nI * d, nJ).T).T
-            cores.append(B.reshape(nI, d, P.shape[0]))
+                B = np.linalg.solve(P.T, Tm).T
+            cores.append(jnp.asarray(B.reshape(nI, d, P.shape[0])))
         return TensorTrain(cores)
 
 
