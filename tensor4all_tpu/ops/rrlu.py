@@ -117,7 +117,16 @@ def _rrlu_kernel(a: jnp.ndarray, rtol: float, atol: float, max_rank: int):
     A, Lb, Ub, rows, cols, pivs, k, done, lastdrop = jax.lax.while_loop(
         cond, body, init
     )
-    return Lb, Ub, rows, cols, pivs, k, lastdrop
+    # pack all host-needed metadata into ONE array: on a remote TPU every
+    # separate device->host read costs a ~30 ms round trip (measured),
+    # which round-1 paid 4x per factorization
+    meta = jnp.concatenate([
+        rows.astype(jnp.float64),
+        cols.astype(jnp.float64),
+        pivs,
+        jnp.stack([k.astype(jnp.float64), lastdrop]),
+    ])
+    return Lb, Ub, meta
 
 
 def rrlu(
@@ -142,18 +151,23 @@ def rrlu(
         return RrLUResult(0, np.zeros(0, np.int64), np.zeros(0, np.int64),
                           jnp.zeros((n, 0), a.dtype), jnp.zeros((0, m), a.dtype),
                           np.zeros(0), 0.0)
-    Lb, Ub, rows, cols, pivs, k, lastdrop = _rrlu_kernel(
+    Lb, Ub, meta = _rrlu_kernel(
         a, float(rtol), float(atol), int(max_rank)
     )
-    rank = int(k)
+    meta = np.asarray(meta)  # single device->host transfer
+    rows = meta[:max_rank]
+    cols = meta[max_rank:2 * max_rank]
+    pivs = meta[2 * max_rank:3 * max_rank]
+    rank = int(meta[3 * max_rank])
+    lastdrop = float(meta[3 * max_rank + 1])
     return RrLUResult(
         rank=rank,
-        row_pivots=np.asarray(rows)[:rank].astype(np.int64),
-        col_pivots=np.asarray(cols)[:rank].astype(np.int64),
+        row_pivots=rows[:rank].astype(np.int64),
+        col_pivots=cols[:rank].astype(np.int64),
         L=Lb[:, :rank],
         U=Ub[:rank, :],
-        pivot_magnitudes=np.asarray(pivs)[:rank],
-        last_pivot_error=float(lastdrop),
+        pivot_magnitudes=pivs[:rank],
+        last_pivot_error=lastdrop,
     )
 
 
