@@ -27,13 +27,18 @@ def save_tci2(path: str, tci: TensorCI2) -> None:
     os.makedirs(path, exist_ok=True)
     manifest = {
         "format": "t4a-tci2-checkpoint",
-        "version": 1,
+        "version": 2,
         "local_dims": list(tci.local_dims),
         "f_max": tci.f_max,
         "pivot_errors": list(map(float, tci.pivot_errors)),
         "Iset": [[list(p) for p in s] for s in tci.Iset],
         "Jset": [[list(p) for p in s] for s in tci.Jset],
+        "has_site_tensors": all(t is not None for t in tci.site_tensors),
     }
+    if manifest["has_site_tensors"]:
+        np.savez(os.path.join(path, "site_tensors.npz"), **{
+            f"t_{k}": np.asarray(t) for k, t in enumerate(tci.site_tensors)
+        })
     tmp = os.path.join(path, "manifest.json.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -56,6 +61,13 @@ def load_tci2(path: str, f=None, batch_f=None, dtype=np.float64) -> TensorCI2:
     tci.pivot_errors = np.asarray(m["pivot_errors"], dtype=np.float64)
     tci.Iset = [IndexSet([tuple(p) for p in s]) for s in m["Iset"]]
     tci.Jset = [IndexSet([tuple(p) for p in s]) for s in m["Jset"]]
+    tci.site_tensors = [None] * tci.L
+    tci._prev_Iset = None
+    tci._prev_Jset = None
+    st_path = os.path.join(path, "site_tensors.npz")
+    if m.get("has_site_tensors") and os.path.exists(st_path):
+        with np.load(st_path) as z:
+            tci.site_tensors = [z[f"t_{k}"] for k in range(tci.L)]
     return tci
 
 

@@ -192,6 +192,156 @@ def matrix_ci_factors(
     return left, right, res.row_pivots, res.col_pivots, res.last_pivot_error
 
 
+@dataclasses.dataclass
+class LuciFactors:
+    """Cross-interpolation factors ``A ~= left @ right``.
+
+    Ref: matrix_luci.rs:48 `MatrixLUCI` results. With
+    ``left_orthogonal=True`` the left factor interpolates (identity at
+    pivot rows); otherwise the right factor does (identity at pivot
+    columns). ``pivot_errors`` lists the accepted pivot magnitudes
+    followed by the first discarded one (0.0 at full rank, the last
+    accepted one when the rank cap was hit) — same convention as the
+    reference's `RrLU::pivot_errors`.
+    """
+
+    rank: int
+    row_indices: np.ndarray
+    col_indices: np.ndarray
+    left: Optional[jnp.ndarray]
+    right: Optional[jnp.ndarray]
+    pivot_errors: np.ndarray
+
+    @property
+    def last_pivot_error(self) -> float:
+        return float(self.pivot_errors[-1])
+
+
+def _finalize_pivot_errors(pivs: np.ndarray, rank: int, full_rank: int,
+                           max_rank: int, lastdrop: float) -> np.ndarray:
+    """Reference convention (matrixlu.rs / block_rook.rs:180-186)."""
+    if rank >= full_rank:
+        last = 0.0
+    elif rank >= max_rank and rank > 0:
+        last = float(pivs[rank - 1])
+    else:
+        last = float(lastdrop)
+    return np.concatenate([pivs[:rank], [last]])
+
+
+def luci_factors_from_matrix(
+    a,
+    rel_tol: float = 1e-14,
+    abs_tol: float = 0.0,
+    max_rank: Optional[int] = None,
+    left_orthogonal: bool = True,
+    compute_factors: bool = True,
+) -> LuciFactors:
+    """LU-based CI with the reference's RrLUOptions semantics.
+
+    Ref: matrix_luci.rs:365 `matrix_luci_factors_from_matrix` +
+    RrLUOptions (matrixlu.rs:668): ``rel_tol`` is relative to the largest
+    accepted pivot, ``left_orthogonal`` picks which factor interpolates.
+    """
+    a = jnp.asarray(a)
+    n, m = a.shape
+    full_rank = min(n, m)
+    cap = full_rank if max_rank is None else min(max_rank, full_rank)
+    res = rrlu(a, rtol=rel_tol, atol=abs_tol, max_rank=cap)
+    errs = _finalize_pivot_errors(res.pivot_magnitudes, res.rank, full_rank,
+                                  cap, res.last_pivot_error)
+    if res.rank == 0:
+        return LuciFactors(0, res.row_pivots, res.col_pivots,
+                           jnp.zeros((n, 0), a.dtype),
+                           jnp.zeros((0, m), a.dtype), errs)
+    left = right = None
+    if compute_factors:
+        if left_orthogonal:
+            left, right = res.ci_factors()
+        else:
+            # A[:,J] = L @ U[:,J];  inv(P) A[I,:] = inv(U_J) U  (U_J upper
+            # triangular by the pivot ordering)
+            UJ = res.U[:, res.col_pivots]
+            left = res.L @ UJ
+            right = jax.scipy.linalg.solve_triangular(UJ, res.U, lower=False)
+    return LuciFactors(res.rank, res.row_pivots, res.col_pivots, left, right,
+                       errs)
+
+
+def luci_rook_from_blocks(
+    nrows: int,
+    ncols: int,
+    fill_block,
+    rel_tol: float = 1e-14,
+    abs_tol: float = 0.0,
+    max_rank: Optional[int] = None,
+) -> LuciFactors:
+    """Lazy block-rook cross interpolation: pivots without materializing
+    the full candidate matrix.
+
+    Ref: matrixluci/block_rook.rs:1-214 (`LazyBlockRookKernel`,
+    `rook_pivot`, `factorize_lazy`). ``fill_block(rows, cols)`` returns
+    the requested submatrix as a numpy array — in TCI this is a batched
+    (memoized) function evaluation, so the rook path's saving is real
+    f-evals, not just matrix arithmetic. Factor matrices are NOT computed
+    here (the reference's TCI sweep fills site tensors separately); only
+    pivot indices and errors are returned.
+    """
+    full_rank = min(nrows, ncols)
+    cap = full_rank if max_rank is None else min(max_rank, full_rank)
+    sel_r: list = []
+    sel_c: list = []
+    accepted: list = []
+    max_err = 0.0
+    last_err = np.nan
+    eps = np.finfo(np.float64).eps
+
+    def residual(rows, cols):
+        R = np.asarray(fill_block(rows, cols))
+        if not sel_r:
+            return R
+        P = np.asarray(fill_block(sel_r, sel_c))
+        A_rj = np.asarray(fill_block(rows, sel_c))
+        A_ic = np.asarray(fill_block(sel_r, cols))
+        return R - A_rj @ np.linalg.solve(P, A_ic)
+
+    while len(sel_r) < cap:
+        rem_r = [i for i in range(nrows) if i not in set(sel_r)]
+        rem_c = [j for j in range(ncols) if j not in set(sel_c)]
+        if not rem_r or not rem_c:
+            break
+        # rook walk: alternate best-row-in-column / best-column-in-row
+        cur_col = rem_c[0]
+        cur_row = rem_r[0]
+        piv_abs = 0.0
+        for _ in range(len(rem_r) + len(rem_c) + 1):
+            col_res = residual(rem_r, [cur_col])
+            cur_row = rem_r[int(np.argmax(np.abs(col_res[:, 0])))]
+            row_res = residual([cur_row], rem_c)
+            jbest = int(np.argmax(np.abs(row_res[0, :])))
+            piv_abs = float(np.abs(row_res[0, jbest]))
+            next_col = rem_c[jbest]
+            if next_col == cur_col:
+                break
+            cur_col = next_col
+        last_err = piv_abs
+        if sel_r and (piv_abs < rel_tol * max_err or piv_abs < abs_tol):
+            break
+        if piv_abs < eps:
+            break
+        max_err = max(max_err, piv_abs)
+        sel_r.append(cur_row)
+        sel_c.append(cur_col)
+        accepted.append(piv_abs)
+
+    rank = len(sel_r)
+    errs = _finalize_pivot_errors(np.asarray(accepted, np.float64), rank,
+                                  full_rank, cap,
+                                  0.0 if np.isnan(last_err) else last_err)
+    return LuciFactors(rank, np.asarray(sel_r, np.int64),
+                       np.asarray(sel_c, np.int64), None, None, errs)
+
+
 def factorize_matrix_lu(
     m,
     policy,

@@ -2,7 +2,9 @@
 
 TPU-native rebuild of tensor4all-tensorci/src/tensorci2.rs
 (`TensorCI2` :259, `sweep2site` :605, `sweep1site` :713, `update_pivots`
-:1552, `crossinterpolate2` :1279, `TCI2Options` :71).
+:1552, `fill_site_tensors` :887, `crossinterpolate2` :1279,
+`optimize_with_finder` :1389, `TCI2Options` :71, `PivotSearchStrategy`
+:191, `Sweep2Strategy` :225, convergence rule :1178).
 
 Architecture (SURVEY.md §3.1, §7): pivot index sets I/J live on host
 (IndexSet); the hot loop — filling the Pi matrix with function samples at
@@ -12,42 +14,93 @@ black boxes), and pivot selection is the jitted rrLU kernel (ops.rrlu).
 Rank growth is data-dependent but all device programs are fixed-shape per
 call; only the selected rank syncs back.
 
-Pivot nesting is maintained by construction: forward sweeps choose
-``Iset[p+1]`` from ``Iset[p] x s_p`` candidates, backward sweeps choose
-``Jset[p]`` from ``s_{p+1} x Jset[p+1]``.
+Parity points with the reference engine:
+
+- **Nested accumulation** (non-strictly-nested mode, the default): each
+  bond's candidate sets are the Kronecker expansions *unioned with the
+  previous iteration's pivot sets* (tensorci2.rs:1437-1449, :1571-1581),
+  so sweeps never lose previously-found pivots.
+- **Site tensors held in state**: after each sweep `fill_site_tensors`
+  solves the pivot systems once (cached evaluations), so
+  ``to_tensortrain()`` costs zero new function evaluations
+  (tensorci2.rs:541 just clones state).
+- **Rook pivot search** (``pivot_search="rook"``): lazy block-rook
+  pivoting through `ops.rrlu.luci_rook_from_blocks` avoids materializing
+  the |I| d x d |J| Pi matrix — the saving is real f-evals.
+- **Reference convergence**: tol AND rank-stable AND no-global-pivots for
+  `ncheck_history` consecutive iterations, or rank at maxbonddim
+  (tensorci2.rs:1178-1202).
 """
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, List, Optional, Sequence, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
-from ..ops.rrlu import rrlu
+from ..ops.rrlu import luci_factors_from_matrix, luci_rook_from_blocks
 from ..tt.tensortrain import TensorTrain
 from .cached_function import CachedFunction
 from .indexset import IndexSet, MultiIndex
 
 
-@dataclasses.dataclass
 class TCI2Options:
-    """Ref: TCI2Options (tensorci2.rs:71)."""
+    """Ref: TCI2Options (tensorci2.rs:71-151); defaults match.
 
-    tol: float = 1e-8  # relative to max |f| sample (ref :71-79)
-    maxbonddim: Optional[int] = None
-    max_iter: int = 20  # half-sweeps
-    ncheck_history: int = 3
-    n_global_pivots: int = 0  # random-start global pivot searches per check
-    global_search_starts: int = 32
-    seed: int = 0
-    verbosity: int = 0
-    final_sweep1site: bool = True
+    `tol` is relative to the max |f| sample when `normalize_error` (the
+    default); `pivot_search` is "full" | "rook" (ref :191);
+    `sweep_strategy` is "forward" | "backward" | "backandforth" (ref
+    :225). `n_global_pivots`/`global_search_starts` are accepted as
+    aliases of `max_nglobal_pivot`/`nsearch`.
+    """
+
+    # ---- round-1 compatibility aliases ----
+    @property
+    def n_global_pivots(self) -> int:
+        return self.max_nglobal_pivot
+
+    @n_global_pivots.setter
+    def n_global_pivots(self, v: int) -> None:
+        self.max_nglobal_pivot = v
+
+    @property
+    def global_search_starts(self) -> int:
+        return self.nsearch
+
+    @global_search_starts.setter
+    def global_search_starts(self, v: int) -> None:
+        self.nsearch = v
+
+    def __init__(self, tol: float = 1e-8, maxbonddim: Optional[int] = None,
+                 max_iter: int = 20, pivot_search: str = "full",
+                 normalize_error: bool = True, verbosity: int = 0,
+                 max_nglobal_pivot: int = 5, nsearch: int = 5,
+                 sweep_strategy: str = "backandforth",
+                 ncheck_history: int = 3, strictly_nested: bool = False,
+                 tol_margin_global_search: float = 10.0, seed: int = 0,
+                 final_sweep1site: bool = True,
+                 n_global_pivots: Optional[int] = None,
+                 global_search_starts: Optional[int] = None):
+        self.tol = tol
+        self.maxbonddim = maxbonddim
+        self.max_iter = max_iter
+        self.pivot_search = pivot_search
+        self.normalize_error = normalize_error
+        self.verbosity = verbosity
+        self.max_nglobal_pivot = (n_global_pivots if n_global_pivots
+                                  is not None else max_nglobal_pivot)
+        self.nsearch = (global_search_starts if global_search_starts
+                        is not None else nsearch)
+        self.sweep_strategy = sweep_strategy
+        self.ncheck_history = ncheck_history
+        self.strictly_nested = strictly_nested
+        self.tol_margin_global_search = tol_margin_global_search
+        self.seed = seed
+        self.final_sweep1site = final_sweep1site
 
 
 class TensorCI2:
-    """TCI2 state: nested pivot sets + cached function."""
+    """TCI2 state: nested pivot sets + site tensors + cached function."""
 
     def __init__(
         self,
@@ -64,7 +117,12 @@ class TensorCI2:
         self.Iset: List[IndexSet] = [IndexSet() for _ in range(L)]
         self.Jset: List[IndexSet] = [IndexSet() for _ in range(L)]
         self.f_max: float = 0.0
+        self.site_tensors: List[Optional[np.ndarray]] = [None] * L
         self.pivot_errors = np.zeros(L - 1)  # per-bond last pivot error
+        # previous iteration's pivot sets (non-strictly-nested union,
+        # ref i_set_history — only the last entry is ever consumed)
+        self._prev_Iset: Optional[List[List[MultiIndex]]] = None
+        self._prev_Jset: Optional[List[List[MultiIndex]]] = None
         if initial_pivots is None:
             initial_pivots = [tuple(0 for _ in range(L))]
         self.add_global_pivots(initial_pivots)
@@ -73,7 +131,8 @@ class TensorCI2:
     def add_global_pivots(self, pivots: Sequence[Sequence[int]]) -> None:
         """Insert full multi-index pivots (prefixes into I, suffixes into J).
 
-        Ref: add_global_pivots (tensorci2.rs:1303-1305).
+        Ref: add_global_pivots (tensorci2.rs:546-577); invalidates site
+        tensors.
         """
         for piv in pivots:
             piv = tuple(int(v) for v in piv)
@@ -85,16 +144,30 @@ class TensorCI2:
             for p in range(self.L):
                 self.Iset[p].add(piv[:p])
                 self.Jset[p].add(piv[p + 1:])
+        self.invalidate_site_tensors()
+
+    def invalidate_site_tensors(self) -> None:
+        self.site_tensors = [None] * self.L
 
     @property
     def ranks(self) -> List[int]:
         return [len(self.Iset[p + 1]) for p in range(self.L - 1)]
 
+    @property
+    def rank(self) -> int:
+        return max(self.ranks)
+
+    def link_dims(self) -> List[int]:
+        return self.ranks
+
+    def max_bond_error(self) -> float:
+        return float(self.pivot_errors.max(initial=0.0))
+
     # ------------------------------------------------------------------
     # batched evaluation helpers (THE hot loop)
     # ------------------------------------------------------------------
     def _eval_matrix(
-        self, rows: List[MultiIndex], cols: List[MultiIndex]
+        self, rows: Sequence[MultiIndex], cols: Sequence[MultiIndex]
     ) -> np.ndarray:
         """Evaluate f on the cartesian product rows x cols -> (R, C)."""
         R, C = len(rows), len(cols)
@@ -102,152 +175,288 @@ class TensorCI2:
             return np.zeros((R, C), dtype=self.func.dtype)
         rows_a = np.asarray([list(r) for r in rows], dtype=np.int64)
         cols_a = np.asarray([list(c) for c in cols], dtype=np.int64)
+        if rows_a.size == 0:
+            rows_a = rows_a.reshape(R, 0)
+        if cols_a.size == 0:
+            cols_a = cols_a.reshape(C, 0)
         idx = np.concatenate(
-            [
-                np.repeat(rows_a, C, axis=0),
-                np.tile(cols_a, (R, 1)),
-            ],
-            axis=1,
+            [np.repeat(rows_a, C, axis=0), np.tile(cols_a, (R, 1))], axis=1
         )
         vals = self.func.eval_batch(idx)
         self.f_max = max(self.f_max, float(np.abs(vals).max(initial=0.0)))
         return vals.reshape(R, C)
 
+    def kronecker_i(self, p: int) -> List[MultiIndex]:
+        """Kron(Iset[p], local dim p) (ref kronecker_i :995)."""
+        return [i + (s,) for i in self.Iset[p]
+                for s in range(self.local_dims[p])]
+
+    def kronecker_j(self, p: int) -> List[MultiIndex]:
+        """Kron(local dim p, Jset[p]) (ref kronecker_j)."""
+        return [(s,) + j for s in range(self.local_dims[p])
+                for j in self.Jset[p]]
+
     def _T_tensor(self, p: int) -> np.ndarray:
         """T_p[i, s, j] = f(Iset[p][i] + (s,) + Jset[p][j]) (ref :887)."""
-        rows = [i + (s,) for i in self.Iset[p] for s in range(self.local_dims[p])]
-        mat = self._eval_matrix(rows, self.Jset[p].items())
-        return mat.reshape(len(self.Iset[p]), self.local_dims[p], len(self.Jset[p]))
+        mat = self._eval_matrix(self.kronecker_i(p), self.Jset[p].items())
+        return mat.reshape(len(self.Iset[p]), self.local_dims[p],
+                           len(self.Jset[p]))
 
     def _P_matrix(self, p: int) -> np.ndarray:
         """P_p[i, j] = f(Iset[p+1][i] + Jset[p][j]) (bond p pivot matrix)."""
-        return self._eval_matrix(self.Iset[p + 1].items(), self.Jset[p].items())
+        return self._eval_matrix(self.Iset[p + 1].items(),
+                                 self.Jset[p].items())
 
     # ------------------------------------------------------------------
     # pivot updates (ref update_pivots, tensorci2.rs:1552)
     # ------------------------------------------------------------------
-    def _update_bond(self, p: int, opts: TCI2Options) -> None:
-        d_p, d_q = self.local_dims[p], self.local_dims[p + 1]
-        I_cand = [i + (s,) for i in self.Iset[p] for s in range(d_p)]
-        J_cand = [(s,) + j for s in range(d_q) for j in self.Jset[p + 1]]
-        Pi = self._eval_matrix(I_cand, J_cand)
-        # tolerance relative to the global max sample (ref normalization)
-        atol = opts.tol * self.f_max
-        res = rrlu(jnp.asarray(Pi), rtol=0.0, atol=atol,
-                   max_rank=opts.maxbonddim)
-        rank = max(res.rank, 1)  # keep at least one pivot
-        rp = res.row_pivots[:rank] if res.rank else np.array([0])
-        cp = res.col_pivots[:rank] if res.rank else np.array([0])
-        if res.rank == 0:
-            # zero function on candidates: keep a deterministic pivot
+    def _update_bond(
+        self,
+        p: int,
+        opts: TCI2Options,
+        extra_i: Sequence[MultiIndex] = (),
+        extra_j: Sequence[MultiIndex] = (),
+    ) -> None:
+        I_cand = self.kronecker_i(p)
+        J_cand = self.kronecker_j(p + 1)
+        seen_i = set(I_cand)
+        for e in extra_i:
+            if e not in seen_i:
+                I_cand.append(e)
+                seen_i.add(e)
+        seen_j = set(J_cand)
+        for e in extra_j:
+            if e not in seen_j:
+                J_cand.append(e)
+                seen_j.add(e)
+        if not I_cand or not J_cand:
+            return
+        maxdim = opts.maxbonddim
+        if opts.pivot_search == "rook":
+            I_arr = _pad_multiindex(I_cand)
+            J_arr = _pad_multiindex(J_cand)
+
+            def fill_block(rows, cols):
+                return self._eval_block(I_arr, J_arr, rows, cols)
+
+            fac = luci_rook_from_blocks(
+                len(I_cand), len(J_cand), fill_block,
+                rel_tol=opts.tol, abs_tol=0.0, max_rank=maxdim)
+        else:
+            Pi = self._eval_matrix(I_cand, J_cand)
+            fac = luci_factors_from_matrix(
+                Pi, rel_tol=opts.tol, abs_tol=0.0, max_rank=maxdim,
+                compute_factors=False)
+        if fac.rank == 0:
             rp, cp = np.array([0]), np.array([0])
+        else:
+            rp, cp = fac.row_indices, fac.col_indices
         self.Iset[p + 1] = IndexSet([I_cand[i] for i in rp])
         self.Jset[p] = IndexSet([J_cand[j] for j in cp])
-        self.pivot_errors[p] = res.last_pivot_error
+        self.pivot_errors[p] = fac.last_pivot_error
 
-    def sweep2site(self, direction: str, opts: TCI2Options) -> None:
-        """One half-sweep of two-site pivot updates (ref sweep2site :605)."""
-        bonds = range(self.L - 1) if direction == "forward" else range(
-            self.L - 2, -1, -1
+    def _eval_block(self, I_arr: np.ndarray, J_arr: np.ndarray,
+                    rows, cols) -> np.ndarray:
+        """Evaluate the (rows, cols) sub-block of the implicit Pi matrix
+        (rook path): one batched, memoized evaluation."""
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        ri = I_arr[rows]
+        cj = J_arr[cols]
+        R, C = len(rows), len(cols)
+        idx = np.concatenate(
+            [np.repeat(ri, C, axis=0), np.tile(cj, (R, 1))], axis=1
         )
-        for p in bonds:
-            self._update_bond(p, opts)
+        vals = self.func.eval_batch(idx)
+        self.f_max = max(self.f_max, float(np.abs(vals).max(initial=0.0)))
+        return vals.reshape(R, C)
 
-    def sweep1site(self, opts: TCI2Options) -> None:
-        """One-site cleanup sweep restoring strict nesting (ref :713).
+    def sweep2site(
+        self,
+        direction: str,
+        opts: TCI2Options,
+        extra_Iset: Optional[List[List[MultiIndex]]] = None,
+        extra_Jset: Optional[List[List[MultiIndex]]] = None,
+    ) -> None:
+        """One half-sweep of two-site pivot updates (ref sweep2site :605).
 
-        Re-selects Iset[p+1] among rows of T_p (forward) and Jset[p] among
-        cols of T_{p+1} (backward) without increasing ranks.
+        `extra_Iset[b+1]` / `extra_Jset[b]` are unioned into bond b's
+        candidates (non-strictly-nested accumulation).
         """
-        # forward: re-pick row pivots from T_p matricized (|I_p| d_p, |J_p|)
-        for p in range(self.L - 1):
-            rows = [i + (s,) for i in self.Iset[p]
-                    for s in range(self.local_dims[p])]
-            mat = self._eval_matrix(rows, self.Jset[p].items())
-            r = min(len(self.Iset[p + 1]), min(mat.shape))
-            res = rrlu(jnp.asarray(mat), rtol=0.0, atol=0.0, max_rank=r)
-            if res.rank:
-                self.Iset[p + 1] = IndexSet([rows[i] for i in res.row_pivots])
-        # backward: re-pick col pivots
-        for p in range(self.L - 2, -1, -1):
-            cols = [(s,) + j for s in range(self.local_dims[p + 1])
-                    for j in self.Jset[p + 1]]
-            mat = self._eval_matrix(self.Iset[p + 1].items(), cols)
-            r = min(len(self.Jset[p]), min(mat.shape))
-            res = rrlu(jnp.asarray(mat), rtol=0.0, atol=0.0, max_rank=r)
-            if res.rank:
-                self.Jset[p] = IndexSet([cols[j] for j in res.col_pivots])
+        self.invalidate_site_tensors()
+        bonds = (range(self.L - 1) if direction == "forward"
+                 else range(self.L - 2, -1, -1))
+        for p in bonds:
+            ei = extra_Iset[p + 1] if extra_Iset is not None else ()
+            ej = extra_Jset[p] if extra_Jset is not None else ()
+            self._update_bond(p, opts, ei, ej)
 
     # ------------------------------------------------------------------
-    def to_tensortrain(self) -> TensorTrain:
-        """Materialize the TT: B_p = T_p @ P_p^{-1} (ref to_tensor_train :541).
+    # site tensors (ref fill_site_tensors :887, setsitetensor!)
+    # ------------------------------------------------------------------
+    def fill_site_tensors(self) -> None:
+        """T_b = Pi1 @ P^{-1} per bond; last site = direct evaluation.
 
-        Solved as ``B P = T`` per bond — P is the pivot cross matrix, kept
-        well-conditioned by the rrLU pivoting.
+        All evaluations go through the memoized CachedFunction, so after
+        a sweep this costs no *new* f-evals for entries already sampled.
+        The solve runs on host (P is rank x rank; the TPU backend has no
+        f64 LU kernel).
         """
-        cores = []
-        for p in range(self.L):
-            T = self._T_tensor(p)
-            nI, d, nJ = T.shape
-            if p == self.L - 1:
-                cores.append(jnp.asarray(T.reshape(nI, d, 1)))
-                break
-            P = self._P_matrix(p)  # (|I_{p+1}|, |J_p|)
-            # Host solve: P is a small rank x rank pivot matrix (pivot
-            # bookkeeping is host-side anyway) and the TPU backend has no
-            # f64 LU ('Only F32 and C64 types are implemented in
-            # LuDecomposition' — axon remote compile rejects
-            # jnp.linalg.solve on f64).
-            Tm = T.reshape(nI * d, nJ).T
-            if P.shape[0] != P.shape[1]:
-                B = np.linalg.lstsq(P.T, Tm, rcond=None)[0].T
+        L = self.L
+        for b in range(L):
+            nI = max(len(self.Iset[b]), 1) if b > 0 else 1
+            d = self.local_dims[b]
+            Pi1 = self._eval_matrix(self.kronecker_i(b), self.Jset[b].items())
+            if b == L - 1:
+                self.site_tensors[b] = np.asarray(Pi1).reshape(nI, d, 1)
+                continue
+            P = self._P_matrix(b)  # (|I_{b+1}|, |J_b|)
+            if P.shape[0] == P.shape[1]:
+                X = np.linalg.solve(P.T, Pi1.T).T
             else:
-                B = np.linalg.solve(P.T, Tm).T
-            cores.append(jnp.asarray(B.reshape(nI, d, P.shape[0])))
-        return TensorTrain(cores)
+                X = np.linalg.lstsq(P.T, Pi1.T, rcond=None)[0].T
+            self.site_tensors[b] = X.reshape(nI, d, P.shape[0])
+
+    def to_tensortrain(self) -> TensorTrain:
+        """Materialize the TT from state (ref to_tensor_train :541 — a
+        clone of the site tensors; zero new f-evals when they are
+        current)."""
+        if any(t is None for t in self.site_tensors):
+            self.fill_site_tensors()
+        import jax.numpy as jnp
+
+        return TensorTrain([jnp.asarray(t) for t in self.site_tensors])
+
+    # ------------------------------------------------------------------
+    # one-site sweeps (ref sweep1site :713, make_canonical :975)
+    # ------------------------------------------------------------------
+    def sweep1site(
+        self,
+        forward: bool = True,
+        rel_tol: float = 1e-14,
+        abs_tol: float = 0.0,
+        max_bond_dim: Optional[int] = None,
+        update_tensors: bool = True,
+    ) -> None:
+        """One-site cleanup sweep restoring strict nesting; optionally
+        leaves canonical site tensors in state (ref sweep1site_at_bond
+        :760-880)."""
+        self.invalidate_site_tensors()
+        L = self.L
+        bonds = range(L - 1) if forward else range(L - 1, 0, -1)
+        for b in bonds:
+            if forward:
+                rows = self.kronecker_i(b)
+                cols = self.Jset[b].items()
+            else:
+                rows = self.Iset[b].items()
+                cols = self.kronecker_j(b)
+            if not rows or not cols:
+                continue
+            mat = self._eval_matrix(rows, cols)
+            fac = luci_factors_from_matrix(
+                mat, rel_tol=rel_tol, abs_tol=abs_tol,
+                max_rank=max_bond_dim, left_orthogonal=forward,
+                compute_factors=update_tensors)
+            if fac.rank == 0:
+                continue
+            if forward:
+                self.Iset[b + 1] = IndexSet([rows[i]
+                                             for i in fac.row_indices])
+                self.Jset[b] = IndexSet([cols[j] for j in fac.col_indices])
+            else:
+                self.Iset[b] = IndexSet([rows[i] for i in fac.row_indices])
+                self.Jset[b - 1] = IndexSet([cols[j]
+                                             for j in fac.col_indices])
+            bond_idx = b if forward else b - 1
+            self.pivot_errors[bond_idx] = fac.last_pivot_error
+            if update_tensors:
+                d = self.local_dims[b]
+                if forward:
+                    nI = max(len(self.Iset[b]), 1) if b > 0 else 1
+                    self.site_tensors[b] = np.asarray(
+                        fac.left).reshape(nI, d, fac.rank)
+                else:
+                    nJ = (max(len(self.Jset[b]), 1)
+                          if b < L - 1 else 1)
+                    self.site_tensors[b] = np.asarray(
+                        fac.right).reshape(fac.rank, d, nJ)
+        if update_tensors:
+            # last visited site: direct evaluation (ref :744-757)
+            last = L - 1 if forward else 0
+            nI = max(len(self.Iset[last]), 1) if last > 0 else 1
+            nJ = max(len(self.Jset[last]), 1) if last < L - 1 else 1
+            mat = self._eval_matrix(self.kronecker_i(last),
+                                    self.Jset[last].items())
+            self.site_tensors[last] = np.asarray(mat).reshape(
+                nI, self.local_dims[last], nJ)
+
+    def make_canonical(self, rel_tol: float = 1e-14, abs_tol: float = 0.0,
+                       max_bond_dim: Optional[int] = None) -> None:
+        """3 one-site sweeps: exact fwd, truncating bwd, truncating fwd
+        with tensor updates (ref make_canonical :975)."""
+        self.sweep1site(True, 0.0, 0.0, None, update_tensors=False)
+        self.sweep1site(False, rel_tol, abs_tol, max_bond_dim,
+                        update_tensors=False)
+        self.sweep1site(True, rel_tol, abs_tol, max_bond_dim,
+                        update_tensors=True)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_tensor_train(cls, tt: TensorTrain, tol: float = 1e-12,
+                          maxbonddim: Optional[int] = None,
+                          max_iter: int = 3,
+                          f=None, batch_f=None) -> "TensorCI2":
+        """Extract pivot state directly from an existing TT
+        (ref conversion.rs; see tci.conversion.tci2_from_tensortrain)."""
+        from .conversion import tci2_from_tensortrain
+
+        return tci2_from_tensortrain(tt, tol=tol, maxbonddim=maxbonddim,
+                                     max_iter=max_iter, f=f,
+                                     batch_f=batch_f)
+
+
+def _pad_multiindex(items: Sequence[MultiIndex]) -> np.ndarray:
+    return np.asarray([list(t) for t in items], dtype=np.int64).reshape(
+        len(items), -1)
 
 
 # ----------------------------------------------------------------------
-# global pivot search (ref globalpivot.rs:14-70, globalsearch.rs:1-262)
+# global pivot search (ref globalpivot.rs:100-220)
 # ----------------------------------------------------------------------
 def find_global_pivots(
     tci: TensorCI2,
     tt: TensorTrain,
     opts: TCI2Options,
     rng: np.random.Generator,
+    abs_tol: float,
 ) -> List[MultiIndex]:
-    """Random starts + greedy coordinate descent on |f - tt|."""
+    """Random starts + per-dimension greedy sweep on |f - tt|; keep points
+    with error > abs_tol * tol_margin (ref DefaultGlobalPivotFinder)."""
     L, dims = tci.L, tci.local_dims
-    n_starts = opts.global_search_starts
     starts = np.stack(
-        [rng.integers(0, d, size=n_starts) for d in dims], axis=1
+        [rng.integers(0, d, size=opts.nsearch) for d in dims], axis=1
     )
-    fvals = tci.func.eval_batch(starts)
-    tvals = np.asarray(tt.evaluate_batch(starts))
-    errs = np.abs(fvals - tvals)
-    order = np.argsort(-errs)
     found: List[MultiIndex] = []
-    threshold = opts.tol * max(tci.f_max, 1e-300)
-    for s in order[: opts.n_global_pivots]:
+    threshold = abs_tol * opts.tol_margin_global_search
+    for s in range(opts.nsearch):
         point = starts[s].copy()
-        best = errs[s]
-        improved = True
-        while improved:
-            improved = False
-            for site in range(L):
-                cand = np.tile(point, (dims[site], 1))
-                cand[:, site] = np.arange(dims[site])
-                fv = tci.func.eval_batch(cand)
-                tv = np.asarray(tt.evaluate_batch(cand))
-                e = np.abs(fv - tv)
-                j = int(np.argmax(e))
-                if e[j] > best * (1 + 1e-12):
-                    best = e[j]
-                    point = cand[j]
-                    improved = True
-        if best > threshold:
-            found.append(tuple(int(v) for v in point))
-    return found
+        best_err = 0.0
+        best_point = point.copy()
+        for site in range(L):
+            cand = np.tile(point, (dims[site], 1))
+            cand[:, site] = np.arange(dims[site])
+            fv = tci.func.eval_batch(cand)
+            tv = np.asarray(tt.evaluate_batch(cand))
+            e = np.abs(fv - tv)
+            j = int(np.argmax(e))
+            if e[j] > best_err:
+                best_err = float(e[j])
+                best_point = cand[j].copy()
+            # point[site] stays at its original value (ref resets)
+        if best_err > threshold:
+            found.append(tuple(int(v) for v in best_point))
+    return found[: opts.max_nglobal_pivot]
 
 
 def estimate_true_error(
@@ -261,6 +470,22 @@ def estimate_true_error(
     fv = func.eval_batch(idx)
     tv = np.asarray(tt.evaluate_batch(idx))
     return float(np.abs(fv - tv).max())
+
+
+def _convergence_criterion(ranks, errors, nglobal, tol, maxbonddim,
+                           ncheck_history) -> bool:
+    """Ref: convergence_criterion (tensorci2.rs:1178-1202)."""
+    if len(errors) < ncheck_history:
+        return False
+    le = errors[-ncheck_history:]
+    lr = ranks[-ncheck_history:]
+    lg = nglobal[-ncheck_history:]
+    errors_converged = all(e < tol for e in le)
+    no_global = all(n == 0 for n in lg)
+    rank_stable = min(lr) == lr[-1]
+    at_max = (maxbonddim is not None
+              and all(r >= maxbonddim for r in lr))
+    return (errors_converged and no_global and rank_stable) or at_max
 
 
 # ----------------------------------------------------------------------
@@ -277,44 +502,68 @@ def crossinterpolate2(
     """Cross-interpolate a black-box function into a tensor train.
 
     Returns ``(tci, ranks_history, errors_history)`` — call
-    ``tci.to_tensortrain()`` for the TT (ref returns the same triple).
-
-    Convergence (ref tensorci2.rs:71-120 doc): stop when the normalized
-    pivot error < tol AND ranks are stable AND no new global pivots are
-    found, for `ncheck_history` consecutive half-sweeps.
+    ``tci.to_tensortrain()`` for the TT (free: site tensors are state).
     """
     opts = options or TCI2Options()
     func = CachedFunction(f=f, local_dims=local_dims, batch_f=batch_f,
                           dtype=dtype)
     tci = TensorCI2(func, initial_pivots)
+    return optimize(tci, opts)
+
+
+def optimize(
+    tci: TensorCI2, opts: TCI2Options
+) -> Tuple[TensorCI2, List[int], List[float]]:
+    """Optimization loop on an existing state (ref optimize_with_finder)."""
     rng = np.random.default_rng(opts.seed)
     ranks_history: List[int] = []
     errors_history: List[float] = []
-    stable = 0
+    nglobal_history: List[int] = []
     for it in range(opts.max_iter):
-        direction = "forward" if it % 2 == 0 else "backward"
-        tci.sweep2site(direction, opts)
-        err = float(tci.pivot_errors.max()) / max(tci.f_max, 1e-300)
-        rank = max(tci.ranks)
-        ranks_history.append(rank)
+        norm = (tci.f_max if opts.normalize_error and tci.f_max > 0
+                else 1.0)
+        abs_tol = opts.tol * norm
+        if opts.sweep_strategy == "forward":
+            direction = "forward"
+        elif opts.sweep_strategy == "backward":
+            direction = "backward"
+        else:
+            direction = "forward" if it % 2 == 0 else "backward"
+        # non-strictly-nested: union last iteration's pivot sets into the
+        # candidates so sweeps accumulate instead of rebuilding
+        if not opts.strictly_nested and tci._prev_Iset is not None:
+            extra_I = tci._prev_Iset
+            extra_J = tci._prev_Jset
+        else:
+            extra_I = extra_J = None
+        tci._prev_Iset = [list(s.items()) for s in tci.Iset]
+        tci._prev_Jset = [list(s.items()) for s in tci.Jset]
+        tci.sweep2site(direction, opts, extra_I, extra_J)
+        tci.fill_site_tensors()
+        err = tci.max_bond_error() / norm
         errors_history.append(err)
-        if opts.verbosity:
-            print(f"[tci2] iter={it} dir={direction} rank={rank} err={err:.3e}")
+        # global pivot search on the current TT (free: tensors in state)
         new_pivots: List[MultiIndex] = []
-        if opts.n_global_pivots > 0:
+        if opts.max_nglobal_pivot > 0 and opts.nsearch > 0:
             tt = tci.to_tensortrain()
-            new_pivots = find_global_pivots(tci, tt, opts, rng)
+            new_pivots = find_global_pivots(tci, tt, opts, rng, abs_tol)
             if new_pivots:
                 tci.add_global_pivots(new_pivots)
-        rank_stable = (
-            len(ranks_history) >= 2 and ranks_history[-1] == ranks_history[-2]
-        )
-        if err < opts.tol and rank_stable and not new_pivots:
-            stable += 1
-            if stable >= opts.ncheck_history:
-                break
-        else:
-            stable = 0
+        nglobal_history.append(len(new_pivots))
+        ranks_history.append(tci.rank)
+        if opts.verbosity:
+            print(f"[tci2] iter={it} dir={direction} rank={tci.rank} "
+                  f"err={err:.3e} fmax={tci.f_max:.3e} "
+                  f"nglobal={len(new_pivots)}")
+        if _convergence_criterion(ranks_history, errors_history,
+                                  nglobal_history, opts.tol,
+                                  opts.maxbonddim, opts.ncheck_history):
+            break
     if opts.final_sweep1site:
-        tci.sweep1site(opts)
+        norm = (tci.f_max if opts.normalize_error and tci.f_max > 0
+                else 1.0)
+        tci.sweep1site(True, 1e-14, opts.tol * norm, opts.maxbonddim,
+                       update_tensors=True)
+    elif any(t is None for t in tci.site_tensors):
+        tci.fill_site_tensors()
     return tci, ranks_history, errors_history

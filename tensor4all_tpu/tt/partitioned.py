@@ -157,8 +157,10 @@ def partitioned_interpolate(
         full[:, free] = sub_idx
         return batch_f(full)
 
-    opts = options or TCI2Options(tol=tol, max_iter=10)
-    opts = dataclasses.replace(opts, maxbonddim=maxbonddim)
+    import copy
+
+    opts = copy.copy(options or TCI2Options(tol=tol, max_iter=10))
+    opts.maxbonddim = maxbonddim
     tci, _, errs = crossinterpolate2(
         batch_f=sub_f, local_dims=[local_dims[k] for k in free],
         options=opts,

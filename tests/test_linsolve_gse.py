@@ -103,7 +103,7 @@ def test_gse_tdvp_beats_plain_tdvp_from_product_state(key):
     markedly better."""
     from tensor4all_tpu.treetn.tdvp import tdvp
 
-    g = chain(6)
+    g = chain(5)
     tn, sites = setup(key, g, chi=1)
     order = list(g.nodes)
     op = heisenberg(g, sites)
@@ -112,9 +112,9 @@ def test_gse_tdvp_beats_plain_tdvp_from_product_state(key):
     n0 = np.linalg.norm(psi0)
     psi0 = psi0 / n0
     tn.set_tensor(order[0], tn.tensor(order[0]) / n0)
-    T = 0.4
+    T = 0.3
     expect = expm(-1j * T * H) @ psi0
-    t_opts = TdvpOptions(nsteps=8, order=2, maxdim=16, cutoff=1e-12)
+    t_opts = TdvpOptions(nsteps=5, order=2, maxdim=16, cutoff=1e-12)
     out_gse = gse_tdvp(op, tn, -1j * T,
                        gse_options=GseOptions(krylov_dim=2, weight=1e-4,
                                               expand_maxdim=16),

@@ -179,3 +179,99 @@ def test_tci2_jax_fast_path(key):
     )
     tt = tci.to_tensortrain()
     assert estimate_true_error(tt, tci.func) < 1e-8
+
+
+def gauss10_batch(idx):
+    """BASELINE.json config 2: 10-D multivariate Gaussian."""
+    x = (np.asarray(idx, dtype=np.float64) - 3.5) / 3.0
+    return np.exp(-np.sum(x * x, axis=-1))
+
+
+def test_tci2_10d_gaussian_monotone_ranks():
+    """VERDICT r1 #3 done-criterion: 10-D Gaussian converges with a
+    monotone rank history (nested accumulation, tensorci2.rs:1571)."""
+    dims = [8] * 10
+    tci, ranks, errs = crossinterpolate2(
+        batch_f=gauss10_batch, local_dims=dims,
+        options=TCI2Options(tol=1e-8, max_iter=16, seed=0),
+    )
+    assert all(r2 >= r1 for r1, r2 in zip(ranks, ranks[1:])), ranks
+    tt = tci.to_tensortrain()
+    err = estimate_true_error(tt, tci.func, n_samples=4000)
+    assert err < 1e-7 * tci.f_max
+
+
+def test_tci2_to_tensortrain_zero_new_evals():
+    """Site tensors are state: to_tensortrain costs no new f-evals
+    (ref tensorci2.rs:541)."""
+    tci, _, _ = crossinterpolate2(
+        batch_f=gauss10_batch, local_dims=[4] * 6,
+        options=TCI2Options(tol=1e-10, max_iter=10),
+    )
+    n0 = tci.func.num_evals
+    tt1 = tci.to_tensortrain()
+    tt2 = tci.to_tensortrain()
+    assert tci.func.num_evals == n0
+    np.testing.assert_allclose(np.asarray(tt1.full_tensor()),
+                               np.asarray(tt2.full_tensor()))
+
+
+def test_tci2_rook_matches_full():
+    """Rook pivot search agrees with full to tolerance and uses fewer
+    f-evals (ref PivotSearchStrategy::Rook, tensorci2.rs:191,1631)."""
+    dims = [8] * 6
+
+    def batch_f(idx):
+        x = (np.asarray(idx, dtype=np.float64) - 2.0) / 3.0
+        return 1.0 / (1.0 + np.sum(x * x, axis=-1))
+
+    tci_full, _, _ = crossinterpolate2(
+        batch_f=batch_f, local_dims=dims,
+        options=TCI2Options(tol=1e-8, max_iter=12, pivot_search="full"))
+    tci_rook, _, _ = crossinterpolate2(
+        batch_f=batch_f, local_dims=dims,
+        options=TCI2Options(tol=1e-8, max_iter=12, pivot_search="rook"))
+    err_full = estimate_true_error(tci_full.to_tensortrain(), tci_full.func)
+    err_rook = estimate_true_error(tci_rook.to_tensortrain(), tci_rook.func)
+    assert err_full < 1e-7 * tci_full.f_max
+    assert err_rook < 1e-7 * tci_rook.f_max
+    # the rook path must not materialize the full Pi matrices
+    assert tci_rook.func.num_evals < tci_full.func.num_evals
+
+
+def test_tci2_from_tensortrain_direct_extraction():
+    """TT -> TCI2 pivot extraction uses the cores, not re-interpolation:
+    zero function evaluations (ref conversion.rs sweep_pair)."""
+    from tensor4all_tpu.tci.conversion import tci2_from_tensortrain
+    from tensor4all_tpu.tt.tensortrain import TensorTrain
+    import jax
+
+    tt = TensorTrain.random(jax.random.PRNGKey(0), [3, 4, 3, 2], rank=5)
+    tci = tci2_from_tensortrain(tt, tol=1e-13)
+    assert tci.func.num_evals == 0
+    tt2 = tci.to_tensortrain()
+    assert tci.func.num_evals == 0  # site tensors came from the cores
+    np.testing.assert_allclose(np.asarray(tt2.full_tensor()),
+                               np.asarray(tt.full_tensor()), atol=1e-10)
+    assert [len(s) for s in tci.Iset[1:]] == [len(s) for s in tci.Iset[1:]]
+
+
+def test_tci2_make_canonical():
+    tci, _, _ = crossinterpolate2(
+        batch_f=gauss10_batch, local_dims=[4] * 5,
+        options=TCI2Options(tol=1e-10, max_iter=8))
+    tt_before = np.asarray(tci.to_tensortrain().full_tensor())
+    tci.make_canonical(rel_tol=1e-13, abs_tol=1e-12 * tci.f_max)
+    tt_after = np.asarray(tci.to_tensortrain().full_tensor())
+    np.testing.assert_allclose(tt_after, tt_before, atol=1e-8)
+
+
+def test_tci2_sweep_strategies():
+    dims = [4] * 5
+    for strat in ("forward", "backward", "backandforth"):
+        tci, _, _ = crossinterpolate2(
+            batch_f=gauss10_batch, local_dims=dims,
+            options=TCI2Options(tol=1e-9, max_iter=12,
+                                sweep_strategy=strat))
+        err = estimate_true_error(tci.to_tensortrain(), tci.func)
+        assert err < 1e-8 * tci.f_max, strat
