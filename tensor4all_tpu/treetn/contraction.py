@@ -1,0 +1,360 @@
+"""TreeTN x TreeTN contraction: one-pass zipup + partial contraction.
+
+TPU-native rebuild of tensor4all-treetn/src/treetn/contraction.rs
+(`contract_zipup` :268, scalar-subtree pruning :520) and
+partial_contraction.rs:1-1295 (`PartialContractionSpec`,
+`partial_contract` :857, `hadamard` :1064, `weighted_sum_over_index_pairs`
+:1138, `sum_over_indices` :1198).
+
+The zipup is genuinely one-pass: edges are processed leaves-to-center and
+every child tensor is truncated (factorize with the policy cap) *before*
+its right factor flows to the parent — peak bond never exceeds the cap,
+unlike naive-contract-then-truncate whose peak is the product of operand
+bonds. Each per-edge factorization is a single chi^2 x chi^2-shaped
+kernel on the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import networkx as nx
+import numpy as np
+
+from ..config import SvdTruncationPolicy
+from ..core.contract import contract
+from ..core.decomp import Canonical, FactorizeAlg, factorize
+from ..core.index import Index
+from ..core.tensor import Tensor
+from .network import TreeTN, NodeName
+
+
+def _same_topology(a: TreeTN, b: TreeTN) -> bool:
+    if set(a.node_names) != set(b.node_names):
+        return False
+    ea = {tuple(sorted(e, key=repr)) for e in a.graph.edges}
+    eb = {tuple(sorted(e, key=repr)) for e in b.graph.edges}
+    return ea == eb
+
+
+def contract_zipup(
+    a: TreeTN,
+    b: TreeTN,
+    center: Optional[NodeName] = None,
+    policy: Optional[SvdTruncationPolicy] = None,
+    form: FactorizeAlg = FactorizeAlg.SVD,
+    max_rank: Optional[int] = None,
+    prune_scalar_subtrees: bool = True,
+) -> TreeTN:
+    """One-pass truncating contraction of two same-topology TreeTNs.
+
+    Ref: contraction.rs:268 `contract_zipup`. Corresponding nodes are
+    contracted over their shared (site) indices; at each edge
+    (child -> parent, leaves first) the child tensor is factorized with
+    the two parent bonds on the right, truncated by `policy`, and only
+    the (already-truncated) right factor flows upward. The result is
+    canonical toward `center`.
+
+    Nodes whose contraction leaves no external index (scalar subtrees)
+    are absorbed into their parent (ref ZipupTopologyMode::
+    PruneScalarSubtrees) unless `prune_scalar_subtrees=False`, in which
+    case they are kept connected by a dim-1 dummy bond.
+    """
+    if not _same_topology(a, b):
+        raise ValueError("contract_zipup: networks have different topologies")
+    names = a.node_names
+    if center is None:
+        center = names[0]
+    if policy is None:
+        policy = SvdTruncationPolicy(tol=0.0)
+    if max_rank is not None:
+        policy = dataclasses.replace(
+            policy,
+            maxdim=(max_rank if policy.maxdim is None
+                    else min(policy.maxdim, max_rank)))
+    if len(names) == 1:
+        out = TreeTN()
+        out.add_node(names[0], contract(
+            [a.tensor(names[0]), b.tensor(names[0])], check_connected=False))
+        return out
+
+    parent = dict(nx.bfs_predecessors(a.graph, center))
+    order = [v for v in list(nx.bfs_tree(a.graph, center))[::-1]]
+    interm: Dict[NodeName, List[Tensor]] = {}
+    result: Dict[NodeName, Tensor] = {}
+    new_bonds: Dict[Tuple[NodeName, NodeName], Index] = {}
+
+    for node in order:
+        ts = interm.pop(node, []) + [a.tensor(node), b.tensor(node)]
+        c = contract(ts, check_connected=False)
+        if node == center:
+            result[node] = c
+            continue
+        p = parent[node]
+        drop = {a.bond(node, p), b.bond(node, p)}
+        left_inds = tuple(i for i in c.indices if i not in drop)
+        if not left_inds:
+            if prune_scalar_subtrees:
+                interm.setdefault(p, []).append(c)
+                continue
+            dummy = Index(1, tags="Link")
+            ones = Tensor((dummy,), np.ones((1,), np.asarray(0.0).dtype))
+            result[node] = ones
+            r = contract([c, Tensor((dummy,), np.ones(1))],
+                         check_connected=False)
+            new_bonds[(node, p)] = dummy
+            interm.setdefault(p, []).append(r)
+            continue
+        L, R, _ = factorize(c, left_inds, alg=form,
+                            canonical=Canonical.LEFT, policy=policy)
+        bond = next(i for i in L.indices if i not in left_inds)
+        result[node] = L
+        new_bonds[(node, p)] = bond
+        interm.setdefault(p, []).append(R)
+
+    out = TreeTN()
+    for v, t in result.items():
+        out.add_node(v, t)
+    for (u, v), bond in new_bonds.items():
+        out.connect(u, v, bond)
+        out._set_ortho(u, v, v)
+    out.validate_tree()
+    return out
+
+
+def contract_networks(
+    a: TreeTN,
+    b: TreeTN,
+    center: Optional[NodeName] = None,
+    method: str = "zipup",
+    policy: Optional[SvdTruncationPolicy] = None,
+    max_rank: Optional[int] = None,
+) -> TreeTN:
+    """Top-level two-network contraction dispatch (ref contraction.rs:1100).
+
+    `naive` contracts node-wise exactly (bond dims multiply) then
+    truncates; `zipup` is the one-pass truncating algorithm; `fit` is
+    variational (treetn.fit).
+    """
+    if method == "zipup":
+        return contract_zipup(a, b, center, policy, max_rank=max_rank)
+    if method == "naive":
+        out = _contract_naive(a, b)
+        if policy is not None or max_rank is not None:
+            p = policy or SvdTruncationPolicy(tol=0.0)
+            if max_rank is not None:
+                p = dataclasses.replace(
+                    p, maxdim=(max_rank if p.maxdim is None
+                               else min(p.maxdim, max_rank)))
+            out.truncate(p, centers=[center] if center is not None else None)
+        return out
+    if method == "fit":
+        from .fit import fit_networks
+
+        return fit_networks(a, b, center=center, policy=policy,
+                            max_rank=max_rank)
+    raise ValueError(f"unknown contraction method {method!r}")
+
+
+def _contract_naive(a: TreeTN, b: TreeTN) -> TreeTN:
+    """Node-wise exact contraction; result bonds are (a-bond, b-bond)
+    fusions (ref contraction.rs:675)."""
+    if not _same_topology(a, b):
+        raise ValueError("naive contraction: topology mismatch")
+    out = TreeTN()
+    fused: Dict[Tuple, Index] = {}
+    from .network import _edge_key
+
+    for v in a.node_names:
+        y = contract([a.tensor(v), b.tensor(v)], check_connected=False)
+        nbrs = list(a.neighbors(v))
+        groups = [[a.bond(v, nb), b.bond(v, nb)] for nb in nbrs]
+        if groups:
+            y, fresh = y.fuse_indices(groups)
+            for nb, fi in zip(nbrs, fresh):
+                k = _edge_key(v, nb)
+                if k in fused:
+                    y = y.replaceind(fi, fused[k])
+                else:
+                    fused[k] = fi
+        out.add_node(v, y)
+    for u, v in a.graph.edges:
+        out.graph.add_edge(u, v, bond=fused[_edge_key(u, v)])
+    return out
+
+
+# ----------------------------------------------------------------------
+# partial contraction (ref partial_contraction.rs)
+# ----------------------------------------------------------------------
+@dataclasses.dataclass
+class PartialContractionSpec:
+    """Which external site-index pairs to contract / diagonal-link.
+
+    Ref: partial_contraction.rs:63. `contract_pairs` are summed over and
+    removed; `diagonal_pairs` are linked element-wise (hadamard) with the
+    left-hand index surviving in the result.
+    """
+
+    contract_pairs: List[Tuple[Index, Index]] = dataclasses.field(
+        default_factory=list)
+    diagonal_pairs: List[Tuple[Index, Index]] = dataclasses.field(
+        default_factory=list)
+
+
+def _delta3(i: Index, j: Index, k: Index, dtype=np.float64) -> Tensor:
+    d = i.dim
+    data = np.zeros((d, d, d), dtype)
+    ar = np.arange(d)
+    data[ar, ar, ar] = 1.0
+    return Tensor((i, j, k), data)
+
+
+def _node_of_index(tn: TreeTN, idx: Index) -> NodeName:
+    for v in tn.node_names:
+        if tn.tensor(v).hasindex(idx):
+            return v
+    raise ValueError(f"index {idx!r} not found in network")
+
+
+def partial_contract(
+    a: TreeTN,
+    b: TreeTN,
+    spec: PartialContractionSpec,
+    center: Optional[NodeName] = None,
+    method: str = "zipup",
+    policy: Optional[SvdTruncationPolicy] = None,
+) -> TreeTN:
+    """Contract two TreeTNs over *selected* index pairs only
+    (ref partial_contract :857).
+
+    Unpaired external indices of both operands survive. For
+    `diagonal_pairs` a 3-leg copy tensor links the pair element-wise and
+    keeps the left-hand index in the result (TreeTN hadamard). When the
+    (modified) operands share a topology the contraction is the one-pass
+    zipup; a single-node exact contraction is the fallback for
+    mismatched topologies.
+    """
+    for ia, ib in list(spec.contract_pairs) + list(spec.diagonal_pairs):
+        if ia.dim != ib.dim:
+            raise ValueError(
+                f"partial_contract: dim mismatch {ia.dim} != {ib.dim}")
+    am = a.copy()
+    bm = b.copy()
+    restore: List[Tuple[Index, Index]] = []
+    dtype = np.result_type(
+        np.asarray(a.tensor(a.node_names[0]).data).dtype,
+        np.asarray(b.tensor(b.node_names[0]).data).dtype)
+    # diagonal pairs: T_a[.., ia, ..] -> contract with delta(ia_out, ia, ic)
+    # and rename b's ib -> ic so the zipup sums the diagonal
+    for ia, ib in spec.diagonal_pairs:
+        v = _node_of_index(am, ia)
+        tmp = Index(ia.dim, tags="DiagTmp")
+        ic = Index(ia.dim, tags="DiagLink")
+        out_idx = Index(ia.dim, tags=str(ia.tags))
+        t = am.tensor(v).replaceind(ia, tmp)
+        am.set_tensor(v, contract(
+            [t, _delta3(out_idx, tmp, ic).astype(dtype)],
+            check_connected=False))
+        w = _node_of_index(bm, ib)
+        bm.set_tensor(w, bm.tensor(w).replaceind(ib, ic))
+        restore.append((out_idx, ia))
+    for ia, ib in spec.contract_pairs:
+        w = _node_of_index(bm, ib)
+        bm.set_tensor(w, bm.tensor(w).replaceind(ib, ia))
+
+    if _same_topology(am, bm):
+        out = contract_networks(am, bm, center=center, method=method,
+                                policy=policy)
+    else:
+        # exact single-node fallback for mismatched topologies
+        t = contract(
+            [am.tensor(v) for v in am.node_names]
+            + [bm.tensor(v) for v in bm.node_names],
+            check_connected=False)
+        out = TreeTN()
+        out.add_node(center if center is not None else a.node_names[0], t)
+    if restore:
+        for v in out.node_names:
+            t = out.tensor(v)
+            for frm, to in restore:
+                if t.hasindex(frm):
+                    t = t.replaceind(frm, to)
+            out.set_tensor(v, t)
+    return out
+
+
+def hadamard(
+    a: TreeTN,
+    b: TreeTN,
+    index_pairs: Sequence[Tuple[Index, Index]],
+    center: Optional[NodeName] = None,
+    method: str = "zipup",
+    policy: Optional[SvdTruncationPolicy] = None,
+) -> TreeTN:
+    """Element-wise (Hadamard) product of two TreeTNs over the given
+    site-index pairs (ref partial_contraction.rs:1064)."""
+    return partial_contract(
+        a, b,
+        PartialContractionSpec(diagonal_pairs=list(index_pairs)),
+        center=center, method=method, policy=policy)
+
+
+def weighted_sum_over_index_pairs(
+    state: TreeTN,
+    weights: TreeTN,
+    index_pairs: Sequence[Tuple[Index, Index]],
+    center: Optional[NodeName] = None,
+    method: str = "zipup",
+    policy: Optional[SvdTruncationPolicy] = None,
+) -> TreeTN:
+    """Sum selected state indices against a weight network
+    (ref partial_contraction.rs:1138)."""
+    return partial_contract(
+        state, weights,
+        PartialContractionSpec(contract_pairs=list(index_pairs)),
+        center=center, method=method, policy=policy)
+
+
+def sum_over_indices(
+    state: TreeTN,
+    sum_indices: Sequence[Index],
+    center: Optional[NodeName] = None,
+    method: str = "zipup",
+    policy: Optional[SvdTruncationPolicy] = None,
+) -> TreeTN:
+    """Sum a TreeTN over selected external indices using factorized unit
+    weights (ref partial_contraction.rs:1198)."""
+    if not sum_indices:
+        return state.copy()
+    seen = set()
+    for i in sum_indices:
+        if i in seen:
+            raise ValueError(f"duplicate sum index {i!r}")
+        seen.add(i)
+    # ones-weight network on the same topology, dim-1 bonds
+    weights = TreeTN()
+    pairs: List[Tuple[Index, Index]] = []
+    wb: Dict[Tuple, Index] = {}
+    from .network import _edge_key
+
+    dtype = np.asarray(state.tensor(state.node_names[0]).data).dtype
+    for v in state.node_names:
+        inds: List[Index] = []
+        for i in state.site_indices(v):
+            if i in seen:
+                wi = Index(i.dim, tags="SumW")
+                pairs.append((i, wi))
+                inds.append(wi)
+        for nb in state.neighbors(v):
+            k = _edge_key(v, nb)
+            if k not in wb:
+                wb[k] = Index(1, tags="Link")
+            inds.append(wb[k])
+        shape = tuple(i.dim for i in inds)
+        weights.add_node(v, Tensor(tuple(inds), np.ones(shape, dtype)))
+    for u, v in state.graph.edges:
+        weights.graph.add_edge(u, v, bond=wb[_edge_key(u, v)])
+    return weighted_sum_over_index_pairs(state, weights, pairs,
+                                         center=center, method=method,
+                                         policy=policy)

@@ -24,6 +24,17 @@ from ..core.tensor import Tensor
 from .network import TreeTN, NodeName, _edge_key
 
 
+def _unprime_sites(t: Tensor, state: TreeTN, v: NodeName) -> Tensor:
+    """Map every primed state-site index at node v back to its unprimed
+    identity (operator outputs re-enter the input space; identity
+    gap-fill nodes may carry several site pairs)."""
+    for s in state.site_indices(v):
+        sp = s.prime()
+        if t.hasindex(sp):
+            t = t.replaceind(sp, s)
+    return t
+
+
 class TreeOperator:
     """Tree MPO: TreeTN whose nodes map in-site -> out-site indices.
 
@@ -87,37 +98,102 @@ class TreeOperator:
         return tt.dense((ro, ci))
 
     # ------------------------------------------------------------------
+    def rebind_inputs(self, new_in: Dict[NodeName, Index]) -> "TreeOperator":
+        """Rebind the operator's input site indices to the given true
+        indices (ref IndexMapping, operator/index_mapping.rs): the
+        returned operator acts on states carrying ``new_in[v]`` and its
+        outputs unprime back to them."""
+        net = self.network.copy()
+        s_in, s_out = {}, {}
+        for v in net.node_names:
+            old_i, old_o = self.site_in[v], self.site_out[v]
+            t = net.tensor(v)
+            if v in new_in and new_in[v] != old_i:
+                ni = new_in[v]
+                if ni.dim != old_i.dim:
+                    raise ValueError(
+                        f"rebind_inputs: dim mismatch at {v!r}")
+                no = ni.prime()
+                t = t.replaceinds([old_i, old_o], [ni, no])
+                s_in[v], s_out[v] = ni, no
+            else:
+                s_in[v], s_out[v] = old_i, old_o
+            net.set_tensor(v, t)
+        return TreeOperator(net, s_in, s_out)
+
+    def gap_fill(self, state: TreeTN) -> "TreeOperator":
+        """Extend an operator defined on a node subset to the full state
+        topology by filling identity nodes (ref operator/apply.rs:300
+        gap-fill + identity.rs:12).
+
+        Filled nodes act as the identity on every state site index there;
+        edges outside the original operator get dimension-1 bonds.
+        """
+        return compose_exclusive([self], state)
+
     def apply(
         self,
         state: TreeTN,
         method: str = "zipup",
         policy: Optional[SvdTruncationPolicy] = None,
+        max_rank: Optional[int] = None,
+        center: Optional[NodeName] = None,
     ) -> TreeTN:
         """Apply the operator to a state (ref apply_linear_operator :300).
 
         The state's site index at node v must equal ``site_in[v]``; the
         output state carries ``site_out[v]`` unprimed back to the input
-        identity (so repeated application composes).
+        identity (so repeated application composes). Operators defined on
+        a node *subset* are identity-gap-filled automatically.
+
+        ``zipup`` is the one-pass truncating contraction
+        (contraction.rs:268): peak bond never exceeds the policy cap.
         """
+        op: TreeOperator = self
         if set(state.node_names) != set(self.node_names):
-            raise ValueError("apply: topology mismatch")
+            if set(self.node_names) <= set(state.node_names):
+                op = self.gap_fill(state)
+            else:
+                raise ValueError("apply: operator nodes not a subset of "
+                                 "the state's")
+        for v in state.node_names:
+            if not state.tensor(v).hasindex(op.site_in[v]):
+                raise ValueError(
+                    f"state node {v!r} lacks operator input index "
+                    f"{op.site_in[v]!r}"
+                )
+        if method == "fit":
+            from .fit import fit_apply
+
+            return fit_apply(op, state, policy)
+        if method == "zipup":
+            from .contraction import contract_zipup
+
+            out = contract_zipup(op.network, state, center=center,
+                                 policy=policy, max_rank=max_rank,
+                                 prune_scalar_subtrees=False)
+            for v in out.node_names:
+                out.set_tensor(v, _unprime_sites(out.tensor(v), state, v))
+            return out
+        if method == "naive":
+            out = self._apply_naive(op, state)
+            return out
+        raise ValueError(f"unknown apply method {method!r}")
+
+    @staticmethod
+    def _apply_naive(op: "TreeOperator", state: TreeTN) -> TreeTN:
+        """Exact node-wise application; bond dims multiply (ref
+        ApplyOptions::naive)."""
         out = TreeTN()
         fused_bond: Dict[Tuple, Index] = {}
         for v in state.node_names:
             x = state.tensor(v)
-            w = self.tensor(v)
-            if not x.hasindex(self.site_in[v]):
-                raise ValueError(
-                    f"state node {v!r} lacks operator input index "
-                    f"{self.site_in[v]!r}"
-                )
+            w = op.tensor(v)
             y = contract([w, x])
-            # fuse (op bond, state bond) per edge into one new bond,
-            # consistently across both endpoints
             groups = []
             nbrs = list(state.neighbors(v))
             for nb in nbrs:
-                ob = self.network.bond(v, nb)
+                ob = op.network.bond(v, nb)
                 sb = state.bond(v, nb)
                 groups.append([ob, sb])
             if groups:
@@ -128,21 +204,113 @@ class TreeOperator:
                         y = y.replaceind(fi, fused_bond[k])
                     else:
                         fused_bond[k] = fi
-            # output site: unprime back to the input identity
-            y = y.replaceind(self.site_out[v], self.site_in[v])
+            y = _unprime_sites(y, state, v)
             out.add_node(v, y)
         for a, b in state.graph.edges:
             out.graph.add_edge(a, b, bond=fused_bond[_edge_key(a, b)])
-        if method == "naive":
-            return out
-        if method == "zipup":
-            out.truncate(policy)
-            return out
-        if method == "fit":
-            from .fit import fit_apply
+        return out
 
-            return fit_apply(self, state, policy)
-        raise ValueError(f"unknown apply method {method!r}")
+
+def identity_operator_tensor(site_indices, bond_indices=(),
+                             dtype=None) -> Tensor:
+    """Identity node tensor: product of deltas over each (site', site)
+    pair, outer-extended by the given dimension-1 bonds
+    (ref operator/identity.rs:12 build_identity_operator_tensor)."""
+    import numpy as np
+
+    dtype = dtype or np.float64
+    t: Optional[Tensor] = None
+    for s in site_indices:
+        eye = Tensor((s.prime(), s), np.eye(s.dim, dtype=dtype))
+        t = eye if t is None else contract([t, eye], check_connected=False)
+    if t is None:
+        raise ValueError("identity node needs at least one site index")
+    for b in bond_indices:
+        if b.dim != 1:
+            raise ValueError("identity extension bonds must be dim 1")
+        ones = Tensor((b,), np.ones(1, dtype=dtype))
+        t = contract([t, ones], check_connected=False)
+    return t
+
+
+def are_exclusive_operators(state: TreeTN, operators) -> bool:
+    """Operators are exclusive iff vertex-disjoint and each forms a
+    connected subtree of the state graph (ref compose.rs:36)."""
+    node_sets = [set(op.node_names) for op in operators]
+    for i in range(len(node_sets)):
+        for j in range(i + 1, len(node_sets)):
+            if node_sets[i] & node_sets[j]:
+                return False
+    for ns in node_sets:
+        if not ns:
+            continue
+        if not ns <= set(state.node_names):
+            return False
+        sub = state.graph.subgraph(ns)
+        if not nx.is_connected(sub):
+            return False
+    return True
+
+
+def compose_exclusive(operators, state: TreeTN) -> TreeOperator:
+    """Compose operators acting on non-overlapping node subsets into ONE
+    operator on the full state topology (ref compose.rs:168
+    compose_exclusive_linear_operators).
+
+    Uncovered nodes become identities over the state's site indices
+    there; edges outside the pieces get dimension-1 bonds.
+    """
+    import numpy as np
+
+    if not are_exclusive_operators(state, operators):
+        raise ValueError("compose_exclusive: operators overlap or are not "
+                         "connected subtrees of the state")
+    owner: Dict[NodeName, TreeOperator] = {}
+    for op in operators:
+        for v in op.node_names:
+            owner[v] = op
+    dtype = np.asarray(state.tensor(state.node_names[0]).data).dtype
+    net = TreeTN()
+    s_in: Dict[NodeName, Index] = {}
+    s_out: Dict[NodeName, Index] = {}
+    # dim-1 bonds for every state edge not internal to a piece
+    edge_bond: Dict[Tuple, Index] = {}
+    for a, b in state.graph.edges:
+        k = _edge_key(a, b)
+        if (a in owner and b in owner and owner[a] is owner[b]
+                and owner[a].network.graph.has_edge(a, b)):
+            edge_bond[k] = owner[a].network.bond(a, b)
+        else:
+            edge_bond[k] = Index(1, tags="OpLink")
+    for v in state.node_names:
+        extra = []
+        for nb in state.neighbors(v):
+            k = _edge_key(v, nb)
+            op = owner.get(v)
+            covered_edge = (op is not None and nb in owner
+                            and owner[nb] is op
+                            and op.network.graph.has_edge(v, nb))
+            if not covered_edge:
+                extra.append(edge_bond[k])
+        if v in owner:
+            op = owner[v]
+            t = op.tensor(v)
+            for b in extra:
+                t = contract([t, Tensor((b,), np.ones(1, dtype=dtype))],
+                             check_connected=False)
+            net.add_node(v, t)
+            s_in[v], s_out[v] = op.site_in[v], op.site_out[v]
+        else:
+            sites = list(state.site_indices(v))
+            if not sites:
+                raise ValueError(
+                    f"compose_exclusive: node {v!r} has no site index to "
+                    f"act on as identity")
+            net.add_node(v, identity_operator_tensor(sites, extra, dtype))
+            s_in[v], s_out[v] = sites[0], sites[0].prime()
+    for a, b in state.graph.edges:
+        net.graph.add_edge(a, b, bond=edge_bond[_edge_key(a, b)])
+    return TreeOperator(net, s_in, s_out)
 
 
 def mpo_to_treeoperator(mpo, site_indices) -> TreeOperator:
