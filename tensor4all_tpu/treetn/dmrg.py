@@ -21,6 +21,11 @@ from ..config import (
 from ..core.contract import contract
 from ..core.decomp import Canonical, svd_two
 from ..core.krylov import hermitian_lanczos_lowest_eigenpair
+from .localupdate import (
+    BaseUpdater,
+    LocalUpdateSweepPlan,
+    apply_local_update_sweep,
+)
 from .network import TreeTN, NodeName
 from .operator import TreeOperator
 from .projected import ProjectedOperator
@@ -55,6 +60,46 @@ class DmrgResult:
     converged: bool
 
 
+class _DmrgUpdater(BaseUpdater):
+    """Two-site ground-state updater for the shared sweep framework
+    (ref dmrg/mod.rs:409 local solve)."""
+
+    def __init__(self, proj: ProjectedOperator, policy, opts: "DmrgOptions"):
+        self.proj = proj
+        self.policy = policy
+        self.opts = opts
+        self.last_energy = None
+
+    def update(self, subtree: TreeTN, step, full: TreeTN) -> TreeTN:
+        a = next(v for v in step.nodes if v != step.new_center)
+        b = step.new_center
+        bond = subtree.bond(a, b)
+        ta, tb = subtree.tensor(a), subtree.tensor(b)
+        theta = contract([ta, tb])
+        ev, theta = hermitian_lanczos_lowest_eigenpair(
+            lambda th: self.proj.apply_local(th, (a, b)),
+            theta,
+            maxiter=self.opts.lanczos_maxiter,
+            rtol=self.opts.lanczos_rtol,
+        )
+        self.last_energy = ev
+        a_side = tuple(i for i in ta.indices if i != bond)
+        L, R, _ = svd_two(theta, a_side, self.policy,
+                          canonical=Canonical.LEFT)
+        out = TreeTN()
+        out.add_node(a, L)
+        out.add_node(b, R)
+        new_bond = next(i for i in L.indices if i not in a_side)
+        out.graph.add_edge(a, b, bond=new_bond)
+        from .network import _edge_key
+
+        out.ortho_towards[_edge_key(a, b)] = b
+        return out
+
+    def after_step(self, step, full: TreeTN) -> None:
+        self.proj.invalidate(step.nodes)
+
+
 def dmrg(
     op: TreeOperator,
     init: TreeTN,
@@ -77,28 +122,11 @@ def dmrg(
     energies: List[float] = []
     last_energy = None
     converged = False
+    plan = LocalUpdateSweepPlan.from_treetn(state, root, nsite=2)
+    updater = _DmrgUpdater(proj, pol, opts)
     for sweep in range(opts.nsweeps):
-        energy = None
-        for (a, b) in state._euler_edges(root):
-            bond = state.bond(a, b)
-            ta, tb = state.tensor(a), state.tensor(b)
-            theta = contract([ta, tb])
-            ev, theta = hermitian_lanczos_lowest_eigenpair(
-                lambda th: proj.apply_local(th, (a, b)),
-                theta,
-                maxiter=opts.lanczos_maxiter,
-                rtol=opts.lanczos_rtol,
-            )
-            energy = ev
-            a_side = tuple(
-                i for i in ta.indices if i != bond
-            )
-            L, R, _ = svd_two(theta, a_side, pol, canonical=Canonical.LEFT)
-            state.set_tensor(a, L)
-            state.set_tensor(b, R)
-            state.set_bond(a, b, L.indices[-1])
-            state._set_ortho(a, b, b)
-            proj.invalidate([a, b])
+        apply_local_update_sweep(state, plan, updater)
+        energy = updater.last_energy
         energies.append(float(energy))
         if opts.verbosity:
             print(f"[dmrg] sweep={sweep} E={energy:.12f} "

@@ -225,12 +225,20 @@ class TreeTN:
         policy: Optional[SvdTruncationPolicy] = None,
         centers: Optional[Sequence[NodeName]] = None,
     ) -> "TreeTN":
-        """Canonicalize then two-site SVD sweep over an Euler tour."""
+        """Canonicalize then two-site SVD sweep over an Euler tour
+        (consumes the shared local-update framework, ref truncate.rs +
+        localupdate.rs TruncateUpdater)."""
+        from .localupdate import (
+            LocalUpdateSweepPlan,
+            TruncateUpdater,
+            apply_local_update_sweep,
+        )
+
         self.validate_tree()
         root = (centers[0] if centers else self.node_names[0])
         self.canonicalize([root])
-        for a, b in self._euler_edges(root):
-            self._two_site_truncate(a, b, policy)
+        plan = LocalUpdateSweepPlan.from_treetn(self, root, nsite=2)
+        apply_local_update_sweep(self, plan, TruncateUpdater(policy))
         return self
 
     def _euler_edges(self, root: NodeName) -> List[Tuple[NodeName, NodeName]]:

@@ -132,6 +132,95 @@ def _evolve_site(proj, state, w, coeff, opts):
     proj.invalidate([w])
 
 
+def _fwd_site1(proj, state, w, coeff, opts):
+    """exp(+coeff * H_proj(w)) on node w (center must be at w)."""
+    state.move_center(w)
+    tw = hermitian_krylov_expm_multiply(
+        lambda th: proj.apply_local(th, (w,)),
+        state.tensor(w),
+        coeff,
+        maxiter=opts.krylov_maxiter,
+        rtol=opts.krylov_rtol,
+    )
+    state.set_tensor(w, tw)
+    proj.invalidate([w])
+
+
+def _bwd_bond1(proj, state, w, nb, coeff, opts):
+    """Zero-site backward bond step: QR-split w toward nb, evolve the
+    bond tensor by exp(-coeff * H_proj(bond)), absorb it into nb
+    (center moves w -> nb). Requires the center at w."""
+    from ..core.decomp import FactorizeAlg, factorize
+
+    state.move_center(w)
+    tw = state.tensor(w)
+    bond_old = state.bond(w, nb)
+    left = tuple(i for i in tw.indices if i != bond_old)
+    Q, C, _ = factorize(tw, left, alg=FactorizeAlg.QR,
+                        canonical=Canonical.LEFT)
+    beta = next(i for i in Q.indices if i not in left)
+    # nb-side message must be captured BEFORE the edge bond is renamed
+    env_nb = proj.env(nb, w)
+    state.set_tensor(w, Q)
+    state.set_bond(w, nb, beta)
+    state._set_ortho(w, nb, nb)
+    proj.invalidate([w])
+    env_w = proj.env(w, nb)
+
+    def apply_bond(th):
+        y = contract([th, env_w, env_nb], check_connected=False)
+        return y.replaceinds([beta.prime(), bond_old.prime()],
+                             [beta, bond_old])
+
+    C = hermitian_krylov_expm_multiply(
+        apply_bond, C, -coeff,
+        maxiter=opts.krylov_maxiter, rtol=opts.krylov_rtol)
+    state.set_tensor(nb, contract([C, state.tensor(nb)]))
+    proj.invalidate([nb])
+
+
+def _tdvp_1site(op, state, root, t, opts):
+    """nsite=1 projector splitting (ref tdvp/plan.rs:33-48, OneSite):
+    each node evolved forward once and each edge backward once per pass,
+    edge corrections tied to the DFS-tree parent edges so the order-2
+    composition is an exact palindrome on arbitrary trees. Bond
+    dimensions are preserved exactly."""
+    proj = ProjectedOperator(op, state)
+    dt = t / opts.nsteps
+    delta = dt / 2.0 if opts.order == 2 else dt
+    post = list(nx.dfs_postorder_nodes(state.graph, root))
+    parent = dict(nx.dfs_predecessors(state.graph, root))
+
+    def forward_pass(coeff):
+        # leaves-to-root: w+, then backward on (w, parent(w))
+        for w in post:
+            _fwd_site1(proj, state, w, coeff, opts)
+            if w in parent:
+                _bwd_bond1(proj, state, w, parent[w], coeff, opts)
+
+    def reverse_pass(coeff):
+        # exact mirror: root+, then per pre-order v: backward on
+        # (parent(v), v), then v+
+        for v in reversed(post):
+            if v in parent:
+                _bwd_bond1(proj, state, parent[v], v, coeff, opts)
+            _fwd_site1(proj, state, v, coeff, opts)
+
+    for step in range(opts.nsteps):
+        forward_pass(delta)
+        if opts.order == 2:
+            reverse_pass(delta)
+        if opts.normalize:
+            nn = float(state.norm())
+            if nn > 0:
+                region = state.canonical_region()
+                c = next(iter(region)) if region else root
+                state.set_tensor(c, state.tensor(c) / nn)
+        if opts.verbosity:
+            print(f"[tdvp1] step={step} maxdim={state.max_bond_dim()}")
+    return state
+
+
 def tdvp(
     op: TreeOperator,
     init: TreeTN,
@@ -139,14 +228,21 @@ def tdvp(
     center: Optional[NodeName] = None,
     options: Optional[TdvpOptions] = None,
 ) -> TreeTN:
-    """Evolve ``exp(t*H)|init>`` by TDVP sweeps (ref tdvp :1101)."""
+    """Evolve ``exp(t*H)|init>`` by TDVP sweeps (ref tdvp :1101).
+
+    ``nsite=2`` (default) grows bonds up to `maxdim`; ``nsite=1``
+    preserves bond dimensions exactly (projector-splitting with zero-site
+    backward bond steps, ref tdvp/plan.rs:33-48).
+    """
     opts = options or TdvpOptions()
-    if opts.nsite != 2:
-        raise NotImplementedError("nsite=1 TDVP: use nsite=2 (primary path)")
+    if opts.nsite not in (1, 2):
+        raise ValueError("nsite must be 1 or 2")
     state = init.copy()
     state.validate_tree()
     root = center if center is not None else state.node_names[0]
     state.canonicalize([root])
+    if opts.nsite == 1:
+        return _tdvp_1site(op, state, root, t, opts)
     proj = ProjectedOperator(op, state)
     pol = opts.policy()
     dt = t / opts.nsteps

@@ -103,3 +103,54 @@ def test_tdvp_order1(key):
     got = state_vec(out, sites, order)
     expect = expm(-1j * T * H) @ psi0
     assert np.linalg.norm(got - expect) < 5e-4
+
+
+def test_tdvp_nsite1_matches_nsite2_fixed_rank(key):
+    """nsite=1 TDVP matches nsite=2 on a problem whose rank never needs
+    to grow (VERDICT r1 #6 done-criterion; ref tdvp/plan.rs:33-48)."""
+    g = chain(6)
+    tn, sites = setup(key, g, chi=16)  # chi=16 >= 2^3: exact manifold
+    order_nodes = list(g.nodes)
+    op = heisenberg(g, sites)
+    H = dense_heisenberg(g, order_nodes)
+    T = 0.06
+    psi0 = state_vec(tn, sites, order_nodes)
+    psi0 = psi0 / np.linalg.norm(psi0)
+    tn.set_tensor(order_nodes[0], tn.tensor(order_nodes[0]) / float(tn.norm()))
+    expect = expm(-1j * T * H) @ psi0
+    out1 = tdvp(op, tn, t=-1j * T,
+                options=TdvpOptions(nsteps=3, order=2, nsite=1))
+    out2 = tdvp(op, tn, t=-1j * T,
+                options=TdvpOptions(nsteps=3, order=2, nsite=2,
+                                    maxdim=16, cutoff=1e-14))
+    got1 = state_vec(out1, sites, order_nodes)
+    got2 = state_vec(out2, sites, order_nodes)
+    assert np.linalg.norm(got1 - expect) < 5e-5
+    assert np.linalg.norm(got1 - got2) < 5e-5
+    # nsite=1 preserves bond dims exactly (vs the canonicalized input:
+    # the initial QR gauge legitimately trims rank-deficient padding)
+    ref = tn.copy()
+    # trim rank-deficient padding in both directions (pure gauge)
+    ref.canonicalize([order_nodes[0]])
+    ref.canonicalize([order_nodes[-1]])
+    ref.canonicalize([order_nodes[0]])
+    for a, b in out1.graph.edges:
+        assert out1.bond(a, b).dim == ref.bond(a, b).dim
+
+
+def test_tdvp_nsite1_star(key):
+    g = star3(2)
+    tn, sites = setup(key, g, chi=8)
+    order_nodes = list(g.nodes)
+    op = heisenberg(g, sites)
+    H = dense_heisenberg(g, order_nodes)
+    T = 0.05
+    psi0 = state_vec(tn, sites, order_nodes)
+    psi0 = psi0 / np.linalg.norm(psi0)
+    tn.set_tensor(order_nodes[0], tn.tensor(order_nodes[0]) / float(tn.norm()))
+    expect = expm(-1j * T * H) @ psi0
+    out = tdvp(op, tn, t=-1j * T,
+               options=TdvpOptions(nsteps=3, order=2, nsite=1))
+    got = state_vec(out, sites, order_nodes)
+    assert np.linalg.norm(got - expect) < 2e-3
+    assert abs(np.linalg.norm(got) - 1.0) < 1e-8

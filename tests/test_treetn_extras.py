@@ -133,3 +133,81 @@ def test_batched_evaluator(key):
     # single point path
     a = {sites[n]: int(idx[0][k]) for k, n in enumerate(order)}
     assert abs(float(ev.evaluate(a)) - expect[0]) < 1e-12
+
+
+def test_restructure_to_chain_to_balanced_tree(key):
+    """VERDICT r1 #6 done-criterion: chain -> balanced tree to 1e-10
+    (ref restructure/mod.rs:1306 restructure_to)."""
+    import networkx as nx
+    import numpy as np
+    from tensor4all_tpu.treetn.network import random_treetn
+    from tensor4all_tpu.treetn.restructure import restructure_to
+
+    L = 6
+    g = nx.path_graph(L)
+    dims = {n: [2] for n in g.nodes}
+    tn, sites = random_treetn(key, g, dims, bond_dim=4)
+    s = {n: sites[n][0] for n in g.nodes}
+    # balanced target: root R holds sites {2,3}; two arms hold {0,1} and
+    # {4,5} as two-node chains
+    tg = nx.Graph()
+    tg.add_edge("R", "A1")
+    tg.add_edge("A1", "A0")
+    tg.add_edge("R", "B1")
+    tg.add_edge("B1", "B0")
+    target_sites = {
+        "R": {s[2], s[3]},
+        "A1": {s[1]},
+        "A0": {s[0]},
+        "B1": {s[4]},
+        "B0": {s[5]},
+    }
+    out = restructure_to(tn, tg, target_sites)
+    order = [s[n] for n in g.nodes]
+    a = np.asarray(tn.contract_to_tensor().dense(order))
+    b = np.asarray(out.contract_to_tensor().dense(order))
+    np.testing.assert_allclose(b, a, atol=1e-10 * np.abs(a).max())
+    assert set(out.node_names) == set(tg.nodes)
+
+
+def test_restructure_to_tree_to_chain(key):
+    import networkx as nx
+    import numpy as np
+    from tensor4all_tpu.treetn.network import random_treetn
+    from tensor4all_tpu.treetn.restructure import restructure_to
+
+    g = nx.Graph()
+    g.add_edge("c", "x")
+    g.add_edge("c", "y")
+    g.add_edge("c", "z")
+    dims = {n: [2] for n in g.nodes}
+    tn, sites = random_treetn(key, g, dims, bond_dim=3)
+    s = {n: sites[n][0] for n in g.nodes}
+    tg = nx.path_graph(4)
+    target_sites = {0: {s["x"]}, 1: {s["c"]}, 2: {s["y"]}, 3: {s["z"]}}
+    out = restructure_to(tn, tg, target_sites)
+    order = [s["x"], s["c"], s["y"], s["z"]]
+    a = np.asarray(tn.contract_to_tensor().dense(order))
+    b = np.asarray(out.contract_to_tensor().dense(order))
+    np.testing.assert_allclose(b, a, atol=1e-10 * np.abs(a).max())
+    assert {tuple(sorted(e)) for e in out.graph.edges} == {
+        (0, 1), (1, 2), (2, 3)}
+
+
+def test_restructure_to_fuse_only(key):
+    import networkx as nx
+    import numpy as np
+    from tensor4all_tpu.treetn.network import random_treetn
+    from tensor4all_tpu.treetn.restructure import restructure_to
+
+    g = nx.path_graph(4)
+    dims = {n: [2] for n in g.nodes}
+    tn, sites = random_treetn(key, g, dims, bond_dim=3)
+    s = {n: sites[n][0] for n in g.nodes}
+    tg = nx.path_graph(2)
+    target_sites = {0: {s[0], s[1]}, 1: {s[2], s[3]}}
+    out = restructure_to(tn, tg, target_sites)
+    order = [s[n] for n in g.nodes]
+    a = np.asarray(tn.contract_to_tensor().dense(order))
+    b = np.asarray(out.contract_to_tensor().dense(order))
+    np.testing.assert_allclose(b, a, atol=1e-10 * np.abs(a).max())
