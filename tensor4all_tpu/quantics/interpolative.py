@@ -64,6 +64,28 @@ class InterpolativeQtt:
         bits = (m[:, None] >> shifts[None, :]) & 1
         return np.asarray(self.tt.evaluate_batch(bits))
 
+    def evaluate_continuous(self, x: np.ndarray) -> np.ndarray:
+        """Evaluate the CONTINUOUS interpolant (not just grid points):
+        consume R-1 dyadic bits through the cores, then close with the
+        Lagrange basis at the remaining fraction
+        (ref interpolation.rs evaluation path)."""
+        x = np.atleast_1d(np.asarray(x, dtype=np.float64))
+        u = np.clip((x - self.lower) / (self.upper - self.lower), 0.0,
+                    np.nextafter(1.0, 0.0))
+        t = chebyshev_nodes(self.K)
+        cores = [np.asarray(c) for c in self.tt.cores]
+        out = np.empty(x.shape)
+        for i, ui in enumerate(u):
+            s = int(ui * 2) if ui < 1 else 1
+            ui = 2 * ui - s
+            v = cores[0][0, s, :]
+            for k in range(1, self.R - 1):
+                s = int(ui * 2) if ui < 1 else 1
+                ui = 2 * ui - s
+                v = v @ cores[k][:, s, :]
+            out[i] = v @ lagrange_basis(t, np.asarray([ui]))[:, 0]
+        return out
+
 
 def interpolative_qtt(
     f: Callable[[np.ndarray], np.ndarray],
@@ -99,6 +121,110 @@ def interpolative_qtt(
         pts = lower + width * np.asarray([0.0, 0.5])
         cores = [np.asarray(f(pts)).reshape(1, 2, 1)]
     return InterpolativeQtt(TensorTrain(cores), R, K, lower, upper)
+
+
+@dataclasses.dataclass
+class InterpolativeQttNd:
+    """Fused multidimensional interpolative QTT (ref
+    interpolation.rs:98 interpolate_single_scale_nd): site dim 2^D, bond
+    K^D before compression."""
+
+    tt: TensorTrain
+    R: int
+    K: int
+    lower: np.ndarray
+    upper: np.ndarray
+
+    def evaluate(self, x: np.ndarray) -> np.ndarray:
+        """Nearest-grid-point evaluation at coordinates (B, D)."""
+        x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+        D = x.shape[1]
+        u = (x - self.lower) / (self.upper - self.lower)
+        m = np.clip((u * 2 ** self.R).astype(np.int64), 0,
+                    2 ** self.R - 1)  # (B, D)
+        shifts = np.arange(self.R - 1, -1, -1)
+        bits = (m[:, :, None] >> shifts[None, None, :]) & 1  # (B, D, R)
+        weights = 1 << np.arange(D)  # dim-0 minor fused digit
+        fused = (bits * weights[None, :, None]).sum(axis=1)  # (B, R)
+        return np.asarray(self.tt.evaluate_batch(fused))
+
+
+def interpolative_qtt_nd(
+    f: Callable[[np.ndarray], np.ndarray],
+    lower: Sequence[float],
+    upper: Sequence[float],
+    R: int,
+    K: int = 12,
+    compress_tol: Optional[float] = 1e-12,
+    maxdim: Optional[int] = None,
+) -> InterpolativeQttNd:
+    """Fused D-dimensional interpolative QTT (ref interpolation.rs:98):
+    each site carries one bit of EVERY dimension (fused digit, dim-0
+    minor). `f` maps points (B, D) -> (B,)."""
+    lower = np.asarray(lower, dtype=np.float64)
+    upper = np.asarray(upper, dtype=np.float64)
+    D = len(lower)
+    if R < 2:
+        raise ValueError("R must be >= 2")
+    t = chebyshev_nodes(K)
+    width = upper - lower
+    # tensor-product node grid: (K^D, D), dim-0 fastest
+    grids = np.meshgrid(*([t] * D), indexing="ij")
+    T = np.stack([g.reshape(-1, order="F") for g in grids], axis=1)
+    # fused s digits: (2^D, D), dim-0 minor
+    S = np.stack([(np.arange(1 << D) >> d) & 1 for d in range(D)], axis=1)
+    # 1-D building blocks
+    M1 = np.empty((K, 2, K))
+    for s in (0, 1):
+        M1[:, s, :] = lagrange_basis(t, (s + t) / 2.0)
+    L1 = np.empty((K, 2))
+    for s in (0, 1):
+        L1[:, s] = lagrange_basis(t, np.asarray([s / 2.0]))[:, 0]
+    # first core: f at depth-1 points
+    first = np.empty((1, 1 << D, K ** D))
+    for si in range(1 << D):
+        pts = lower[None, :] + width[None, :] * (S[si][None, :] + T) / 2.0
+        first[0, si, :] = np.asarray(f(pts))
+    # middle core: product of per-dim Lagrange maps
+    mid = np.ones((K ** D, 1 << D, K ** D))
+    idx = np.arange(K ** D)
+    for d in range(D):
+        a_d = (idx // K ** d) % K
+        b_d = (idx // K ** d) % K
+        block = M1[a_d[:, None, None], S[None, :, d, None],
+                   b_d[None, None, :]]
+        mid = mid * block
+    last = np.ones((K ** D, 1 << D, 1))
+    for d in range(D):
+        a_d = (idx // K ** d) % K
+        last[:, :, 0] = last[:, :, 0] * L1[a_d[:, None], S[None, :, d]]
+    cores = [first] + [mid.copy() for _ in range(R - 2)] + [last]
+    tt = TensorTrain(cores)
+    if compress_tol is not None:
+        tt = tt.compress(tol=compress_tol, maxdim=maxdim, method="svd")
+    return InterpolativeQttNd(tt, R, K, lower, upper)
+
+
+def invert_qtt(iq: InterpolativeQtt, max_level: Optional[int] = None):
+    """Recover the per-interval Chebyshev node values from an
+    interpolative QTT (ref interpolation.rs:524 invert_qtt): level ``l``
+    yields a (2^l, K) matrix whose row ``i`` holds the interpolant's
+    coefficients (= values at the K Chebyshev nodes) of the i-th dyadic
+    interval — computed exactly by partial contraction of the cores."""
+    R, K = iq.R, iq.K
+    if max_level is None:
+        max_level = R - 1
+    if not 1 <= max_level <= R - 1:
+        raise ValueError("max_level must be in [1, R-1]")
+    cores = [np.asarray(c) for c in iq.tt.cores]
+    out = []
+    cur = cores[0][0]  # (2, K): level 1
+    out.append(cur.copy())
+    for lvl in range(2, max_level + 1):
+        cur = np.einsum("pa,asb->psb", cur, cores[lvl - 1]).reshape(
+            2 ** lvl, K)
+        out.append(cur.copy())
+    return out
 
 
 def adaptive_interpolative_qtt(

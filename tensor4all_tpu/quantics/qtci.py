@@ -97,6 +97,138 @@ def quanticscrossinterpolate_discrete(
     return QuanticsTensorCI2(tci, tci.to_tensortrain(), cont, ranks, errs)
 
 
+@dataclasses.dataclass
+class QuanticsTensorCI2Batched:
+    """Multi-component interpolation result (ref batched/mod.rs): the TT
+    has the grid sites followed by one component-selector site."""
+
+    tt: TensorTrain
+    output_dims: Tuple[int, ...]
+    grid: DiscretizedGrid
+    ranks_history: List[int]
+    errors_history: List[float]
+    n_evals: int
+
+    def evaluate(self, x, component: Sequence[int]) -> np.ndarray:
+        """Evaluate one output component at coordinates (B, d)."""
+        q = self.grid.coord_to_quantics(np.atleast_2d(np.asarray(x, float)))
+        comp = int(np.ravel_multi_index(tuple(component), self.output_dims))
+        idx = np.concatenate(
+            [q, np.full((q.shape[0], 1), comp, dtype=q.dtype)], axis=1)
+        return np.asarray(self.tt.evaluate_batch(idx))
+
+
+def combine_component_tts(tts: Sequence[TensorTrain]) -> TensorTrain:
+    """Direct-sum per-component TTs + trailing selector site
+    (ref batched/mod.rs combine_component_tts)."""
+    import jax.numpy as jnp
+
+    ncomp = len(tts)
+    if ncomp == 0:
+        raise ValueError("no component TTs")
+    n = len(tts[0])
+    for tt in tts:
+        if len(tt) != n or tt.local_dims != tts[0].local_dims:
+            raise ValueError("component TTs must share site dimensions")
+    dtype = np.result_type(*[np.asarray(tt.cores[0]).dtype for tt in tts])
+    cores = []
+    for k in range(n):
+        comps = [np.asarray(tt.cores[k]) for tt in tts]
+        d = comps[0].shape[1]
+        if k == 0 and n == 1:
+            out = np.concatenate(comps, axis=2)  # (1, d, ncomp)
+        elif k == 0:
+            out = np.concatenate(comps, axis=2)  # (1, d, sum_r)
+        elif k == n - 1:
+            sum_l = sum(c.shape[0] for c in comps)
+            out = np.zeros((sum_l, d, ncomp), dtype)
+            lo = 0
+            for c_idx, c in enumerate(comps):
+                out[lo:lo + c.shape[0], :, c_idx] = c[:, :, 0]
+                lo += c.shape[0]
+        else:
+            sum_l = sum(c.shape[0] for c in comps)
+            sum_r = sum(c.shape[2] for c in comps)
+            out = np.zeros((sum_l, d, sum_r), dtype)
+            lo = ro = 0
+            for c in comps:
+                out[lo:lo + c.shape[0], :, ro:ro + c.shape[2]] = c
+                lo += c.shape[0]
+                ro += c.shape[2]
+        cores.append(jnp.asarray(out.astype(dtype)))
+    # selector site
+    sel = np.zeros((ncomp, ncomp, 1), dtype)
+    for c in range(ncomp):
+        sel[c, c, 0] = 1.0
+    cores.append(jnp.asarray(sel))
+    return TensorTrain(cores)
+
+
+def quanticscrossinterpolate_batched(
+    f: Callable[[np.ndarray], np.ndarray],
+    grid: DiscretizedGrid,
+    output_dims: Sequence[int],
+    initial_pivots: Optional[Sequence[Sequence[int]]] = None,
+    options: Optional[TCI2Options] = None,
+    dtype=np.float64,
+) -> QuanticsTensorCI2Batched:
+    """Interpolate a VECTOR-valued function ``f((B, d)) -> (B, ncomp)``
+    into one quantics TT with a component-selector site
+    (ref batched/mod.rs:206 quanticscrossinterpolate_batched).
+
+    Each component is cross-interpolated independently; a shared
+    point-level cache means a coordinate sampled by any component's
+    pivots serves all components with ONE call to `f` (the reference's
+    Arc<Mutex<HashMap>> cache) — this is also the natural
+    embarrassingly-parallel DCN decomposition (SURVEY.md §5.8)."""
+    ncomp = int(np.prod(list(output_dims)))
+    if ncomp <= 0:
+        raise ValueError("output_dims must have positive product")
+    cache: dict = {}
+    total_evals = 0
+
+    def vec_eval(pts: np.ndarray) -> np.ndarray:
+        nonlocal total_evals
+        keys = [p.tobytes() for p in pts]
+        missing = [i for i, k in enumerate(keys) if k not in cache]
+        if missing:
+            vals = np.asarray(f(pts[missing]))
+            if vals.shape != (len(missing), ncomp):
+                raise ValueError(
+                    f"batched f must return (B, {ncomp}), got {vals.shape}")
+            total_evals += len(missing)
+            for i, row in zip(missing, vals):
+                cache[keys[i]] = row
+        return np.stack([cache[k] for k in keys])
+
+    opts = options or TCI2Options(tol=1e-8, max_iter=20)
+    piv = [list(p) for p in initial_pivots] if initial_pivots else None
+    tts, max_ranks, max_errors = [], [], []
+    for comp in range(ncomp):
+        def batch_f(q: np.ndarray, comp=comp) -> np.ndarray:
+            return vec_eval(grid.quantics_to_coord(q))[:, comp]
+
+        tci, ranks, errs = crossinterpolate2(
+            batch_f=batch_f, local_dims=grid.local_dims,
+            initial_pivots=piv, options=opts, dtype=dtype,
+        )
+        tts.append(tci.to_tensortrain())
+        for i, r in enumerate(ranks):
+            if i < len(max_ranks):
+                max_ranks[i] = max(max_ranks[i], r)
+            else:
+                max_ranks.append(r)
+        for i, e in enumerate(errs):
+            if i < len(max_errors):
+                max_errors[i] = max(max_errors[i], e)
+            else:
+                max_errors.append(e)
+    combined = combine_component_tts(tts)
+    return QuanticsTensorCI2Batched(
+        combined, tuple(output_dims), grid, max_ranks, max_errors,
+        total_evals)
+
+
 def quantics_from_array(
     a: np.ndarray,
     unfolding: UnfoldingScheme = UnfoldingScheme.INTERLEAVED,

@@ -139,90 +139,279 @@ def triangle_operator(R: int, dtype=np.float64) -> MPO:
     return cumsum_operator(R, inclusive=True, dtype=dtype)
 
 
+def _chebyshev_grid(K: int):
+    """Chebyshev points on [0,1] + barycentric weights
+    (ref fourier.rs chebyshev_grid)."""
+    j = np.arange(K + 1)
+    grid = 0.5 * (1.0 - np.cos(np.pi * j / K))
+    w = np.ones(K + 1)
+    for a in range(K + 1):
+        diff = grid[a] - np.delete(grid, a)
+        w[a] = 1.0 / np.prod(diff)
+    return grid, w
+
+
+def _lagrange_matrix(grid: np.ndarray, w: np.ndarray,
+                     x: np.ndarray) -> np.ndarray:
+    """P[alpha, m] = P_alpha(x_m), barycentric form, exact at nodes."""
+    diff = x[None, :] - grid[:, None]  # (K+1, M)
+    exact = np.abs(diff) < 1e-14
+    safe = np.where(exact, 1.0, diff)
+    # stable product over all nodes, handling the exact-node case per col
+    full_prod = np.ones(x.shape)
+    for g in grid:
+        full_prod = full_prod * (x - g)
+    P = full_prod[None, :] * w[:, None] / safe
+    # columns where x hits a node exactly: delta
+    hit_col = exact.any(axis=0)
+    if hit_col.any():
+        P[:, hit_col] = exact[:, hit_col].astype(float)
+    return P
+
+
 def quantics_fourier_operator(
     R: int,
     sign: int = -1,
-    tol: float = 1e-12,
-    maxdim: Optional[int] = None,
+    tol: float = 1e-14,
+    maxdim: Optional[int] = 12,
     normalize: bool = True,
+    K: int = 25,
 ) -> MPO:
-    """QFT as a quantics MPO (ref fourier.rs:202; Chen-Lindsey
-    arXiv:2404.03182): ``F[k, x] = 2^{-R/2} exp(sign * 2*pi*i * k x / 2^R)``
-    with the OUTPUT bits in bit-reversed order (site j carries k_{R-1-j}).
+    """QFT as a quantics MPO, built by the DIRECT Chen-Lindsey
+    interpolative construction (ref fourier.rs:202-388,
+    arXiv:2404.03182) — deterministic, no TCI at construction time.
 
-    Built by TCI2 over fused (k-bit, x-bit) pairs — the kernel's
-    exponentially decaying cross-scale couplings give bond dimension
-    ~O(log 1/tol) (about 11 at 1e-10). Apply then ``TensorTrain.reverse()``
-    to obtain standard MSB-first ordering of k.
+    ``F[k, x] = 2^{-R/2} exp(sign * 2*pi*i * k x / 2^R)`` with the OUTPUT
+    bits in bit-reversed order (site j carries k_{R-1-j}); apply then
+    ``TensorTrain.reverse()`` for MSB-first ordering of k.
+
+    Core tensor: ``A[alpha, tau, sigma, beta] = P_alpha(x) *
+    exp(2*pi*i*sign*x*tau)`` with ``x = (sigma + cheb[beta]) / 2`` on a
+    (K+1)-point Chebyshev grid; first core sums alpha, last selects
+    beta=0; LU-compressed to `maxdim` (bond ~11 at 1e-10).
     """
-    from ..tci.tensorci2 import TCI2Options, crossinterpolate2
-
-    if R > 31:
-        raise ValueError("R > 31 would overflow the int64 phase arithmetic")
-    norm = 2.0 ** (-R / 2) if normalize else 1.0
-    pow_rev = (1 << np.arange(R, dtype=np.int64))  # weight of k_{R-1-j}
-    pow_msb = (1 << np.arange(R - 1, -1, -1, dtype=np.int64))
-
-    def batch_f(idx: np.ndarray) -> np.ndarray:
-        # site j digit = 2 * k_{R-1-j} + x_j; exact integer phase mod 2^R
-        # (k*x can exceed 2^53 — float64 would lose the phase)
-        idx = idx.astype(np.int64)
-        kbits_rev = idx >> 1  # (B, R): k_{R-1-j} at position j
-        xbits = idx & 1
-        k = (kbits_rev * pow_rev[None, :]).sum(axis=1)
-        x = (xbits * pow_msb[None, :]).sum(axis=1)
-        phase_num = (k * x) & ((1 << R) - 1)
-        return norm * np.exp(sign * 2j * np.pi * (phase_num / (1 << R)))
-
-    opts = TCI2Options(tol=tol, maxbonddim=maxdim, max_iter=16)
-    tci, _, _ = crossinterpolate2(
-        batch_f=batch_f, local_dims=[4] * R, options=opts,
-        dtype=np.complex128,
-    )
-    tt = tci.to_tensortrain()
+    if R < 2:
+        raise ValueError("R must be at least 2")
+    grid, w = _chebyshev_grid(K)
+    # x[sigma, beta] = (sigma + grid[beta]) / 2
+    sig = np.arange(2)
+    x = (sig[:, None] + grid[None, :]) / 2.0  # (2, K+1)
+    P = _lagrange_matrix(grid, w, x.reshape(-1)).reshape(
+        K + 1, 2, K + 1)  # (alpha, sigma, beta)
+    tau = np.arange(2)
+    phase = np.exp(2j * np.pi * float(sign) * x[None, :, :]
+                   * tau[:, None, None])  # (tau, sigma, beta)
+    core = P[:, None, :, :] * phase[None, :, :, :]  # (alpha,tau,sigma,beta)
+    first = core.sum(axis=0)[None]  # (1, tau, sigma, K+1)
+    last = core[..., :1]  # (alpha, tau, sigma, 1)
+    cores3 = [first.reshape(1, 4, K + 1)]
+    for _ in range(1, R - 1):
+        cores3.append(core.reshape(K + 1, 4, K + 1))
+    cores3.append(last.reshape(K + 1, 4, 1))
+    tt = TensorTrain([c.astype(np.complex128) for c in cores3])
+    tt = tt.compress(tol=tol, maxdim=maxdim, method="lu")
+    norm = 2.0 ** (-0.5) if normalize else 1.0
     cores = []
     for c in tt.cores:
         l, _, r = c.shape
-        cores.append(np.asarray(c).reshape(l, 2, 2, r))
+        cores.append(np.asarray(c).reshape(l, 2, 2, r) * norm)
     return MPO(cores)
 
 
-def affine_operator(R: int, a: int, b: int = 0, bc: str = "periodic",
-                    dtype=np.float64) -> MPO:
-    """(O f)(x) = f(a*x + b) for non-negative integer `a` (ref
-    affine.rs:487 — the reference supports rational A,b; integer case
-    here, rationals via grid rescaling).
+def _affine_scaled(A, b, m: int, n: int):
+    """Rational (A, b) -> integer (A_int, b_int, scale) with scale = lcm
+    of denominators (ref affine.rs to_integer_scaled)."""
+    from fractions import Fraction
+    from math import lcm
 
-    Carry automaton LSB->MSB with carries bounded by a+1.
+    A = [[Fraction(A[i][j]) for j in range(n)] for i in range(m)]
+    b = [Fraction(v) for v in b]
+    scale = 1
+    for row in A:
+        for v in row:
+            scale = lcm(scale, v.denominator)
+    for v in b:
+        scale = lcm(scale, v.denominator)
+    A_int = [[int(A[i][j] * scale) for j in range(n)] for i in range(m)]
+    b_int = [int(v * scale) for v in b]
+    return A_int, b_int, scale
+
+
+def _affine_core(A_int, b_curr, scale, m, n, carries_in, activebit):
+    """One bit-plane of the carry automaton (ref affine.rs:1194
+    affine_transform_core): condition ``scale*y = A x + b`` bit by bit.
+
+    Returns (carries_out sorted, tensor[cout, cin, site]) with
+    site = y_bits | (x_bits << m); inactive planes have site dim 1.
     """
-    if a < 0:
-        raise NotImplementedError("negative scale: compose with flip_operator")
-    if bc not in ("periodic", "open"):
-        raise ValueError("bc must be 'periodic' or 'open'")
-    bb = b % (1 << R) if bc == "periodic" else b
-    if bc == "open" and bb < 0:
-        raise NotImplementedError("open bc with negative offset")
-    bbits = _bits_msb_first(bb % (1 << R), R)
-    C = a + 2  # carry values 0..C-1 (fixpoint of (a + 1 + c) // 2)
+    x_range = 1 << n if activebit else 1
+    y_range = 1 << m if activebit else 1
+    site_dim = x_range * y_range
+    cmap = {}
+    for c_idx, cin in enumerate(carries_in):
+        for x_bits in range(x_range):
+            x = [(x_bits >> j) & 1 for j in range(n)]
+            z = [cin[i] + b_curr[i]
+                 + sum(A_int[i][j] * x[j] for j in range(n))
+                 for i in range(m)]
+            if scale % 2 == 1:
+                y = [zi & 1 for zi in z]
+                if not activebit and any(y):
+                    continue
+                y_bits = sum(yi << i for i, yi in enumerate(y))
+                cout = tuple((zi - scale * yi) >> 1
+                             for zi, yi in zip(z, y))
+                site = y_bits | (x_bits << m)
+                cmap.setdefault(cout, set()).add((c_idx, site))
+            else:
+                if any(zi % 2 for zi in z):
+                    continue
+                for y_bits in range(y_range):
+                    y = [(y_bits >> i) & 1 for i in range(m)]
+                    cout = tuple((zi - scale * yi) >> 1
+                                 for zi, yi in zip(z, y))
+                    site = y_bits | (x_bits << m)
+                    cmap.setdefault(cout, set()).add((c_idx, site))
+    carries_out = sorted(cmap)
+    T = np.zeros((len(carries_out), len(carries_in), site_dim))
+    for ci, c in enumerate(carries_out):
+        for (cin_idx, site) in cmap[c]:
+            T[ci, cin_idx, site] = 1.0
+    return carries_out, T
+
+
+def _affine_bc_weight(carry, bc) -> float:
+    w = 1.0
+    for c, cond in zip(carry, bc):
+        if cond == "periodic":
+            pass
+        elif cond == "antiperiodic":
+            w *= 1.0 if c % 2 == 0 else -1.0
+        elif cond == "open":
+            if c != 0:
+                return 0.0
+        else:
+            raise ValueError(f"unknown boundary condition {cond!r}")
+    return w
+
+
+def affine_transform_cores(R: int, A, b, bc, dtype=np.float64):
+    """Cores of the FORWARD affine map ``y = A x + b`` over quantics bits
+    (ref affine.rs:986 affine_transform_tensors): rational M x N matrix
+    `A`, M-vector `b` (ints / fractions.Fraction / strings like "1/3"),
+    per-output boundary conditions in {"periodic", "open",
+    "antiperiodic"}.
+
+    Returns a list of R arrays of shape (l, 2^M, 2^N, r) — site j holds
+    bit j (MSB first) of every output (fused, y-minor ordering
+    ``y_bits``) and input variable (``x_bits``).
+    """
+    if R < 1:
+        raise ValueError("R must be positive")
+    A = [list(row) for row in A]
+    m, n = len(A), len(A[0])
+    b = list(b)
+    if len(b) != m:
+        raise ValueError("b length must match A rows")
+    if isinstance(bc, str):
+        bc = [bc] * m
+    if len(bc) != m:
+        raise ValueError("bc length must match output count")
+    A_int, b_int, scale = _affine_scaled(A, b, m, n)
+    bsign = [1 if v >= 0 else -1 for v in b_int]
+    b_work = [abs(v) for v in b_int]
+    carries = [tuple([0] * m)]
+    planes = []  # LSB first: (carries_in, carries_out, tensor)
+    for _ in range(R):
+        b_curr = [(bw & 1) * s for bw, s in zip(b_work, bsign)]
+        cin = carries
+        carries, T = _affine_core(A_int, b_curr, scale, m, n, cin, True)
+        planes.append((cin, carries, T))
+        b_work = [bw >> 1 for bw in b_work]
+    # extension cap for open/antiperiodic when |b| >= 2^R
+    needs_ext = any(bw > 0 for bw in b_work) and any(
+        c in ("open", "antiperiodic") for c in bc)
+    if needs_ext:
+        ext = []
+        while any(bw > 0 for bw in b_work):
+            b_curr = [(bw & 1) * s for bw, s in zip(b_work, bsign)]
+            cin = carries
+            carries, T = _affine_core(A_int, b_curr, scale, m, n, cin,
+                                      False)
+            ext.append((cin, carries, T))
+            b_work = [bw >> 1 for bw in b_work]
+        weights = np.asarray([_affine_bc_weight(c, bc) for c in carries])
+        for (cin, couts, T) in reversed(ext):
+            weights = np.einsum("o,oip->i", weights, T)
+        cap = weights  # indexed by the MSB plane's carry-out
+    else:
+        cap = np.asarray([_affine_bc_weight(c, bc)
+                          for c in planes[-1][1]])
+    # assemble cores MSB-first (plane R-1 is the MSB)
     cores = []
-    for site in range(R):
-        l_dim = 1 if site == 0 else C
-        r_dim = 1 if site == R - 1 else C
-        W = np.zeros((l_dim, 2, 2, r_dim), dtype)
-        for out in (0, 1):
-            for r in range(r_dim):
-                tot = a * out + bbits[site] + r
-                inn = tot & 1
-                carry = tot >> 1
-                if site == 0:
-                    if bc == "open" and carry != 0:
-                        continue
-                    W[0, out, inn, r] += 1.0
-                else:
-                    if carry < C:
-                        W[carry, out, inn, r] += 1.0
-        cores.append(W)
-    return MPO(cores)
+    for idx in range(R - 1, -1, -1):
+        cin, couts, T = planes[idx]
+        is_msb = idx == R - 1
+        is_lsb = idx == 0
+        ncout, ncin, sd = T.shape
+        l_dim = 1 if is_msb else ncout
+        r_dim = 1 if is_lsb else ncin
+        W = np.zeros((l_dim, sd, r_dim), dtype)
+        if is_msb:
+            # BC weights close the left boundary (carry_in dim is 1 at
+            # the LSB, so this covers R == 1 too)
+            W[0] = np.einsum("o,oip->pi", cap, T)
+        elif is_lsb:
+            W[:, :, 0] = T[:, 0, :]
+        else:
+            W = np.transpose(T, (0, 2, 1)).astype(dtype)
+        # fused site = y_bits | (x_bits << m) is x-major: split as (x, y)
+        # then swap to (out=y, in=x)
+        W4 = W.reshape(l_dim, 1 << n, 1 << m, r_dim).swapaxes(1, 2)
+        cores.append(np.ascontiguousarray(W4))
+    return cores
+
+
+def affine_transform_operator(R: int, A, b, bc="periodic",
+                              dtype=np.float64) -> MPO:
+    """Forward affine operator ``O[y, x] = [y == A x + b]`` with fused
+    per-site dims (2^M out, 2^N in) (ref affine.rs:487
+    affine_operator). Transpose for the pullback ``f(y) = g(A y + b)``."""
+    return MPO(affine_transform_cores(R, A, b, bc, dtype))
+
+
+def affine_cores_unfused(R: int, A, b, bc="periodic", dtype=np.float64):
+    """Interleaved-variable form (ref affine.rs:566
+    affine_operator_interleaved): each core reshaped to
+    ``(l, y_0..y_{M-1}, x_0..x_{N-1}, r)`` with binary legs in
+    Quantics.jl order."""
+    A = [list(row) for row in A]
+    m, n = len(A), len(A[0])
+    out = []
+    for W in affine_transform_cores(R, A, b, bc, dtype):
+        l, dy, dx, r = W.shape
+        # fused y_bits is y-minor (bit i has weight 2^i): unfuse with
+        # y0 fastest (Quantics.jl order y0..yM-1, x0..xN-1)
+        t = W.reshape(l, dy, dx, r)
+        ybits = np.unravel_index(np.arange(dy), [2] * m, order="F")
+        xbits = np.unravel_index(np.arange(dx), [2] * n, order="F")
+        full = np.zeros([l] + [2] * (m + n) + [r], dtype)
+        for yb in range(dy):
+            for xb in range(dx):
+                sel = (slice(None),) + tuple(int(v[yb]) for v in ybits) \
+                    + tuple(int(v[xb]) for v in xbits) + (slice(None),)
+                full[sel] = t[:, yb, xb, :]
+        out.append(full)
+    return out
+
+
+def affine_operator(R: int, a, b=0, bc="periodic",
+                    dtype=np.float64) -> MPO:
+    """(O f)(x) = f(a*x + b) — the 1-D pullback affine operator
+    (ref affine.rs:487; transpose of the forward map). `a`, `b` may be
+    negative integers or rationals (fractions.Fraction / "p/q")."""
+    fwd = affine_transform_operator(R, [[a]], [b], bc=bc, dtype=dtype)
+    return MPO([np.swapaxes(c, 1, 2) for c in fwd.cores])
 
 
 def difference_kernel_mpo(R: int, kind: str = "central",

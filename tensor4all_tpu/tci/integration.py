@@ -1,36 +1,137 @@
-"""Multi-dimensional quadrature via TCI + Gauss-Kronrod nodes.
+"""Multi-dimensional quadrature via TCI + embedded Gauss-Kronrod rules.
 
-TPU-native rebuild of tensor4all-tensorci/src/integration.rs:1-823:
-discretize each dimension on Gauss-Kronrod points, cross-interpolate the
-integrand into a TT, and contract with the weight vectors (a rank-1
-contraction — one matvec chain).
+TPU-native rebuild of tensor4all-tensorci/src/integration.rs:1-823: the
+reference embeds fixed GK(15/31/41/51/61) tables; here the Kronrod
+extension is COMPUTED at construction from the Legendre recurrence by
+Laurie's algorithm (D. P. Laurie, "Calculation of Gauss-Kronrod
+quadrature rules", Math. Comp. 66 (1997); Gautschi's OPQ formulation) and
+cached — same rules, no hard-coded tables.
+
+The integrand is cross-interpolated once on the (2n+1)-point Kronrod grid
+per dimension; because the n Gauss nodes are embedded, BOTH quadratures
+contract against the same TT (two rank-1 weight chains), giving the
+classic embedded error estimate |I_K - I_G| for free.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Optional, Sequence, Tuple
 
 import numpy as np
-from scipy.special import roots_legendre
 
 from .tensorci2 import TCI2Options, crossinterpolate2
 
 
-def gauss_kronrod_nodes(n: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Nodes/weights on [-1, 1].
+def _legendre_recurrence(N: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Three-term recurrence coefficients for Legendre on [-1,1]
+    (weight 1): a_k = 0, b_0 = 2, b_k = k^2/(4k^2-1)."""
+    a = np.zeros(N)
+    b = np.zeros(N)
+    b[0] = 2.0
+    k = np.arange(1, N, dtype=np.float64)
+    b[1:] = k * k / (4.0 * k * k - 1.0)
+    return a, b
 
-    The reference embeds fixed GK(15/31/41/51/61) tables; we generate
-    Gauss-Legendre rules of matching accuracy via scipy (orthogonal
-    polynomial roots), which serves the same role for the TT quadrature.
+
+def _kronrod_jacobi(n: int, a0: np.ndarray, b0: np.ndarray
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Jacobi-Kronrod matrix coefficients (Laurie's algorithm; OPQ
+    `r_kronrod`): returns (a, b) of length 2n+1 whose Jacobi matrix has
+    the Kronrod nodes as eigenvalues."""
+    if len(a0) < int(np.ceil(3 * n / 2)) + 1:
+        raise ValueError("need ceil(3n/2)+1 recurrence coefficients")
+    a = np.zeros(2 * n + 1)
+    b = np.zeros(2 * n + 1)
+    k0 = int(np.floor(3 * n / 2)) + 1
+    k1 = int(np.ceil(3 * n / 2)) + 1
+    a[:k0] = a0[:k0]
+    b[:k1] = b0[:k1]
+    s = np.zeros(n // 2 + 2)
+    t = np.zeros(n // 2 + 2)
+    t[1] = b[n + 1]
+    for m in range(n - 1):
+        u = 0.0
+        for k in range((m + 1) // 2, -1, -1):
+            ll = m - k
+            u = u + (a[k + n + 1] - a[ll]) * t[k + 1] \
+                + b[k + n + 1] * s[k] - b[ll] * s[k + 1]
+            s[k + 1] = u
+        s, t = t, s
+    for j in range(n // 2, -1, -1):
+        s[j + 1] = s[j]
+    for m in range(n - 1, 2 * n - 2):
+        u = 0.0
+        j = 0
+        for k in range(m + 1 - n, (m - 1) // 2 + 1):
+            ll = m - k
+            j = n - 1 - ll
+            u = u - (a[k + n + 1] - a[ll]) * t[j + 1] \
+                - b[k + n + 1] * s[j + 1] + b[ll] * s[j + 2]
+            s[j + 1] = u
+        k = (m + 1) // 2
+        if m % 2 == 0:
+            a[k + n + 1] = a[k] + (s[j + 1] - b[k + n + 1] * s[j + 2]) \
+                / t[j + 2]
+        else:
+            b[k + n + 1] = s[j + 1] / s[j + 2]
+        s, t = t, s
+    a[2 * n] = a[n - 1] - b[2 * n] * s[1] / t[1]
+    return a, b
+
+
+@functools.lru_cache(maxsize=32)
+def gauss_kronrod_rule(npoints: int) -> Tuple[np.ndarray, np.ndarray,
+                                              np.ndarray]:
+    """Embedded Gauss-Kronrod rule with `npoints = 2n+1` Kronrod points
+    on [-1, 1] (ref integration.rs GK tables; 15/31/41/51/61 supported
+    plus any other odd count).
+
+    Returns ``(x, w_kronrod, w_gauss)`` where `w_gauss` is the embedded
+    n-point Gauss rule's weights placed on the shared node array (zero at
+    Kronrod-only nodes).
     """
-    x, w = roots_legendre(n)
-    return x, w
+    if npoints < 3 or npoints % 2 == 0:
+        raise ValueError("npoints must be odd and >= 3")
+    n = (npoints - 1) // 2
+    a0, b0 = _legendre_recurrence(int(np.ceil(3 * n / 2)) + 2)
+    a, b = _kronrod_jacobi(n, a0, b0)
+    # Golub-Welsch on the Jacobi-Kronrod matrix
+    J = np.diag(a) + np.diag(np.sqrt(b[1:2 * n + 1]), 1) \
+        + np.diag(np.sqrt(b[1:2 * n + 1]), -1)
+    x, V = np.linalg.eigh(J)
+    wk = b0[0] * V[0, :] ** 2
+    # embedded Gauss rule on the shared nodes: Gauss nodes interleave at
+    # odd positions of the sorted Kronrod array
+    from numpy.polynomial.legendre import leggauss
+
+    xg, wg_ = leggauss(n)
+    wg = np.zeros_like(wk)
+    for xv, wv in zip(xg, wg_):
+        j = int(np.argmin(np.abs(x - xv)))
+        if abs(x[j] - xv) > 1e-10:
+            raise RuntimeError("Kronrod extension failed to embed the "
+                               "Gauss nodes")
+        wg[j] = wv
+    return x, wk, wg
+
+
+def gauss_kronrod_nodes(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Kronrod nodes/weights with `n` total points (n odd -> true GK
+    rule; kept for round-1 API compatibility)."""
+    if n % 2 == 1 and n >= 3:
+        x, wk, _ = gauss_kronrod_rule(n)
+        return x, wk
+    from numpy.polynomial.legendre import leggauss
+
+    return leggauss(n)
 
 
 @dataclasses.dataclass
 class IntegrationResult:
     value: float
+    error_estimate: float  # embedded |I_kronrod - I_gauss|
     tt_ranks: Sequence[int]
     n_evals: int
 
@@ -42,23 +143,28 @@ def integrate_tci(
     n_nodes: int = 15,
     options: Optional[TCI2Options] = None,
 ) -> IntegrationResult:
-    """Integrate ``f`` over a box by TCI2 on a GK grid.
+    """Integrate ``f`` over a box by TCI2 on an embedded GK grid.
 
     Args:
       f_batch: batched integrand over points, ``(B, ndim) floats -> (B,)``.
       domain: per-dim (a, b); default [0,1]^ndim.
+      n_nodes: Kronrod point count per dimension (odd; 15/31/41/51/61
+        match the reference's tables).
+
+    The returned ``error_estimate`` is the embedded-rule difference;
+    TT-interpolation error is controlled separately by `options.tol`.
     """
     if domain is None:
         domain = [(0.0, 1.0)] * ndim
     if len(domain) != ndim:
         raise ValueError("domain length mismatch")
-    x01, w01 = gauss_kronrod_nodes(n_nodes)
-    nodes, weights = [], []
+    x01, wk01, wg01 = gauss_kronrod_rule(n_nodes)
+    nodes, wks, wgs = [], [], []
     for (a, b) in domain:
         nodes.append(0.5 * (b - a) * (x01 + 1.0) + a)
-        weights.append(0.5 * (b - a) * w01)
+        wks.append(0.5 * (b - a) * wk01)
+        wgs.append(0.5 * (b - a) * wg01)
     nodes = np.stack(nodes)  # (ndim, n_nodes)
-    weights = np.stack(weights)
 
     def grid_f(idx: np.ndarray) -> np.ndarray:
         pts = np.take_along_axis(nodes, idx.T, axis=1).T  # (B, ndim)
@@ -69,15 +175,19 @@ def integrate_tci(
         batch_f=grid_f, local_dims=[n_nodes] * ndim, options=opts
     )
     tt = tci.to_tensortrain()
-    # contract TT with per-dim weight vectors: one matvec chain
     import jax.numpy as jnp
 
-    v = jnp.ones((1,), dtype=tt.dtype)
-    for k, core in enumerate(tt.cores):
-        wk = jnp.asarray(weights[k])
-        v = v @ jnp.einsum("adb,d->ab", core, wk)
+    def weight_chain(ws):
+        v = jnp.ones((1,), dtype=tt.dtype)
+        for k, core in enumerate(tt.cores):
+            v = v @ jnp.einsum("adb,d->ab", core, jnp.asarray(ws[k]))
+        return float(v[0])
+
+    val_k = weight_chain(wks)
+    val_g = weight_chain(wgs)
     return IntegrationResult(
-        value=float(v[0]),
+        value=val_k,
+        error_estimate=abs(val_k - val_g),
         tt_ranks=tt.ranks,
         n_evals=tci.func.num_evals,
     )

@@ -251,3 +251,150 @@ def test_shift_multivar():
         col = flat(q_shift[i])
         assert abs(M[row, col] - 1.0) < 1e-10
     assert np.abs(M.sum() - 30 * 0 - N) < 1e-6  # permutation matrix
+
+
+def test_fourier_deterministic_construction():
+    """Direct Chen-Lindsey QFT MPO (ref fourier.rs:202): deterministic,
+    rank ~11 at 1e-10 (VERDICT r1 #7 done-criterion)."""
+    import time
+
+    quantics_fourier_operator(12, tol=1e-10)  # warm jit
+    t0 = time.time()
+    F = quantics_fourier_operator(30, tol=1e-10)
+    dt = time.time() - t0
+    assert max(F.ranks) <= 14
+    # two builds are bit-identical (no TCI randomness)
+    F2 = quantics_fourier_operator(30, tol=1e-10)
+    for a, b in zip(F.cores, F2.cores):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert dt < 5.0  # warm build is ~100 ms; generous CI margin
+
+
+def test_affine_rational_and_negative():
+    """Rational + negative affine maps (ref affine.rs:487)."""
+    from fractions import Fraction
+
+    from tensor4all_tpu.quantics.transforms import (
+        affine_transform_operator,
+    )
+
+    R, N = 4, 16
+    # y = x/2 (rational): nonzero only where 2y == x mod N
+    F = np.asarray(op_matrix(
+        affine_transform_operator(R, [[Fraction(1, 2)]], [0], "periodic"),
+        R))
+    expect = np.zeros((N, N))
+    for x in range(N):
+        for y in range(N):
+            if (2 * y - x) % N == 0:
+                expect[y, x] = 1.0
+    np.testing.assert_allclose(F, expect, atol=1e-12)
+    # negative b with open boundary
+    O = np.asarray(op_matrix(affine_operator(R, a=1, b=-3, bc="open"), R))
+    expect = np.zeros((N, N))
+    for x in range(N):
+        if x >= 3:
+            expect[x, x - 3] = 1.0
+    np.testing.assert_allclose(O, expect, atol=1e-12)
+
+
+def test_affine_multivariate_fused():
+    """M=N=2 rotation map y0=x0+x1, y1=x0-x1 (ref affine.rs:487)."""
+    from tensor4all_tpu.quantics.transforms import (
+        affine_transform_operator,
+    )
+
+    R, Nn = 3, 8
+    F2 = affine_transform_operator(R, [[1, 1], [1, -1]], [0, 0],
+                                   "periodic")
+    M = np.asarray(F2.to_dense_matrix()).reshape(4 ** R, 4 ** R)
+
+    def fuse(v0, v1):
+        out = 0
+        for j in range(R):
+            b0 = (v0 >> (R - 1 - j)) & 1
+            b1 = (v1 >> (R - 1 - j)) & 1
+            out = out * 4 + (b0 + 2 * b1)
+        return out
+
+    expect = np.zeros((4 ** R, 4 ** R))
+    for x0 in range(Nn):
+        for x1 in range(Nn):
+            expect[fuse((x0 + x1) % Nn, (x0 - x1) % Nn),
+                   fuse(x0, x1)] = 1.0
+    np.testing.assert_allclose(M, expect, atol=1e-12)
+
+
+def test_gauss_kronrod_embedded():
+    """Computed GK rule matches published K15 values; embedded Gauss
+    subrule exact to its degree (ref integration.rs:17)."""
+    from tensor4all_tpu.tci.integration import gauss_kronrod_rule
+
+    x, wk, wg = gauss_kronrod_rule(15)
+    assert abs(x[-1] - 0.991455371120813) < 1e-12
+    assert abs(wk[-1] - 0.022935322010529) < 1e-12
+    for deg in (14, 22):
+        exact = 2.0 / (deg + 1) if deg % 2 == 0 else 0.0
+        assert abs((wk * x ** deg).sum() - exact) < 1e-13
+    assert abs((wg * x ** 12).sum() - 2.0 / 13) < 1e-13
+    # Gauss nodes embedded: exactly 7 nonzero Gauss weights
+    assert (wg != 0).sum() == 7
+
+
+def test_integration_error_estimate():
+    from tensor4all_tpu.tci.integration import integrate_tci
+    from math import erf, pi, sqrt
+
+    res = integrate_tci(lambda p: np.exp(-np.sum(p * p, axis=1)), 3,
+                        domain=[(-1, 1)] * 3, n_nodes=15)
+    exact = (sqrt(pi) * erf(1.0)) ** 3
+    assert abs(res.value - exact) < 1e-12
+    assert res.error_estimate < 1e-5
+
+
+def test_batched_qtci():
+    """Multi-component interpolation with shared cache
+    (ref batched/mod.rs:206)."""
+    from tensor4all_tpu.quantics.qtci import (
+        quanticscrossinterpolate_batched,
+    )
+
+    grid = DiscretizedGrid.create(R=8, lower=0.0, upper=1.0)
+
+    def fb(p):
+        return np.stack([np.exp(-p[:, 0]), np.sin(5 * p[:, 0])], axis=1)
+
+    res = quanticscrossinterpolate_batched(fb, grid, [2])
+    x = np.random.default_rng(1).random((100, 1))
+    xg = np.floor(x * 2 ** 8) / 2 ** 8
+    assert np.abs(res.evaluate(xg, [0]) - np.exp(-xg[:, 0])).max() < 1e-6
+    assert np.abs(res.evaluate(xg, [1]) - np.sin(5 * xg[:, 0])).max() < 1e-6
+
+
+def test_interpolative_nd_and_invert():
+    """nd fused interpolative QTT + invert_qtt
+    (ref interpolation.rs:98,524)."""
+    from tensor4all_tpu.quantics.interpolative import (
+        chebyshev_nodes,
+        interpolative_qtt,
+        interpolative_qtt_nd,
+        invert_qtt,
+    )
+
+    def f2(p):
+        return np.exp(-p[:, 0] ** 2 - 0.5 * p[:, 1] * p[:, 0])
+
+    q = interpolative_qtt_nd(f2, [0, 0], [1, 1], R=7, K=9)
+    xs = np.random.default_rng(0).random((200, 2))
+    m = np.clip((xs * 2 ** 7).astype(int), 0, 2 ** 7 - 1) / 2 ** 7
+    assert np.abs(q.evaluate(m) - f2(m)).max() < 1e-8
+
+    def f1(x):
+        return np.cos(4 * x) + x ** 2
+
+    q1 = interpolative_qtt(f1, R=8, K=14)
+    vals = invert_qtt(q1, max_level=3)
+    t = chebyshev_nodes(14)
+    for i in range(8):
+        pts = (i + t) / 8
+        assert np.abs(vals[2][i] - f1(pts)).max() < 1e-8
