@@ -15,6 +15,7 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <cstdarg>
 #include <cstring>
 #include <string>
 #include <vector>
@@ -632,6 +633,1131 @@ void t4a_tt_free(t4a_tt *tt) {
   GilGuard gil;
   Py_XDECREF(tt->obj);
   delete tt;
+}
+
+}  // extern "C"
+
+/* ==================================================================== */
+/* Extended surface (round 2): TreeTN, evaluators, QTT layouts,         */
+/* quantics transform materializers, complex tensors                    */
+/* (ref tensor4all-capi treetn.rs:1-2052, quanticstransform.rs:1-736)   */
+/* ==================================================================== */
+
+struct t4a_treetn {
+  PyObject *obj;
+};
+struct t4a_treetn_evaluator {
+  PyObject *obj;
+};
+struct t4a_qtt_layout {
+  PyObject *obj;
+};
+
+namespace {
+
+PyObject *helpers_module() {
+  static PyObject *h = nullptr;
+  if (!h) h = PyImport_ImportModule("tensor4all_tpu.capi.helpers");
+  return h;
+}
+
+// varargs helper call; returns new ref or nullptr with error set
+PyObject *call_h(const char *name, const char *fmt, ...) {
+  PyObject *helpers = helpers_module();
+  if (!helpers) return nullptr;
+  PyObject *fn = PyObject_GetAttrString(helpers, name);
+  if (!fn) return nullptr;
+  va_list va;
+  va_start(va, fmt);
+  PyObject *args = Py_VaBuildValue(fmt, va);
+  va_end(va);
+  if (!args) {
+    Py_DECREF(fn);
+    return nullptr;
+  }
+  if (!PyTuple_Check(args)) {
+    PyObject *t = PyTuple_Pack(1, args);
+    Py_DECREF(args);
+    args = t;
+  }
+  PyObject *res = PyObject_CallObject(fn, args);
+  Py_DECREF(fn);
+  Py_DECREF(args);
+  return res;
+}
+
+t4a_status_code copy_string_out(PyObject *str, char *buf, size_t cap) {
+  const char *c = PyUnicode_AsUTF8(str);
+  if (!c) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  size_t n = std::strlen(c);
+  if (n + 1 > cap) {
+    set_error("string buffer too small");
+    return T4A_INVALID_ARGUMENT;
+  }
+  std::memcpy(buf, c, n + 1);
+  return T4A_OK;
+}
+
+// list of index handles -> python list (borrowed handles, incref'd)
+PyObject *index_list(const t4a_index *const *idxs, size_t n) {
+  PyObject *lst = PyList_New(static_cast<Py_ssize_t>(n));
+  for (size_t k = 0; k < n; ++k) {
+    Py_INCREF(idxs[k]->obj);
+    PyList_SetItem(lst, static_cast<Py_ssize_t>(k), idxs[k]->obj);
+  }
+  return lst;
+}
+
+}  // namespace
+
+extern "C" {
+
+/* ------------------------------ Index (extended) ------------------- */
+
+t4a_status_code t4a_index_clone(const t4a_index *idx, t4a_index **out) {
+  if (!idx || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  Py_INCREF(idx->obj);
+  *out = new t4a_index{idx->obj};
+  return T4A_OK;
+}
+
+int t4a_index_is_assigned(const t4a_index *idx) {
+  return idx && idx->obj ? 1 : 0;
+}
+
+t4a_status_code t4a_index_noprime(const t4a_index *idx, t4a_index **out) {
+  if (!idx || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *obj = PyObject_CallMethod(idx->obj, "noprime", nullptr);
+  if (!obj) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *out = new t4a_index{obj};
+  return T4A_OK;
+}
+
+t4a_status_code t4a_index_set_plev(const t4a_index *idx, int64_t plev,
+                                   t4a_index **out) {
+  if (!idx || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *obj = PyObject_CallMethod(idx->obj, "set_plev", "L",
+                                      (long long)plev);
+  if (!obj) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *out = new t4a_index{obj};
+  return T4A_OK;
+}
+
+t4a_status_code t4a_index_tags(const t4a_index *idx, char *buf,
+                               size_t cap) {
+  if (!idx || !buf) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *tags = PyObject_GetAttrString(idx->obj, "tags");
+  if (!tags) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  PyObject *s = PyObject_Str(tags);
+  Py_DECREF(tags);
+  if (!s) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  t4a_status_code st = copy_string_out(s, buf, cap);
+  Py_DECREF(s);
+  return st;
+}
+
+t4a_status_code t4a_index_has_tag(const t4a_index *idx, const char *tag,
+                                  int *out) {
+  if (!idx || !tag || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *tags = PyObject_GetAttrString(idx->obj, "tags");
+  if (!tags) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  PyObject *s = PyObject_Str(tags);
+  Py_DECREF(tags);
+  if (!s) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  const char *c = PyUnicode_AsUTF8(s);
+  *out = (c && std::strstr(c, tag)) ? 1 : 0;
+  Py_DECREF(s);
+  return T4A_OK;
+}
+
+t4a_status_code t4a_index_hash(const t4a_index *idx, uint64_t *out) {
+  if (!idx || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  Py_hash_t h = PyObject_Hash(idx->obj);
+  if (h == -1 && PyErr_Occurred()) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *out = static_cast<uint64_t>(h);
+  return T4A_OK;
+}
+
+t4a_status_code t4a_index_new_with_id(int64_t dim, const char *tags,
+                                      uint64_t id, int64_t plev,
+                                      t4a_index **out) {
+  if (!out || dim < 0) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *mod = t4a_module();
+  if (!mod) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  PyObject *cls = PyObject_GetAttrString(mod, "Index");
+  if (!cls) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  PyObject *args = Py_BuildValue("(Ls)", (long long)dim,
+                                 tags ? tags : "");
+  PyObject *kw = Py_BuildValue("{s:K,s:L}", "id",
+                               (unsigned long long)id, "plev",
+                               (long long)plev);
+  PyObject *obj = PyObject_Call(cls, args, kw);
+  Py_DECREF(cls);
+  Py_DECREF(args);
+  Py_DECREF(kw);
+  if (!obj) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *out = new t4a_index{obj};
+  return T4A_OK;
+}
+
+void t4a_index_release(t4a_index *idx) { t4a_index_free(idx); }
+
+/* ------------------------------ Tensor (extended) ------------------ */
+
+t4a_status_code t4a_tensor_clone(const t4a_tensor *t, t4a_tensor **out) {
+  if (!t || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  Py_INCREF(t->obj);
+  *out = new t4a_tensor{t->obj};
+  return T4A_OK;
+}
+
+int t4a_tensor_is_assigned(const t4a_tensor *t) {
+  return t && t->obj ? 1 : 0;
+}
+
+t4a_status_code t4a_tensor_conj(const t4a_tensor *t, t4a_tensor **out) {
+  if (!t || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *obj = PyObject_CallMethod(t->obj, "conj", nullptr);
+  if (!obj) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *out = new t4a_tensor{obj};
+  return T4A_OK;
+}
+
+t4a_status_code t4a_tensor_add(const t4a_tensor *a, const t4a_tensor *b,
+                               t4a_tensor **out) {
+  if (!a || !b || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *obj = call_h("tensor_add", "(OO)", a->obj, b->obj);
+  if (!obj) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *out = new t4a_tensor{obj};
+  return T4A_OK;
+}
+
+t4a_status_code t4a_tensor_scale(const t4a_tensor *t, double re,
+                                 double im, t4a_tensor **out) {
+  if (!t || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *obj = call_h("tensor_scale", "(Odd)", t->obj, re, im);
+  if (!obj) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *out = new t4a_tensor{obj};
+  return T4A_OK;
+}
+
+t4a_status_code t4a_tensor_qr(const t4a_tensor *t, size_t n_left,
+                              t4a_tensor **q, t4a_tensor **r) {
+  if (!t || !q || !r) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *res = call_h("tensor_qr", "(On)", t->obj,
+                         (Py_ssize_t)n_left);
+  if (!res) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  PyObject *pq = PyTuple_GetItem(res, 0);
+  PyObject *pr = PyTuple_GetItem(res, 1);
+  Py_INCREF(pq);
+  Py_INCREF(pr);
+  Py_DECREF(res);
+  *q = new t4a_tensor{pq};
+  *r = new t4a_tensor{pr};
+  return T4A_OK;
+}
+
+t4a_status_code t4a_tensor_indices(const t4a_tensor *t,
+                                   t4a_index **out, size_t cap) {
+  if (!t || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *inds = PyObject_GetAttrString(t->obj, "indices");
+  if (!inds) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  Py_ssize_t n = PySequence_Size(inds);
+  if (static_cast<size_t>(n) > cap) {
+    Py_DECREF(inds);
+    set_error("indices buffer too small");
+    return T4A_INVALID_ARGUMENT;
+  }
+  for (Py_ssize_t k = 0; k < n; ++k) {
+    PyObject *it = PySequence_GetItem(inds, k);  // new ref
+    out[k] = reinterpret_cast<t4a_index *>(new t4a_index{it});
+  }
+  Py_DECREF(inds);
+  return T4A_OK;
+}
+
+t4a_status_code t4a_tensor_select_indices(const t4a_tensor *t,
+                                          const t4a_index *idx,
+                                          int64_t value,
+                                          t4a_tensor **out) {
+  if (!t || !idx || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *obj = call_h("tensor_select", "(OOL)", t->obj, idx->obj,
+                         (long long)value);
+  if (!obj) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *out = new t4a_tensor{obj};
+  return T4A_OK;
+}
+
+/* storage introspection: the TPU runtime is dense-only (SURVEY.md design
+ * stance: diag/structured fast paths are subsumed by XLA fusion) */
+t4a_status_code t4a_tensor_storage_kind(const t4a_tensor *t, int *out) {
+  if (!t || !out) return T4A_INVALID_ARGUMENT;
+  *out = 0; /* T4A_STORAGE_DENSE */
+  return T4A_OK;
+}
+
+t4a_status_code t4a_tensor_scalar_kind(const t4a_tensor *t, int *out) {
+  if (!t || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *data = PyObject_GetAttrString(t->obj, "data");
+  if (!data) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  PyObject *dt = PyObject_GetAttrString(data, "dtype");
+  Py_DECREF(data);
+  PyObject *s = PyObject_Str(dt);
+  Py_DECREF(dt);
+  const char *c = PyUnicode_AsUTF8(s);
+  *out = (c && std::strstr(c, "complex")) ? 1 : 0;
+  Py_DECREF(s);
+  return T4A_OK;
+}
+
+t4a_status_code t4a_tensor_payload_rank(const t4a_tensor *t,
+                                        size_t *out) {
+  return t4a_tensor_rank(t, out);
+}
+
+t4a_status_code t4a_tensor_payload_dims(const t4a_tensor *t,
+                                        int64_t *dims, size_t cap) {
+  return t4a_tensor_dims(t, dims, cap);
+}
+
+t4a_status_code t4a_tensor_payload_len(const t4a_tensor *t,
+                                       size_t *out) {
+  if (!t || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *data = PyObject_GetAttrString(t->obj, "data");
+  if (!data) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  PyObject *sz = PyObject_GetAttrString(data, "size");
+  Py_DECREF(data);
+  if (!sz) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *out = static_cast<size_t>(PyLong_AsLongLong(sz));
+  Py_DECREF(sz);
+  return T4A_OK;
+}
+
+t4a_status_code t4a_tensor_payload_strides(const t4a_tensor *t,
+                                           int64_t *strides, size_t cap) {
+  /* column-major strides in ELEMENTS (ref ColMajorArray interchange) */
+  if (!t || !strides) return T4A_INVALID_ARGUMENT;
+  int64_t dims[64];
+  size_t rank = 0;
+  t4a_status_code st = t4a_tensor_rank(t, &rank);
+  if (st != T4A_OK) return st;
+  if (rank > 64 || rank > cap) {
+    set_error("strides buffer too small");
+    return T4A_INVALID_ARGUMENT;
+  }
+  st = t4a_tensor_dims(t, dims, 64);
+  if (st != T4A_OK) return st;
+  int64_t acc = 1;
+  for (size_t k = 0; k < rank; ++k) {
+    strides[k] = acc;
+    acc *= dims[k];
+  }
+  return T4A_OK;
+}
+
+t4a_status_code t4a_tensor_copy_payload_f64(const t4a_tensor *t,
+                                            double *data, size_t len) {
+  return t4a_tensor_data(t, data, len);
+}
+
+t4a_status_code t4a_tensor_new_dense_c64(const t4a_index *const *indices,
+                                         size_t rank, const double *re,
+                                         const double *im, size_t len,
+                                         t4a_tensor **out) {
+  if (!out || (rank && !indices) || (len && (!re || !im)))
+    return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *inds = index_list(indices, rank);
+  std::vector<int64_t> dims(rank);
+  for (size_t k = 0; k < rank; ++k) {
+    PyObject *d = PyObject_GetAttrString(indices[k]->obj, "dim");
+    dims[k] = PyLong_AsLongLong(d);
+    Py_DECREF(d);
+  }
+  int64_t flat_dims[1] = {static_cast<int64_t>(len)};
+  PyObject *re_a = array_from_buffer(re, len, flat_dims, 1);
+  PyObject *im_a = array_from_buffer(im, len, flat_dims, 1);
+  PyObject *dim_list = PyList_New(static_cast<Py_ssize_t>(rank));
+  for (size_t k = 0; k < rank; ++k)
+    PyList_SetItem(dim_list, static_cast<Py_ssize_t>(k),
+                   PyLong_FromLongLong(dims[k]));
+  PyObject *obj = nullptr;
+  if (re_a && im_a) {
+    obj = call_h("tensor_new_c64", "(OOOO)", inds, re_a, im_a, dim_list);
+  }
+  Py_XDECREF(re_a);
+  Py_XDECREF(im_a);
+  Py_DECREF(inds);
+  Py_DECREF(dim_list);
+  if (!obj) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *out = new t4a_tensor{obj};
+  return T4A_OK;
+}
+
+t4a_status_code t4a_tensor_copy_payload_c64(const t4a_tensor *t,
+                                            double *interleaved,
+                                            size_t len) {
+  /* len = element count; out buffer holds 2*len doubles (re, im) */
+  if (!t || !interleaved) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *arr = call_h("tensor_payload_c64", "(O)", t->obj);
+  if (!arr) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  PyObject *bytes = PyObject_CallMethod(arr, "tobytes", nullptr);
+  Py_DECREF(arr);
+  if (!bytes) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  char *buf = nullptr;
+  Py_ssize_t n = 0;
+  PyBytes_AsStringAndSize(bytes, &buf, &n);
+  if (static_cast<size_t>(n) != 2 * len * sizeof(double)) {
+    Py_DECREF(bytes);
+    set_error("payload length mismatch");
+    return T4A_INVALID_ARGUMENT;
+  }
+  std::memcpy(interleaved, buf, static_cast<size_t>(n));
+  Py_DECREF(bytes);
+  return T4A_OK;
+}
+
+t4a_status_code t4a_tensor_contract_many_retain(
+    const t4a_tensor *const *tensors, size_t n,
+    const t4a_index *const *retain, size_t n_retain, t4a_tensor **out) {
+  if (!tensors || !n || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *ts = PyList_New(static_cast<Py_ssize_t>(n));
+  for (size_t k = 0; k < n; ++k) {
+    Py_INCREF(tensors[k]->obj);
+    PyList_SetItem(ts, static_cast<Py_ssize_t>(k), tensors[k]->obj);
+  }
+  PyObject *ret = index_list(retain, n_retain);
+  PyObject *obj = call_h("contract_many_retain", "(OO)", ts, ret);
+  Py_DECREF(ts);
+  Py_DECREF(ret);
+  if (!obj) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *out = new t4a_tensor{obj};
+  return T4A_OK;
+}
+
+void t4a_tensor_release(t4a_tensor *t) { t4a_tensor_free(t); }
+void t4a_tt_release(t4a_tt *tt) { t4a_tt_free(tt); }
+
+t4a_status_code t4a_tt_clone(const t4a_tt *tt, t4a_tt **out) {
+  if (!tt || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  Py_INCREF(tt->obj);
+  *out = new t4a_tt{tt->obj};
+  return T4A_OK;
+}
+
+
+/* ------------------------------ TreeTN ----------------------------- */
+
+t4a_status_code t4a_treetn_new(t4a_treetn **out) {
+  if (!out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *obj = call_h("treetn_new", "()");
+  if (!obj) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *out = new t4a_treetn{obj};
+  return T4A_OK;
+}
+
+void t4a_treetn_release(t4a_treetn *tn) {
+  if (!tn) return;
+  GilGuard gil;
+  Py_XDECREF(tn->obj);
+  delete tn;
+}
+
+int t4a_treetn_is_assigned(const t4a_treetn *tn) {
+  return tn && tn->obj ? 1 : 0;
+}
+
+t4a_status_code t4a_treetn_clone(const t4a_treetn *tn, t4a_treetn **out) {
+  if (!tn || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *obj = PyObject_CallMethod(tn->obj, "clone", nullptr);
+  if (!obj) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *out = new t4a_treetn{obj};
+  return T4A_OK;
+}
+
+t4a_status_code t4a_treetn_set_tensor(t4a_treetn *tn, const char *vertex,
+                                      const t4a_tensor *t) {
+  if (!tn || !vertex || !t) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *r = call_h("treetn_set_tensor", "(OsO)", tn->obj, vertex,
+                       t->obj);
+  if (!r) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  Py_DECREF(r);
+  return T4A_OK;
+}
+
+t4a_status_code t4a_treetn_tensor(const t4a_treetn *tn,
+                                  const char *vertex, t4a_tensor **out) {
+  if (!tn || !vertex || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *obj = call_h("treetn_tensor", "(Os)", tn->obj, vertex);
+  if (!obj) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *out = new t4a_tensor{obj};
+  return T4A_OK;
+}
+
+t4a_status_code t4a_treetn_num_vertices(const t4a_treetn *tn,
+                                        size_t *out) {
+  if (!tn || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *v = call_h("treetn_num_vertices", "(O)", tn->obj);
+  if (!v) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *out = static_cast<size_t>(PyLong_AsLongLong(v));
+  Py_DECREF(v);
+  return T4A_OK;
+}
+
+static t4a_status_code treetn_string_query(const t4a_treetn *tn,
+                                           const char *helper,
+                                           const char *arg, char *buf,
+                                           size_t cap) {
+  if (!tn || !buf) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *s = arg ? call_h(helper, "(Os)", tn->obj, arg)
+                    : call_h(helper, "(O)", tn->obj);
+  if (!s) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  t4a_status_code st = copy_string_out(s, buf, cap);
+  Py_DECREF(s);
+  return st;
+}
+
+/* newline-separated vertex names */
+t4a_status_code t4a_treetn_node_names(const t4a_treetn *tn, char *buf,
+                                      size_t cap) {
+  return treetn_string_query(tn, "treetn_node_names", nullptr, buf, cap);
+}
+
+t4a_status_code t4a_treetn_neighbors(const t4a_treetn *tn,
+                                     const char *vertex, char *buf,
+                                     size_t cap) {
+  return treetn_string_query(tn, "treetn_neighbors", vertex, buf, cap);
+}
+
+t4a_status_code t4a_treetn_canonical_region(const t4a_treetn *tn,
+                                            char *buf, size_t cap) {
+  return treetn_string_query(tn, "treetn_canonical_region", nullptr, buf,
+                             cap);
+}
+
+t4a_status_code t4a_treetn_siteinds(const t4a_treetn *tn,
+                                    const char *vertex, t4a_index **out,
+                                    size_t cap, size_t *n_out) {
+  if (!tn || !vertex || !out || !n_out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *lst = call_h("treetn_siteinds", "(Os)", tn->obj, vertex);
+  if (!lst) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  Py_ssize_t n = PySequence_Size(lst);
+  if (static_cast<size_t>(n) > cap) {
+    Py_DECREF(lst);
+    set_error("siteinds buffer too small");
+    return T4A_INVALID_ARGUMENT;
+  }
+  for (Py_ssize_t k = 0; k < n; ++k) {
+    PyObject *it = PySequence_GetItem(lst, k);
+    out[k] = new t4a_index{it};
+  }
+  *n_out = static_cast<size_t>(n);
+  Py_DECREF(lst);
+  return T4A_OK;
+}
+
+t4a_status_code t4a_treetn_linkind(const t4a_treetn *tn, const char *a,
+                                   const char *b, t4a_index **out) {
+  if (!tn || !a || !b || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *obj = call_h("treetn_linkind", "(Oss)", tn->obj, a, b);
+  if (!obj) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *out = new t4a_index{obj};
+  return T4A_OK;
+}
+
+t4a_status_code t4a_treetn_orthogonalize(t4a_treetn *tn,
+                                         const char *center) {
+  if (!tn || !center) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *r = call_h("treetn_orthogonalize", "(Os)", tn->obj, center);
+  if (!r) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  Py_DECREF(r);
+  return T4A_OK;
+}
+
+t4a_status_code t4a_treetn_truncate(t4a_treetn *tn, double rtol,
+                                    int64_t maxdim) {
+  if (!tn) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *r = call_h("treetn_truncate", "(OdL)", tn->obj, rtol,
+                       (long long)maxdim);
+  if (!r) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  Py_DECREF(r);
+  return T4A_OK;
+}
+
+t4a_status_code t4a_treetn_contract(const t4a_treetn *tn,
+                                    t4a_tensor **out) {
+  if (!tn || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *obj = call_h("treetn_contract", "(O)", tn->obj);
+  if (!obj) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *out = new t4a_tensor{obj};
+  return T4A_OK;
+}
+
+t4a_status_code t4a_treetn_inner(const t4a_treetn *a,
+                                 const t4a_treetn *b, double *re,
+                                 double *im) {
+  if (!a || !b || !re || !im) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *v = call_h("treetn_inner", "(OO)", a->obj, b->obj);
+  if (!v) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  Py_complex c = PyComplex_AsCComplex(v);
+  Py_DECREF(v);
+  if (PyErr_Occurred()) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *re = c.real;
+  *im = c.imag;
+  return T4A_OK;
+}
+
+t4a_status_code t4a_treetn_norm(const t4a_treetn *tn, double *out) {
+  if (!tn || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *v = call_h("treetn_norm", "(O)", tn->obj);
+  if (!v) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *out = PyFloat_AsDouble(v);
+  Py_DECREF(v);
+  return T4A_OK;
+}
+
+t4a_status_code t4a_treetn_scale(t4a_treetn *tn, double re, double im) {
+  if (!tn) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *r = call_h("treetn_scale", "(Odd)", tn->obj, re, im);
+  if (!r) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  Py_DECREF(r);
+  return T4A_OK;
+}
+
+t4a_status_code t4a_treetn_add(const t4a_treetn *a, const t4a_treetn *b,
+                               t4a_treetn **out) {
+  if (!a || !b || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *obj = call_h("treetn_add", "(OO)", a->obj, b->obj);
+  if (!obj) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *out = new t4a_treetn{obj};
+  return T4A_OK;
+}
+
+t4a_status_code t4a_treetn_evaluate(const t4a_treetn *tn,
+                                    const t4a_index *const *indices,
+                                    const int64_t *values, size_t n,
+                                    double *re, double *im) {
+  if (!tn || !indices || !values || !re || !im)
+    return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *inds = index_list(indices, n);
+  PyObject *vals = PyList_New(static_cast<Py_ssize_t>(n));
+  for (size_t k = 0; k < n; ++k)
+    PyList_SetItem(vals, static_cast<Py_ssize_t>(k),
+                   PyLong_FromLongLong(values[k]));
+  PyObject *v = call_h("treetn_evaluate", "(OOO)", tn->obj, inds, vals);
+  Py_DECREF(inds);
+  Py_DECREF(vals);
+  if (!v) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  Py_complex c = PyComplex_AsCComplex(v);
+  Py_DECREF(v);
+  *re = c.real;
+  *im = c.imag;
+  return T4A_OK;
+}
+
+static t4a_status_code treetn_from_helper_1(const char *helper,
+                                            PyObject *args,
+                                            t4a_treetn **out) {
+  PyObject *helpers = helpers_module();
+  if (!helpers) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  PyObject *fn = PyObject_GetAttrString(helpers, helper);
+  if (!fn) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  PyObject *obj = PyObject_CallObject(fn, args);
+  Py_DECREF(fn);
+  if (!obj) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *out = new t4a_treetn{obj};
+  return T4A_OK;
+}
+
+/* vertex names as a newline-separated list */
+t4a_status_code t4a_treetn_fuse_to(const t4a_treetn *tn,
+                                   const char *vertices_nl,
+                                   t4a_treetn **out) {
+  if (!tn || !vertices_nl || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *names = PyUnicode_FromString(vertices_nl);
+  PyObject *lst = PyObject_CallMethod(names, "split", "s", "\n");
+  Py_DECREF(names);
+  PyObject *args = Py_BuildValue("(OO)", tn->obj, lst);
+  Py_DECREF(lst);
+  t4a_status_code st = treetn_from_helper_1("treetn_fuse_to", args, out);
+  Py_DECREF(args);
+  return st;
+}
+
+t4a_status_code t4a_treetn_split_to(const t4a_treetn *tn,
+                                    const char *vertex,
+                                    const t4a_index *const *left_inds,
+                                    size_t n_left, const char *left_name,
+                                    const char *right_name, double rtol,
+                                    int64_t maxdim, t4a_treetn **out) {
+  if (!tn || !vertex || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *lst = index_list(left_inds, n_left);
+  PyObject *args = Py_BuildValue("(OsOssdL)", tn->obj, vertex, lst,
+                                 left_name, right_name, rtol,
+                                 (long long)maxdim);
+  Py_DECREF(lst);
+  t4a_status_code st = treetn_from_helper_1("treetn_split_to", args, out);
+  Py_DECREF(args);
+  return st;
+}
+
+t4a_status_code t4a_treetn_swap_site_indices(const t4a_treetn *tn,
+                                             const char *a, const char *b,
+                                             double rtol, int64_t maxdim,
+                                             t4a_treetn **out) {
+  if (!tn || !a || !b || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *args = Py_BuildValue("(OssdL)", tn->obj, a, b, rtol,
+                                 (long long)maxdim);
+  t4a_status_code st =
+      treetn_from_helper_1("treetn_swap_site_indices", args, out);
+  Py_DECREF(args);
+  return st;
+}
+
+t4a_status_code t4a_treetn_apply_operator_chain(
+    const t4a_treetn *tn, const t4a_tt *mpo, const char *order_nl,
+    double rtol, int64_t maxdim, t4a_treetn **out) {
+  if (!tn || !mpo || !order_nl || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *names = PyUnicode_FromString(order_nl);
+  PyObject *lst = PyObject_CallMethod(names, "split", "s", "\n");
+  Py_DECREF(names);
+  PyObject *args = Py_BuildValue("(OOOdL)", tn->obj, mpo->obj, lst, rtol,
+                                 (long long)maxdim);
+  Py_DECREF(lst);
+  t4a_status_code st =
+      treetn_from_helper_1("treetn_apply_operator_chain", args, out);
+  Py_DECREF(args);
+  return st;
+}
+
+t4a_status_code t4a_treetn_linsolve(const t4a_treetn *b, const t4a_tt *mpo,
+                                    const char *order_nl, double a0_re,
+                                    double a0_im, double a1_re,
+                                    double a1_im, double rtol,
+                                    int64_t maxdim, int64_t nsweeps,
+                                    t4a_treetn **out) {
+  if (!b || !mpo || !order_nl || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *names = PyUnicode_FromString(order_nl);
+  PyObject *lst = PyObject_CallMethod(names, "split", "s", "\n");
+  Py_DECREF(names);
+  PyObject *args = Py_BuildValue("(OOOddddDdLL)", b->obj, mpo->obj, lst,
+                                 a0_re, a0_im, a1_re, a1_im, rtol,
+                                 (long long)maxdim, (long long)nsweeps);
+  Py_DECREF(lst);
+  if (!args) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  t4a_status_code st = treetn_from_helper_1("treetn_linsolve", args, out);
+  Py_DECREF(args);
+  return st;
+}
+
+t4a_status_code t4a_treetn_to_dense(const t4a_treetn *tn,
+                                    const t4a_index *const *order,
+                                    size_t n, double *data, size_t len) {
+  if (!tn || !order || !data) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *inds = index_list(order, n);
+  PyObject *arr = call_h("treetn_to_dense", "(OO)", tn->obj, inds);
+  Py_DECREF(inds);
+  if (!arr) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  PyObject *flat = PyObject_CallMethod(arr, "flatten", "s", "F");
+  Py_DECREF(arr);
+  PyObject *bytes =
+      flat ? PyObject_CallMethod(flat, "tobytes", nullptr) : nullptr;
+  Py_XDECREF(flat);
+  if (!bytes) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  char *buf = nullptr;
+  Py_ssize_t nb = 0;
+  PyBytes_AsStringAndSize(bytes, &buf, &nb);
+  if (static_cast<size_t>(nb) != len * sizeof(double)) {
+    Py_DECREF(bytes);
+    set_error("dense buffer length mismatch");
+    return T4A_INVALID_ARGUMENT;
+  }
+  std::memcpy(data, buf, static_cast<size_t>(nb));
+  Py_DECREF(bytes);
+  return T4A_OK;
+}
+
+/* ------------------------- TreeTN evaluator ------------------------ */
+
+t4a_status_code t4a_treetn_evaluator_new(const t4a_treetn *tn,
+                                         const t4a_index *const *order,
+                                         size_t n,
+                                         t4a_treetn_evaluator **out) {
+  if (!tn || !order || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *inds = index_list(order, n);
+  PyObject *obj = call_h("treetn_evaluator_new", "(OO)", tn->obj, inds);
+  Py_DECREF(inds);
+  if (!obj) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *out = new t4a_treetn_evaluator{obj};
+  return T4A_OK;
+}
+
+int t4a_treetn_evaluator_is_assigned(const t4a_treetn_evaluator *ev) {
+  return ev && ev->obj ? 1 : 0;
+}
+
+t4a_status_code t4a_treetn_evaluator_clone(const t4a_treetn_evaluator *ev,
+                                           t4a_treetn_evaluator **out) {
+  if (!ev || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  Py_INCREF(ev->obj);
+  *out = new t4a_treetn_evaluator{ev->obj};
+  return T4A_OK;
+}
+
+t4a_status_code t4a_treetn_evaluator_evaluate(
+    const t4a_treetn_evaluator *ev, const int64_t *idx, size_t batch,
+    size_t n_sites, double *out) {
+  if (!ev || !idx || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  int64_t dims[2] = {static_cast<int64_t>(n_sites),
+                     static_cast<int64_t>(batch)};
+  /* build (batch, n_sites) row-major = (n_sites, batch) col-major^T */
+  PyObject *np = np_module();
+  PyObject *mv = PyMemoryView_FromMemory(
+      reinterpret_cast<char *>(const_cast<int64_t *>(idx)),
+      static_cast<Py_ssize_t>(batch * n_sites * sizeof(int64_t)),
+      PyBUF_READ);
+  PyObject *flat = PyObject_CallMethod(np, "frombuffer", "Os", mv,
+                                       "int64");
+  Py_DECREF(mv);
+  if (!flat) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  PyObject *shape = Py_BuildValue("(nn)", (Py_ssize_t)batch,
+                                  (Py_ssize_t)n_sites);
+  PyObject *mat = PyObject_CallMethod(np, "reshape", "OO", flat, shape);
+  Py_DECREF(flat);
+  Py_DECREF(shape);
+  (void)dims;
+  if (!mat) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  PyObject *res = call_h("treetn_evaluator_evaluate", "(OO)", ev->obj,
+                         mat);
+  Py_DECREF(mat);
+  if (!res) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  PyObject *bytes = PyObject_CallMethod(res, "tobytes", nullptr);
+  Py_DECREF(res);
+  char *buf = nullptr;
+  Py_ssize_t nb = 0;
+  PyBytes_AsStringAndSize(bytes, &buf, &nb);
+  if (static_cast<size_t>(nb) != batch * sizeof(double)) {
+    Py_DECREF(bytes);
+    set_error("evaluator output length mismatch");
+    return T4A_INTERNAL_ERROR;
+  }
+  std::memcpy(out, buf, static_cast<size_t>(nb));
+  Py_DECREF(bytes);
+  return T4A_OK;
+}
+
+void t4a_treetn_evaluator_release(t4a_treetn_evaluator *ev) {
+  if (!ev) return;
+  GilGuard gil;
+  Py_XDECREF(ev->obj);
+  delete ev;
+}
+
+/* --------------------------- QTT layouts --------------------------- */
+
+t4a_status_code t4a_qtt_layout_new(int64_t r, int64_t d,
+                                   const char *unfolding,
+                                   t4a_qtt_layout **out) {
+  if (!out || !unfolding) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *obj = call_h("qtt_layout_new", "(LLs)", (long long)r,
+                         (long long)d, unfolding);
+  if (!obj) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *out = new t4a_qtt_layout{obj};
+  return T4A_OK;
+}
+
+t4a_status_code t4a_qtt_layout_clone(const t4a_qtt_layout *l,
+                                     t4a_qtt_layout **out) {
+  if (!l || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  Py_INCREF(l->obj);
+  *out = new t4a_qtt_layout{l->obj};
+  return T4A_OK;
+}
+
+int t4a_qtt_layout_is_assigned(const t4a_qtt_layout *l) {
+  return l && l->obj ? 1 : 0;
+}
+
+void t4a_qtt_layout_release(t4a_qtt_layout *l) {
+  if (!l) return;
+  GilGuard gil;
+  Py_XDECREF(l->obj);
+  delete l;
+}
+
+/* -------------------- transform materializers ---------------------- */
+/* Each returns the operator as a fused-site TT (core k has site dim
+ * out*in = 4), matching the reference's materialize-to-caller design. */
+
+static t4a_status_code qtransform_out(PyObject *obj, t4a_tt **out) {
+  if (!obj) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *out = new t4a_tt{obj};
+  return T4A_OK;
+}
+
+t4a_status_code t4a_qtransform_flip_materialize(int64_t r, t4a_tt **out) {
+  if (!out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  return qtransform_out(call_h("qtransform_flip", "(L)", (long long)r),
+                        out);
+}
+
+t4a_status_code t4a_qtransform_shift_materialize(int64_t r, int64_t shift,
+                                                 const char *bc,
+                                                 t4a_tt **out) {
+  if (!out || !bc) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  return qtransform_out(
+      call_h("qtransform_shift", "(LLs)", (long long)r, (long long)shift,
+             bc),
+      out);
+}
+
+t4a_status_code t4a_qtransform_phase_rotation_materialize(int64_t r,
+                                                          double theta,
+                                                          t4a_tt **out) {
+  if (!out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  return qtransform_out(
+      call_h("qtransform_phase_rotation", "(Ld)", (long long)r, theta),
+      out);
+}
+
+t4a_status_code t4a_qtransform_cumsum_materialize(int64_t r,
+                                                  t4a_tt **out) {
+  if (!out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  return qtransform_out(call_h("qtransform_cumsum", "(L)", (long long)r),
+                        out);
+}
+
+t4a_status_code t4a_qtransform_fourier_materialize(int64_t r, int sign,
+                                                   double rtol,
+                                                   int64_t maxdim,
+                                                   t4a_tt **out) {
+  if (!out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  return qtransform_out(
+      call_h("qtransform_fourier", "(LidL)", (long long)r, sign, rtol,
+             (long long)maxdim),
+      out);
+}
+
+t4a_status_code t4a_qtransform_affine_materialize(
+    int64_t r, int64_t a_num, int64_t a_den, int64_t b_num, int64_t b_den,
+    const char *bc, t4a_tt **out) {
+  if (!out || !bc) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  return qtransform_out(
+      call_h("qtransform_affine", "(LLLLLs)", (long long)r,
+             (long long)a_num, (long long)a_den, (long long)b_num,
+             (long long)b_den, bc),
+      out);
 }
 
 }  // extern "C"

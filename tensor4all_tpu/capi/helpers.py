@@ -39,3 +39,427 @@ def crossinterpolate2_c(batch_f, local_dims, tol: float, maxdim: int,
                                   local_dims=list(local_dims),
                                   options=opts)
     return tci.to_tensortrain()
+
+
+# ----------------------------------------------------------------------
+# TreeTN surface (C API t4a_treetn_*, ref capi/src/treetn.rs:1-2052)
+# ----------------------------------------------------------------------
+class CTreeTN:
+    """Host-side TreeTN handle: tensors are accumulated by vertex name
+    and auto-connected by shared index identity on first use (ref
+    TreeTN::from_tensors)."""
+
+    def __init__(self):
+        self._tensors = {}
+        self._net = None
+
+    def set_tensor(self, name: str, tensor) -> None:
+        if self._net is not None:
+            if name in self._net.node_names:
+                self._net.set_tensor(name, tensor)
+                self._tensors[name] = tensor
+                return
+            # adding a vertex invalidates the built topology
+            self._tensors = {v: self._net.tensor(v)
+                             for v in self._net.node_names}
+            self._net = None
+        self._tensors[name] = tensor
+
+    def net(self):
+        from ..treetn.network import TreeTN
+
+        if self._net is None:
+            if not self._tensors:
+                raise ValueError("TreeTN has no tensors")
+            self._net = TreeTN.from_tensors(dict(self._tensors))
+        return self._net
+
+    def clone(self) -> "CTreeTN":
+        out = CTreeTN()
+        if self._net is not None:
+            out._net = self._net.copy()
+            out._tensors = {v: out._net.tensor(v)
+                            for v in out._net.node_names}
+        else:
+            out._tensors = dict(self._tensors)
+        return out
+
+
+def treetn_new() -> CTreeTN:
+    return CTreeTN()
+
+
+def treetn_set_tensor(h: CTreeTN, name: str, tensor) -> None:
+    h.set_tensor(name, tensor)
+
+
+def treetn_tensor(h: CTreeTN, name: str):
+    return h.net().tensor(name)
+
+
+def treetn_num_vertices(h: CTreeTN) -> int:
+    return (len(h._tensors) if h._net is None
+            else h.net().graph.number_of_nodes())
+
+
+def treetn_node_names(h: CTreeTN):
+    return "\n".join(str(v) for v in (
+        h._tensors.keys() if h._net is None else h.net().node_names))
+
+
+def treetn_neighbors(h: CTreeTN, name: str) -> str:
+    return "\n".join(str(v) for v in h.net().neighbors(name))
+
+
+def treetn_siteinds(h: CTreeTN, name: str):
+    return list(h.net().site_indices(name))
+
+
+def treetn_linkind(h: CTreeTN, a: str, b: str):
+    return h.net().bond(a, b)
+
+
+def treetn_orthogonalize(h: CTreeTN, center: str) -> None:
+    h.net().canonicalize([center])
+
+
+def treetn_truncate(h: CTreeTN, rtol: float, maxdim: int) -> None:
+    pol = SvdTruncationPolicy(tol=rtol,
+                              maxdim=maxdim if maxdim > 0 else None)
+    h.net().truncate(pol)
+
+
+def treetn_canonical_region(h: CTreeTN) -> str:
+    region = h.net().canonical_region()
+    return "\n".join(str(v) for v in sorted(region, key=repr)) \
+        if region else ""
+
+
+def treetn_contract(h: CTreeTN):
+    return h.net().contract_to_tensor()
+
+
+def treetn_inner(h: CTreeTN, other: CTreeTN):
+    return complex(h.net().inner(other.net()))
+
+
+def treetn_norm(h: CTreeTN) -> float:
+    return float(h.net().norm())
+
+
+def treetn_scale(h: CTreeTN, re: float, im: float) -> None:
+    net = h.net()
+    v0 = net.node_names[0]
+    s = re if im == 0.0 else complex(re, im)
+    net.set_tensor(v0, net.tensor(v0) * s)
+
+
+def treetn_add(a: CTreeTN, b: CTreeTN) -> CTreeTN:
+    out = CTreeTN()
+    out._net = a.net().add(b.net())
+    return out
+
+
+def treetn_evaluate(h: CTreeTN, indices, values) -> complex:
+    assignment = {idx: int(v) for idx, v in zip(indices, values)}
+    return complex(h.net().evaluate(assignment))
+
+
+def treetn_fuse_to(h: CTreeTN, names) -> CTreeTN:
+    from ..treetn.restructure import fuse_to
+
+    out = CTreeTN()
+    out._net = fuse_to(h.net(), list(names))
+    return out
+
+
+def treetn_split_to(h: CTreeTN, node: str, left_indices, left_name: str,
+                    right_name: str, rtol: float, maxdim: int) -> CTreeTN:
+    from ..treetn.restructure import split_node
+
+    pol = SvdTruncationPolicy(tol=rtol,
+                              maxdim=maxdim if maxdim > 0 else None)
+    out = CTreeTN()
+    out._net = split_node(h.net(), node, list(left_indices), left_name,
+                          right_name, policy=pol)
+    return out
+
+
+def treetn_swap_site_indices(h: CTreeTN, a: str, b: str, rtol: float,
+                             maxdim: int) -> CTreeTN:
+    from ..treetn.restructure import swap_site_indices
+
+    pol = SvdTruncationPolicy(tol=rtol,
+                              maxdim=maxdim if maxdim > 0 else None)
+    out = CTreeTN()
+    out._net = swap_site_indices(h.net(), a, b, policy=pol)
+    return out
+
+
+def treetn_apply_operator_chain(h: CTreeTN, mpo_tt, order, rtol: float,
+                                maxdim: int) -> CTreeTN:
+    """Apply a chain MPO (TT handle whose cores are (l, 2*2... fused) or
+    a tt with site dims out*in) to the state along `order` (vertex
+    names). Cores are unfused as square (d, d) operator pairs."""
+    from ..treetn.operator import TreeOperator, mpo_to_treeoperator
+    from ..tt.mpo import MPO
+
+    net = h.net()
+    names = list(order)
+    sites = []
+    for v in names:
+        si = net.site_indices(v)
+        if len(si) != 1:
+            raise ValueError(f"vertex {v!r} must carry exactly one site")
+        sites.append(si[0])
+    cores = []
+    for k, c in enumerate(mpo_tt.cores):
+        arr = np.asarray(c)
+        l, d2, r = arr.shape
+        d = sites[k].dim
+        if d * d != d2:
+            raise ValueError("MPO site dim mismatch")
+        cores.append(arr.reshape(l, d, d, r))
+    out = CTreeTN()
+    pol = SvdTruncationPolicy(tol=rtol,
+                              maxdim=maxdim if maxdim > 0 else None)
+    out._net = _apply_chain(net, names, cores, sites, pol)
+    return out
+
+
+def _apply_chain(net, names, cores, sites, pol):
+    from ..core.index import Index
+    from ..core.tensor import Tensor
+    from ..treetn.network import TreeTN
+    from ..treetn.operator import TreeOperator
+
+    opnet = TreeTN()
+    bonds = [Index(int(cores[k].shape[-1]), tags="OpLink")
+             for k in range(len(names) - 1)]
+    s_in, s_out = {}, {}
+    for k, v in enumerate(names):
+        W = cores[k]
+        s = sites[k]
+        sp = s.prime()
+        if len(names) == 1:
+            data, inds = W[0, :, :, 0], (sp, s)
+        elif k == 0:
+            data, inds = W[0], (sp, s, bonds[0])
+        elif k == len(names) - 1:
+            data, inds = W[..., 0], (bonds[k - 1], sp, s)
+        else:
+            data, inds = W, (bonds[k - 1], sp, s, bonds[k])
+        opnet.add_node(v, Tensor(inds, data))
+        s_in[v], s_out[v] = s, sp
+    for k in range(len(names) - 1):
+        opnet.connect(names[k], names[k + 1], bonds[k])
+    op = TreeOperator(opnet, s_in, s_out)
+    return op.apply(net, method="zipup", policy=pol)
+
+
+def treetn_evaluator_new(h: CTreeTN, site_order):
+    from ..treetn.evaluator import TreeTNEvaluator
+
+    return TreeTNEvaluator(h.net(), list(site_order))
+
+
+def treetn_evaluator_evaluate(ev, idx_matrix):
+    import numpy as _np
+
+    idx = _np.asarray(idx_matrix, dtype=_np.int64)
+    return _np.asarray(ev.evaluate_batch(idx), dtype=_np.float64)
+
+
+def treetn_linsolve(b: CTreeTN, mpo_tt, order, a0_re, a0_im, a1_re,
+                    a1_im, rtol, maxdim, nsweeps) -> CTreeTN:
+    """Solve (a0 + a1*A) x = b with A a chain MPO over `order`."""
+    from ..treetn.linsolve import LinsolveOptions, square_linsolve
+    from ..tt.mpo import MPO
+
+    net = b.net()
+    names = list(order)
+    sites = [net.site_indices(v)[0] for v in names]
+    cores = []
+    for k, c in enumerate(mpo_tt.cores):
+        arr = np.asarray(c)
+        l, d2, r = arr.shape
+        d = sites[k].dim
+        cores.append(arr.reshape(l, d, d, r))
+    from ..core.index import Index
+    from ..core.tensor import Tensor
+    from ..treetn.network import TreeTN
+    from ..treetn.operator import TreeOperator
+
+    opnet = TreeTN()
+    bonds = [Index(int(cores[k].shape[-1]), tags="OpLink")
+             for k in range(len(names) - 1)]
+    s_in, s_out = {}, {}
+    for k, v in enumerate(names):
+        W = cores[k]
+        s = sites[k]
+        sp = s.prime()
+        if len(names) == 1:
+            data, inds = W[0, :, :, 0], (sp, s)
+        elif k == 0:
+            data, inds = W[0], (sp, s, bonds[0])
+        elif k == len(names) - 1:
+            data, inds = W[..., 0], (bonds[k - 1], sp, s)
+        else:
+            data, inds = W, (bonds[k - 1], sp, s, bonds[k])
+        opnet.add_node(v, Tensor(inds, data))
+        s_in[v], s_out[v] = s, sp
+    for k in range(len(names) - 1):
+        opnet.connect(names[k], names[k + 1], bonds[k])
+    op = TreeOperator(opnet, s_in, s_out)
+    a0 = a0_re if a0_im == 0 else complex(a0_re, a0_im)
+    a1 = a1_re if a1_im == 0 else complex(a1_re, a1_im)
+    opts = LinsolveOptions(nsweeps=int(nsweeps),
+                           maxdim=maxdim if maxdim > 0 else 64,
+                           cutoff=rtol, a0=a0, a1=a1)
+    res = square_linsolve(op, net, net.copy(), options=opts)
+    out = CTreeTN()
+    out._net = res.x
+    return out
+
+
+def treetn_to_dense(h: CTreeTN, indices):
+    t = h.net().contract_to_tensor()
+    return np.asarray(t.dense(tuple(indices)), dtype=np.float64)
+
+
+def treetn_partial_contract(a: CTreeTN, b: CTreeTN, pairs_a, pairs_b,
+                            diag_a, diag_b) -> CTreeTN:
+    from ..treetn.contraction import (
+        PartialContractionSpec,
+        partial_contract,
+    )
+
+    spec = PartialContractionSpec(
+        contract_pairs=list(zip(pairs_a, pairs_b)),
+        diagonal_pairs=list(zip(diag_a, diag_b)),
+    )
+    out = CTreeTN()
+    out._net = partial_contract(a.net(), b.net(), spec)
+    return out
+
+
+# ----------------------------------------------------------------------
+# QTT layouts + transform materializers (ref capi quanticstransform.rs)
+# ----------------------------------------------------------------------
+class QttLayout:
+    """Descriptor: R bits x d dims, interleaved or fused unfolding."""
+
+    def __init__(self, R: int, d: int, unfolding: str):
+        if unfolding not in ("interleaved", "fused"):
+            raise ValueError("unfolding must be interleaved|fused")
+        self.R = int(R)
+        self.d = int(d)
+        self.unfolding = unfolding
+
+    def clone(self):
+        return QttLayout(self.R, self.d, self.unfolding)
+
+
+def qtt_layout_new(R: int, d: int, unfolding: str) -> QttLayout:
+    return QttLayout(R, d, unfolding)
+
+
+def _mpo_to_tt(mpo):
+    """Fuse MPO cores (l, out, in, r) -> TT cores (l, out*in, r)."""
+    from ..tt.tensortrain import TensorTrain
+
+    cores = []
+    for c in mpo.cores:
+        arr = np.asarray(c)
+        l, o, i, r = arr.shape
+        cores.append(arr.reshape(l, o * i, r))
+    return TensorTrain(cores)
+
+
+def qtransform_flip(R: int):
+    from ..quantics.transforms import flip_operator
+
+    return _mpo_to_tt(flip_operator(R))
+
+
+def qtransform_shift(R: int, shift: int, bc: str):
+    from ..quantics.transforms import shift_operator
+
+    return _mpo_to_tt(shift_operator(R, int(shift), bc))
+
+
+def qtransform_phase_rotation(R: int, theta: float):
+    from ..quantics.transforms import phase_rotation_operator
+
+    return _mpo_to_tt(phase_rotation_operator(R, theta))
+
+
+def qtransform_cumsum(R: int):
+    from ..quantics.transforms import cumsum_operator
+
+    return _mpo_to_tt(cumsum_operator(R))
+
+
+def qtransform_fourier(R: int, sign: int, rtol: float, maxdim: int):
+    from ..quantics.transforms import quantics_fourier_operator
+
+    return _mpo_to_tt(quantics_fourier_operator(
+        R, sign=int(sign), tol=rtol,
+        maxdim=maxdim if maxdim > 0 else 12))
+
+
+def qtransform_affine(R: int, a_num: int, a_den: int, b_num: int,
+                      b_den: int, bc: str):
+    from fractions import Fraction
+
+    from ..quantics.transforms import affine_operator
+
+    return _mpo_to_tt(affine_operator(
+        R, Fraction(int(a_num), int(a_den)),
+        Fraction(int(b_num), int(b_den)), bc))
+
+
+# ----------------------------------------------------------------------
+# misc tensor helpers
+# ----------------------------------------------------------------------
+def tensor_qr(tensor, n_left: int):
+    from ..core.decomp import qr
+
+    Q, Rf = qr(tensor, tensor.indices[:n_left])
+    return Q, Rf
+
+
+def tensor_select(tensor, index, value: int):
+    return tensor.select(index, int(value))
+
+
+def tensor_conj(tensor):
+    return tensor.conj()
+
+
+def tensor_add(a, b):
+    return a + b
+
+
+def tensor_scale(t, re: float, im: float):
+    return t * (re if im == 0.0 else complex(re, im))
+
+
+def tensor_new_c64(indices, re_flat, im_flat, dims):
+    from ..core.tensor import Tensor
+
+    arr = (np.asarray(re_flat) + 1j * np.asarray(im_flat)).reshape(
+        [int(d) for d in dims], order="F")
+    return Tensor(tuple(indices), arr)
+
+
+def tensor_payload_c64(tensor, order="F"):
+    arr = np.asarray(tensor.data, dtype=np.complex128).flatten(order)
+    return np.ascontiguousarray(arr.view(np.float64))
+
+
+def contract_many_retain(tensors, retain):
+    from ..core.contract import contract
+
+    return contract(list(tensors), retain=tuple(retain),
+                    check_connected=False)

@@ -103,6 +103,189 @@ t4a_status_code t4a_crossinterpolate2(t4a_batch_fn f, void *user_data,
                                       int64_t max_iter, t4a_tt **out);
 void t4a_tt_free(t4a_tt *tt);
 
+
+/* ------------------------------------------------------------------ */
+/* Index (extended)                                                    */
+/* ------------------------------------------------------------------ */
+t4a_status_code t4a_index_clone(const t4a_index *idx, t4a_index **out);
+int t4a_index_is_assigned(const t4a_index *idx);
+t4a_status_code t4a_index_noprime(const t4a_index *idx, t4a_index **out);
+t4a_status_code t4a_index_set_plev(const t4a_index *idx, int64_t plev,
+                                   t4a_index **out);
+t4a_status_code t4a_index_tags(const t4a_index *idx, char *buf,
+                               size_t cap);
+t4a_status_code t4a_index_has_tag(const t4a_index *idx, const char *tag,
+                                  int *out);
+t4a_status_code t4a_index_hash(const t4a_index *idx, uint64_t *out);
+t4a_status_code t4a_index_new_with_id(int64_t dim, const char *tags,
+                                      uint64_t id, int64_t plev,
+                                      t4a_index **out);
+void t4a_index_release(t4a_index *idx); /* alias of t4a_index_free */
+
+/* ------------------------------------------------------------------ */
+/* Tensor (extended; storage is dense — diag/structured fast paths are */
+/* subsumed by XLA fusion, see SURVEY.md design stance)                */
+/* ------------------------------------------------------------------ */
+t4a_status_code t4a_tensor_clone(const t4a_tensor *t, t4a_tensor **out);
+int t4a_tensor_is_assigned(const t4a_tensor *t);
+t4a_status_code t4a_tensor_conj(const t4a_tensor *t, t4a_tensor **out);
+t4a_status_code t4a_tensor_add(const t4a_tensor *a, const t4a_tensor *b,
+                               t4a_tensor **out);
+t4a_status_code t4a_tensor_scale(const t4a_tensor *t, double re,
+                                 double im, t4a_tensor **out);
+t4a_status_code t4a_tensor_qr(const t4a_tensor *t, size_t n_left,
+                              t4a_tensor **q, t4a_tensor **r);
+t4a_status_code t4a_tensor_indices(const t4a_tensor *t, t4a_index **out,
+                                   size_t cap);
+t4a_status_code t4a_tensor_select_indices(const t4a_tensor *t,
+                                          const t4a_index *idx,
+                                          int64_t value,
+                                          t4a_tensor **out);
+t4a_status_code t4a_tensor_storage_kind(const t4a_tensor *t, int *out);
+t4a_status_code t4a_tensor_scalar_kind(const t4a_tensor *t, int *out);
+t4a_status_code t4a_tensor_payload_rank(const t4a_tensor *t, size_t *out);
+t4a_status_code t4a_tensor_payload_dims(const t4a_tensor *t,
+                                        int64_t *dims, size_t cap);
+t4a_status_code t4a_tensor_payload_len(const t4a_tensor *t, size_t *out);
+t4a_status_code t4a_tensor_payload_strides(const t4a_tensor *t,
+                                           int64_t *strides, size_t cap);
+t4a_status_code t4a_tensor_copy_payload_f64(const t4a_tensor *t,
+                                            double *data, size_t len);
+t4a_status_code t4a_tensor_new_dense_c64(const t4a_index *const *indices,
+                                         size_t rank, const double *re,
+                                         const double *im, size_t len,
+                                         t4a_tensor **out);
+/* interleaved (re, im) pairs; len = element count */
+t4a_status_code t4a_tensor_copy_payload_c64(const t4a_tensor *t,
+                                            double *interleaved,
+                                            size_t len);
+t4a_status_code t4a_tensor_contract_many_retain(
+    const t4a_tensor *const *tensors, size_t n,
+    const t4a_index *const *retain, size_t n_retain, t4a_tensor **out);
+void t4a_tensor_release(t4a_tensor *t); /* alias of t4a_tensor_free */
+
+t4a_status_code t4a_tt_clone(const t4a_tt *tt, t4a_tt **out);
+void t4a_tt_release(t4a_tt *tt); /* alias of t4a_tt_free */
+
+/* ------------------------------------------------------------------ */
+/* TreeTN (ref capi treetn.rs:1-2052). Vertices are named by C strings;*/
+/* topology is derived from shared index identity (from_tensors).      */
+/* String list outputs are newline-separated.                          */
+/* ------------------------------------------------------------------ */
+typedef struct t4a_treetn t4a_treetn;
+typedef struct t4a_treetn_evaluator t4a_treetn_evaluator;
+
+t4a_status_code t4a_treetn_new(t4a_treetn **out);
+void t4a_treetn_release(t4a_treetn *tn);
+int t4a_treetn_is_assigned(const t4a_treetn *tn);
+t4a_status_code t4a_treetn_clone(const t4a_treetn *tn, t4a_treetn **out);
+t4a_status_code t4a_treetn_set_tensor(t4a_treetn *tn, const char *vertex,
+                                      const t4a_tensor *t);
+t4a_status_code t4a_treetn_tensor(const t4a_treetn *tn,
+                                  const char *vertex, t4a_tensor **out);
+t4a_status_code t4a_treetn_num_vertices(const t4a_treetn *tn,
+                                        size_t *out);
+t4a_status_code t4a_treetn_node_names(const t4a_treetn *tn, char *buf,
+                                      size_t cap);
+t4a_status_code t4a_treetn_neighbors(const t4a_treetn *tn,
+                                     const char *vertex, char *buf,
+                                     size_t cap);
+t4a_status_code t4a_treetn_canonical_region(const t4a_treetn *tn,
+                                            char *buf, size_t cap);
+t4a_status_code t4a_treetn_siteinds(const t4a_treetn *tn,
+                                    const char *vertex, t4a_index **out,
+                                    size_t cap, size_t *n_out);
+t4a_status_code t4a_treetn_linkind(const t4a_treetn *tn, const char *a,
+                                   const char *b, t4a_index **out);
+t4a_status_code t4a_treetn_orthogonalize(t4a_treetn *tn,
+                                         const char *center);
+t4a_status_code t4a_treetn_truncate(t4a_treetn *tn, double rtol,
+                                    int64_t maxdim);
+t4a_status_code t4a_treetn_contract(const t4a_treetn *tn,
+                                    t4a_tensor **out);
+t4a_status_code t4a_treetn_inner(const t4a_treetn *a, const t4a_treetn *b,
+                                 double *re, double *im);
+t4a_status_code t4a_treetn_norm(const t4a_treetn *tn, double *out);
+t4a_status_code t4a_treetn_scale(t4a_treetn *tn, double re, double im);
+t4a_status_code t4a_treetn_add(const t4a_treetn *a, const t4a_treetn *b,
+                               t4a_treetn **out);
+t4a_status_code t4a_treetn_evaluate(const t4a_treetn *tn,
+                                    const t4a_index *const *indices,
+                                    const int64_t *values, size_t n,
+                                    double *re, double *im);
+t4a_status_code t4a_treetn_fuse_to(const t4a_treetn *tn,
+                                   const char *vertices_nl,
+                                   t4a_treetn **out);
+t4a_status_code t4a_treetn_split_to(const t4a_treetn *tn,
+                                    const char *vertex,
+                                    const t4a_index *const *left_inds,
+                                    size_t n_left, const char *left_name,
+                                    const char *right_name, double rtol,
+                                    int64_t maxdim, t4a_treetn **out);
+t4a_status_code t4a_treetn_swap_site_indices(const t4a_treetn *tn,
+                                             const char *a, const char *b,
+                                             double rtol, int64_t maxdim,
+                                             t4a_treetn **out);
+/* MPO given as a TT whose cores have fused (out*in) site dims, applied
+ * along the chain `order_nl` (newline-separated vertex names). */
+t4a_status_code t4a_treetn_apply_operator_chain(
+    const t4a_treetn *tn, const t4a_tt *mpo, const char *order_nl,
+    double rtol, int64_t maxdim, t4a_treetn **out);
+/* solve (a0 + a1 A) x = b with A a chain MPO over order_nl */
+t4a_status_code t4a_treetn_linsolve(const t4a_treetn *b, const t4a_tt *mpo,
+                                    const char *order_nl, double a0_re,
+                                    double a0_im, double a1_re,
+                                    double a1_im, double rtol,
+                                    int64_t maxdim, int64_t nsweeps,
+                                    t4a_treetn **out);
+t4a_status_code t4a_treetn_to_dense(const t4a_treetn *tn,
+                                    const t4a_index *const *order,
+                                    size_t n, double *data, size_t len);
+
+t4a_status_code t4a_treetn_evaluator_new(const t4a_treetn *tn,
+                                         const t4a_index *const *order,
+                                         size_t n,
+                                         t4a_treetn_evaluator **out);
+int t4a_treetn_evaluator_is_assigned(const t4a_treetn_evaluator *ev);
+t4a_status_code t4a_treetn_evaluator_clone(const t4a_treetn_evaluator *ev,
+                                           t4a_treetn_evaluator **out);
+/* idx is row-major (batch, n_sites) int64 */
+t4a_status_code t4a_treetn_evaluator_evaluate(
+    const t4a_treetn_evaluator *ev, const int64_t *idx, size_t batch,
+    size_t n_sites, double *out);
+void t4a_treetn_evaluator_release(t4a_treetn_evaluator *ev);
+
+/* ------------------------------------------------------------------ */
+/* QTT layout descriptors + quantics transform materializers           */
+/* (ref capi quanticstransform.rs:1-736). Operators materialize as TT  */
+/* handles with fused out*in site dims.                                */
+/* ------------------------------------------------------------------ */
+typedef struct t4a_qtt_layout t4a_qtt_layout;
+
+t4a_status_code t4a_qtt_layout_new(int64_t r, int64_t d,
+                                   const char *unfolding,
+                                   t4a_qtt_layout **out);
+t4a_status_code t4a_qtt_layout_clone(const t4a_qtt_layout *l,
+                                     t4a_qtt_layout **out);
+int t4a_qtt_layout_is_assigned(const t4a_qtt_layout *l);
+void t4a_qtt_layout_release(t4a_qtt_layout *l);
+
+t4a_status_code t4a_qtransform_flip_materialize(int64_t r, t4a_tt **out);
+t4a_status_code t4a_qtransform_shift_materialize(int64_t r, int64_t shift,
+                                                 const char *bc,
+                                                 t4a_tt **out);
+t4a_status_code t4a_qtransform_phase_rotation_materialize(int64_t r,
+                                                          double theta,
+                                                          t4a_tt **out);
+t4a_status_code t4a_qtransform_cumsum_materialize(int64_t r, t4a_tt **out);
+t4a_status_code t4a_qtransform_fourier_materialize(int64_t r, int sign,
+                                                   double rtol,
+                                                   int64_t maxdim,
+                                                   t4a_tt **out);
+t4a_status_code t4a_qtransform_affine_materialize(
+    int64_t r, int64_t a_num, int64_t a_den, int64_t b_num, int64_t b_den,
+    const char *bc, t4a_tt **out);
+
 #ifdef __cplusplus
 }
 #endif

@@ -3,6 +3,7 @@
 
 #include <math.h>
 #include <stdio.h>
+#include <string.h>
 #include <stdlib.h>
 
 #include "include/t4a_capi.h"
@@ -109,6 +110,121 @@ int main(void) {
   /* error path: invalid arg */
   if (t4a_tensor_new(NULL, 1, NULL, 0, &ta) != T4A_INVALID_ARGUMENT)
     return 1;
+
+  /* ---------------- TreeTN round trip (ref capi treetn.rs) --------- */
+  {
+    t4a_index *s0, *s1, *s2, *b01, *b12;
+    CHECK(t4a_index_new(2, "s0", &s0));
+    CHECK(t4a_index_new(2, "s1", &s1));
+    CHECK(t4a_index_new(2, "s2", &s2));
+    CHECK(t4a_index_new(3, "Link", &b01));
+    CHECK(t4a_index_new(3, "Link", &b12));
+    double d0[6], d1[18], d2[6];
+    for (int q = 0; q < 6; ++q) d0[q] = 0.1 * (q + 1);
+    for (int q = 0; q < 18; ++q) d1[q] = 0.05 * (q + 1) - 0.3;
+    for (int q = 0; q < 6; ++q) d2[q] = 0.2 * (q + 1) - 0.5;
+    const t4a_index *i0[2] = {s0, b01};
+    const t4a_index *i1[3] = {b01, s1, b12};
+    const t4a_index *i2[2] = {b12, s2};
+    t4a_tensor *T0, *T1, *T2;
+    CHECK(t4a_tensor_new(i0, 2, d0, 6, &T0));
+    CHECK(t4a_tensor_new(i1, 3, d1, 18, &T1));
+    CHECK(t4a_tensor_new(i2, 2, d2, 6, &T2));
+    t4a_treetn *tn;
+    CHECK(t4a_treetn_new(&tn));
+    CHECK(t4a_treetn_set_tensor(tn, "v0", T0));
+    CHECK(t4a_treetn_set_tensor(tn, "v1", T1));
+    CHECK(t4a_treetn_set_tensor(tn, "v2", T2));
+    size_t nv = 0;
+    CHECK(t4a_treetn_num_vertices(tn, &nv));
+    if (nv != 3) return 1;
+    char buf[256];
+    CHECK(t4a_treetn_neighbors(tn, "v1", buf, sizeof buf));
+    if (!strstr(buf, "v0") || !strstr(buf, "v2")) return 1;
+    /* dense BEFORE gauge ops (reference for later comparisons) */
+    const t4a_index *site_order[3] = {s0, s1, s2};
+    double dense[8];
+    CHECK(t4a_treetn_to_dense(tn, site_order, 3, dense, 8));
+    double n0 = 0.0;
+    CHECK(t4a_treetn_norm(tn, &n0));
+    double acc = 0.0;
+    for (int q = 0; q < 8; ++q) acc += dense[q] * dense[q];
+    if (fabs(sqrt(acc) - n0) > 1e-10) return 1;
+    /* orthogonalize + canonical region */
+    CHECK(t4a_treetn_orthogonalize(tn, "v0"));
+    CHECK(t4a_treetn_canonical_region(tn, buf, sizeof buf));
+    if (!strstr(buf, "v0")) return 1;
+    /* clone + inner = norm^2 */
+    t4a_treetn *cl;
+    CHECK(t4a_treetn_clone(tn, &cl));
+    double re = 0.0, im = 0.0;
+    CHECK(t4a_treetn_inner(tn, cl, &re, &im));
+    if (fabs(re - n0 * n0) > 1e-8 * n0 * n0) return 1;
+    /* truncate keeps the (rank<=2) state exact */
+    CHECK(t4a_treetn_truncate(tn, 1e-12, 2));
+    double dense2[8];
+    CHECK(t4a_treetn_to_dense(tn, site_order, 3, dense2, 8));
+    for (int q = 0; q < 8; ++q)
+      if (fabs(dense2[q] - dense[q]) > 1e-9) return 1;
+    /* evaluate one entry */
+    const t4a_index *einds[3] = {s0, s1, s2};
+    int64_t evals_idx[3] = {1, 0, 1};
+    CHECK(t4a_treetn_evaluate(tn, einds, evals_idx, 3, &re, &im));
+    /* dense is column-major over (s0, s1, s2) */
+    if (fabs(re - dense[1 + 0 * 2 + 1 * 4]) > 1e-9) return 1;
+    /* evaluator batch */
+    t4a_treetn_evaluator *ev;
+    CHECK(t4a_treetn_evaluator_new(tn, site_order, 3, &ev));
+    int64_t bidx[6] = {1, 0, 1, 0, 0, 0};
+    double bout[2];
+    CHECK(t4a_treetn_evaluator_evaluate(ev, bidx, 2, 3, bout));
+    if (fabs(bout[0] - re) > 1e-9) return 1;
+    if (fabs(bout[1] - dense[0]) > 1e-9) return 1;
+    /* fuse two vertices */
+    t4a_treetn *fused;
+    CHECK(t4a_treetn_fuse_to(tn, "v0\nv1", &fused));
+    CHECK(t4a_treetn_num_vertices(fused, &nv));
+    if (nv != 2) return 1;
+    /* apply a shift MPO materialized from the quantics layer */
+    t4a_qtt_layout *layout;
+    CHECK(t4a_qtt_layout_new(3, 1, "interleaved", &layout));
+    t4a_tt *shift;
+    CHECK(t4a_qtransform_shift_materialize(3, 1, "periodic", &shift));
+    size_t slen = 0;
+    CHECK(t4a_tt_len(shift, &slen));
+    if (slen != 3) return 1;
+    /* O[x=0 -> y=1]: fused digit = out*2 + in, bits MSB-first */
+    int64_t sdig[3] = {0, 0, 1};
+    double sval = 0.0;
+    CHECK(t4a_tt_evaluate(shift, sdig, 3, &sval));
+    if (fabs(sval - 1.0) > 1e-12) return 1;
+    t4a_treetn *applied;
+    CHECK(t4a_treetn_apply_operator_chain(tn, shift, "v0\nv1\nv2", 1e-12,
+                                          8, &applied));
+    CHECK(t4a_treetn_norm(applied, &re));
+    if (fabs(re - n0) > 1e-8) return 1; /* permutation preserves norm */
+    /* fourier materializer */
+    t4a_tt *qft;
+    CHECK(t4a_qtransform_fourier_materialize(4, -1, 1e-10, 12, &qft));
+    CHECK(t4a_tt_len(qft, &slen));
+    if (slen != 4) return 1;
+    t4a_tt_release(qft);
+    t4a_tt_release(shift);
+    t4a_qtt_layout_release(layout);
+    t4a_treetn_release(applied);
+    t4a_treetn_release(fused);
+    t4a_treetn_evaluator_release(ev);
+    t4a_treetn_release(cl);
+    t4a_treetn_release(tn);
+    t4a_tensor_release(T0);
+    t4a_tensor_release(T1);
+    t4a_tensor_release(T2);
+    t4a_index_release(s0);
+    t4a_index_release(s1);
+    t4a_index_release(s2);
+    t4a_index_release(b01);
+    t4a_index_release(b12);
+  }
 
   printf("capi OK\n");
   t4a_index_free(i);
