@@ -53,7 +53,6 @@ def shard_batch_eval(
     """
     mesh = mesh or default_mesh()
     n = mesh.devices.size
-    sharding = NamedSharding(mesh, P(axis))
     jf = jax.jit(jax_batch_f)
 
     def batch_f(idx: np.ndarray) -> np.ndarray:
@@ -66,8 +65,11 @@ def shard_batch_eval(
             jnp.asarray(idx), NamedSharding(mesh, P(axis, None))
         )
         out = jf(idx_dev)
+        batch_f.last_out_sharding = out.sharding  # observability hook
         return np.asarray(out)[:B]
 
+    batch_f.mesh = mesh
+    batch_f.last_out_sharding = None
     return batch_f
 
 
@@ -107,6 +109,51 @@ def sharded_gram(vectors: jnp.ndarray, mesh: Optional[Mesh] = None,
 
     v_dev = jax.device_put(vectors, NamedSharding(mesh, P(axis, None)))
     return gram(v_dev)
+
+
+def shard_vector(x, mesh: Optional[Mesh] = None, axis: str = "batch"):
+    """Place a vector (axis 0 sharded) on the mesh."""
+    mesh = mesh or default_mesh()
+    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(axis)))
+
+
+class ShardedArrayVS:
+    """Krylov VectorSpace over mesh-sharded 1-D arrays: inner products
+    and norms are per-device partial reductions combined with `psum`
+    over ICI (SURVEY.md §5.8); axpby/scale stay sharded elementwise.
+
+    Plug into core.krylov.gmres / hermitian_lanczos_lowest_eigenpair to
+    run distributed Krylov solves (VERDICT r1 #8)."""
+
+    def __init__(self, mesh: Optional[Mesh] = None, axis: str = "batch"):
+        self.mesh = mesh or default_mesh()
+        self.axis = axis
+
+        @jax.jit
+        def _inner(a, b):
+            def body(al, bl):
+                return jax.lax.psum(jnp.vdot(al, bl), axis_name=axis)
+
+            return jax.shard_map(body, mesh=self.mesh,
+                                 in_specs=(P(axis), P(axis)),
+                                 out_specs=P())(a, b)
+
+        self._inner_jit = _inner
+
+    def axpby(self, a, x, b, y):
+        return a * x + b * y
+
+    def inner(self, x, y):
+        return complex(self._inner_jit(x, y))
+
+    def norm(self, x) -> float:
+        return float(np.sqrt(np.real(self._inner_jit(x, x))))
+
+    def scale(self, a, x):
+        return a * x
+
+    def post(self, x):
+        return x
 
 
 def parallel_map_patches(fn: Callable, items: Sequence,

@@ -37,9 +37,16 @@ class CachedFunction:
         local_dims: Optional[Sequence[int]] = None,
         batch_f: Optional[Callable] = None,
         dtype=np.float64,
+        jax_f: Optional[Callable] = None,
+        mesh=None,
     ):
-        if f is None and batch_f is None:
-            raise ValueError("need f or batch_f")
+        if f is None and batch_f is None and jax_f is None:
+            raise ValueError("need f, batch_f, or jax_f")
+        if jax_f is not None:
+            # pure-device fast path; with a mesh the batch axis is
+            # sharded over it (the multi-chip TCI Pi-fill, SURVEY §5.8)
+            batch_f = make_jax_batch_f(jax_f, len(local_dims or ()),
+                                       mesh=mesh)
         self.f = f
         self.batch_f = batch_f
         if local_dims is None:
@@ -134,18 +141,25 @@ class CachedFunction:
             self._cache.clear()
 
 
-def make_jax_batch_f(jax_f, n_args: int):
+def make_jax_batch_f(jax_f, n_args: int, mesh=None):
     """Wrap a jittable pointwise JAX function into a batched evaluator.
 
     `jax_f` takes an (L,)-int array (or L scalars) and returns a scalar;
     the result is vmapped+jitted over the batch — the pure-device fast path
-    for jittable integrands.
+    for jittable integrands. With `mesh`, the batch axis is sharded over
+    the device mesh (parallel.shard_batch_eval): the TCI hot loop runs
+    data-parallel over ICI.
     """
     import jax
 
-    batched = jax.jit(jax.vmap(jax_f))
+    batched = jax.vmap(jax_f)
+    if mesh is not None:
+        from ..parallel.mesh import shard_batch_eval
+
+        return shard_batch_eval(batched, mesh=mesh)
+    jitted = jax.jit(batched)
 
     def batch_f(idx: np.ndarray) -> np.ndarray:
-        return np.asarray(batched(idx))
+        return np.asarray(jitted(idx))
 
     return batch_f

@@ -498,15 +498,21 @@ def crossinterpolate2(
     options: Optional[TCI2Options] = None,
     batch_f: Optional[Callable] = None,
     dtype=np.float64,
+    jax_f: Optional[Callable] = None,
+    mesh=None,
 ) -> Tuple[TensorCI2, List[int], List[float]]:
     """Cross-interpolate a black-box function into a tensor train.
 
     Returns ``(tci, ranks_history, errors_history)`` — call
     ``tci.to_tensortrain()`` for the TT (free: site tensors are state).
+
+    For jittable integrands pass `jax_f` (pointwise, (L,)-int -> scalar);
+    with a `mesh` the Pi-matrix fill — the TCI hot loop — is sharded over
+    the device mesh by default (SURVEY.md §5.8).
     """
     opts = options or TCI2Options()
     func = CachedFunction(f=f, local_dims=local_dims, batch_f=batch_f,
-                          dtype=dtype)
+                          dtype=dtype, jax_f=jax_f, mesh=mesh)
     tci = TensorCI2(func, initial_pivots)
     return optimize(tci, opts)
 
