@@ -223,10 +223,12 @@ def _finalize_pivot_errors(pivs: np.ndarray, rank: int, full_rank: int,
     if rank >= full_rank:
         last = 0.0
     elif rank >= max_rank and rank > 0:
-        last = float(pivs[rank - 1])
+        # pivs may hold fewer entries than rank (warm-started rook only
+        # tracks NEW pivots): fall back to the newest magnitude available
+        last = float(pivs[-1]) if len(pivs) else float(lastdrop)
     else:
         last = float(lastdrop)
-    return np.concatenate([pivs[:rank], [last]])
+    return np.concatenate([pivs[: min(rank, len(pivs))], [last]])
 
 
 def luci_factors_from_matrix(
@@ -275,6 +277,8 @@ def luci_rook_from_blocks(
     rel_tol: float = 1e-14,
     abs_tol: float = 0.0,
     max_rank: Optional[int] = None,
+    initial_rows: Optional[Sequence[int]] = None,
+    initial_cols: Optional[Sequence[int]] = None,
 ) -> LuciFactors:
     """Lazy block-rook cross interpolation: pivots without materializing
     the full candidate matrix.
@@ -289,8 +293,12 @@ def luci_rook_from_blocks(
     """
     full_rank = min(nrows, ncols)
     cap = full_rank if max_rank is None else min(max_rank, full_rank)
-    sel_r: list = []
-    sel_c: list = []
+    # warm start: accepted pivots from a previous sweep (the incremental
+    # ACA path of TCI1, ref tensorci1.rs / matrixaca.rs)
+    sel_r: list = list(initial_rows or [])
+    sel_c: list = list(initial_cols or [])
+    if len(sel_r) != len(sel_c):
+        raise ValueError("initial pivot row/col counts differ")
     accepted: list = []
     max_err = 0.0
     last_err = np.nan

@@ -1,10 +1,18 @@
-"""TCI1 — legacy one-site cross interpolation.
+"""TCI1 — one-site cross interpolation driven by lazy ACA pivoting.
 
 TPU-native rebuild of tensor4all-tensorci/src/tensorci1.rs:1-1055
-(`TensorCI1`, `TCI1SweepStrategy`): pivots are grown one at a time per
-bond per half-sweep (ACA-style), instead of TCI2's full two-site re-pivot.
-Kept for parity with the reference's legacy path; TCI2 is the primary
-engine.
+(`TensorCI1`, `TCI1SweepStrategy`) on top of tcicore's ACA machinery
+(matrixaca.rs): each bond grows by AT MOST ONE pivot per half-sweep,
+found by a lazy rook walk over the implicit Pi matrix
+(ops.rrlu.luci_rook_from_blocks warm-started from the bond's current
+pivots) — per pivot the function is evaluated on O((|I| + |J|) * rank)
+entries (single residual rows/columns), never the full |I| x |J| block.
+That is the ACA cost profile of the reference, with every sample
+memoized through CachedFunction.
+
+TCI2 (two-site, full re-pivot) remains the primary engine; TCI1 is the
+legacy-parity path and the cheaper choice when the rank is known to grow
+slowly.
 """
 
 from __future__ import annotations
@@ -14,9 +22,10 @@ from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from ..ops.rrlu import luci_rook_from_blocks
 from .cached_function import CachedFunction
 from .indexset import IndexSet
-from .tensorci2 import TensorCI2, estimate_true_error
+from .tensorci2 import TensorCI2, _pad_multiindex
 
 
 @dataclasses.dataclass
@@ -26,39 +35,53 @@ class TCI1Options:
     tol: float = 1e-8
     maxbonddim: Optional[int] = None
     max_iter: int = 30
+    sweep_strategy: str = "backandforth"  # ref TCI1SweepStrategy
     verbosity: int = 0
 
 
 class TensorCI1(TensorCI2):
-    """One-site TCI: shares the pivot-set state machine with TCI2 but grows
-    each bond by at most one pivot per sweep (ref sweep semantics)."""
+    """One-site TCI: shares the pivot-set/site-tensor state machine with
+    TCI2 but grows each bond incrementally by lazy ACA pivoting."""
 
     def _grow_bond(self, p: int, opts: TCI1Options) -> float:
-        """Add the single worst-error pivot at bond p; return its error."""
+        """Add at most one pivot at bond p via a warm-started lazy rook
+        walk (ref tensorci1.rs add_pivot / matrixaca.rs); returns the new
+        pivot's residual magnitude (0 when converged/capped)."""
         d_p, d_q = self.local_dims[p], self.local_dims[p + 1]
         I_cand = [i + (s,) for i in self.Iset[p] for s in range(d_p)]
         J_cand = [(s,) + j for s in range(d_q) for j in self.Jset[p + 1]]
-        Pi = self._eval_matrix(I_cand, J_cand)
-        # residual of the current cross on the Pi block
-        rows = [I_cand.index(i) for i in self.Iset[p + 1] if i in I_cand]
-        cols = [J_cand.index(j) for j in self.Jset[p] if j in J_cand]
-        if rows and cols and len(rows) == len(cols):
-            P = Pi[np.ix_(rows, cols)]
-            try:
-                approx = Pi[:, cols] @ np.linalg.solve(P, Pi[rows, :])
-            except np.linalg.LinAlgError:
-                approx = np.zeros_like(Pi)
-            R = Pi - approx
-        else:
-            R = Pi
-        flat = int(np.argmax(np.abs(R)))
-        i, j = flat // R.shape[1], flat % R.shape[1]
-        err = float(np.abs(R[i, j]))
-        if err > opts.tol * max(self.f_max, 1e-300) and (
-            opts.maxbonddim is None or len(self.Iset[p + 1]) < opts.maxbonddim
-        ):
-            self.Iset[p + 1].add(I_cand[i])
-            self.Jset[p].add(J_cand[j])
+        cur_rows = []
+        cur_cols = []
+        for piv in self.Iset[p + 1]:
+            if piv in I_cand:
+                cur_rows.append(I_cand.index(piv))
+        for piv in self.Jset[p]:
+            if piv in J_cand:
+                cur_cols.append(J_cand.index(piv))
+        r = min(len(cur_rows), len(cur_cols))
+        cur_rows, cur_cols = cur_rows[:r], cur_cols[:r]
+        if opts.maxbonddim is not None and r >= opts.maxbonddim:
+            return 0.0
+        I_arr = _pad_multiindex(I_cand)
+        J_arr = _pad_multiindex(J_cand)
+
+        def fill_block(rows, cols):
+            return self._eval_block(I_arr, J_arr, rows, cols)
+
+        fac = luci_rook_from_blocks(
+            len(I_cand), len(J_cand), fill_block,
+            rel_tol=0.0, abs_tol=opts.tol * max(self.f_max, 1e-300),
+            max_rank=r + 1, initial_rows=cur_rows, initial_cols=cur_cols)
+        new_rows = [int(i) for i in fac.row_indices[r:]]
+        new_cols = [int(j) for j in fac.col_indices[r:]]
+        err = float(fac.pivot_errors[-1]) if len(fac.pivot_errors) else 0.0
+        if new_rows:
+            self.Iset[p + 1] = IndexSet(
+                [I_cand[i] for i in fac.row_indices])
+            self.Jset[p] = IndexSet([J_cand[j] for j in fac.col_indices])
+            self.invalidate_site_tensors()
+            err = float(fac.pivot_errors[-2]) \
+                if len(fac.pivot_errors) >= 2 else err
         self.pivot_errors[p] = err
         return err
 
@@ -71,7 +94,7 @@ def crossinterpolate1(
     batch_f: Optional[Callable] = None,
     dtype=np.float64,
 ) -> Tuple[TensorCI1, List[int], List[float]]:
-    """Legacy TCI1 driver (ref tensorci1.rs)."""
+    """Legacy one-site TCI driver (ref tensorci1.rs)."""
     opts = options or TCI1Options()
     func = CachedFunction(f=f, local_dims=local_dims, batch_f=batch_f,
                           dtype=dtype)
@@ -79,14 +102,24 @@ def crossinterpolate1(
     ranks_history: List[int] = []
     errors_history: List[float] = []
     for it in range(opts.max_iter):
-        bonds = range(tci.L - 1) if it % 2 == 0 else range(tci.L - 2, -1, -1)
+        if opts.sweep_strategy == "forward":
+            forward = True
+        elif opts.sweep_strategy == "backward":
+            forward = False
+        else:
+            forward = it % 2 == 0
+        bonds = (range(tci.L - 1) if forward
+                 else range(tci.L - 2, -1, -1))
+        max_err = 0.0
         for p in bonds:
-            tci._grow_bond(p, opts)
-        err = float(tci.pivot_errors.max()) / max(tci.f_max, 1e-300)
+            max_err = max(max_err, tci._grow_bond(p, opts))
+        err = max_err / max(tci.f_max, 1e-300)
         ranks_history.append(max(tci.ranks))
         errors_history.append(err)
         if opts.verbosity:
-            print(f"[tci1] iter={it} rank={ranks_history[-1]} err={err:.3e}")
+            print(f"[tci1] iter={it} rank={ranks_history[-1]} "
+                  f"err={err:.3e}")
         if err < opts.tol:
             break
+    tci.fill_site_tensors()
     return tci, ranks_history, errors_history

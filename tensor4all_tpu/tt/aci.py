@@ -5,11 +5,13 @@ TPU-native rebuild of tensor4all-aci
 `AciOptions`, batch.rs `ElementwiseBatch`): given input TTs A_1..A_k and an
 elementwise map ``g``, produce a TT of ``g(A_1(x), ..., A_k(x))``.
 
-Where the reference alternates local block evaluators to keep CPU cost
-down, the TPU-native formulation evaluates ``g`` over whole pivot batches
-with every input TT evaluated by the fully batched device kernel
-(tt.evaluate_batch — MXU matmul chains), driven by the TCI2 engine. The
-semantics (tolerance, convergence, rank caps) match the reference's.
+Like the reference's local block evaluators (local.rs), the inputs are
+evaluated through TWO-SIDED cached partial contractions (tt.TTCache):
+the TCI sweep's pivot batches share index prefixes and suffixes across
+bond updates, so each input TT pays only the local matvecs at the
+meeting site per point. Very large batches fall back to the fully
+batched device kernel (MXU matmul chains). The semantics (tolerance,
+convergence, rank caps) match the reference's.
 """
 
 from __future__ import annotations
@@ -62,9 +64,13 @@ def elementwise_batched(
     for t in tts[1:]:
         if t.local_dims != dims:
             raise ValueError("input TTs must share local dims")
+    from .cache import TTCache
+
+    caches = [TTCache(t) for t in tts]
 
     def batch_f(idx: np.ndarray) -> np.ndarray:
-        vals = [np.asarray(t.evaluate_batch(idx)) for t in tts]
+        # cached local evaluation (ref aci local.rs block evaluators)
+        vals = [c.evaluate_batch(idx) for c in caches]
         out = np.asarray(op(*vals))
         if out.shape != (idx.shape[0],):
             raise ValueError("op must map (B,)-arrays to a (B,) array")

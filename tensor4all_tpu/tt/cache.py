@@ -1,44 +1,69 @@
 """Cached partial contractions for repeated TT evaluation.
 
 TPU-native rebuild of tensor4all-simplett/src/cache.rs:1-679 (`TTCache`):
-left-prefix environment vectors are memoized host-side keyed by the index
-prefix tuple, so repeated evaluations that share prefixes (the access
-pattern of TCI pivot enumeration) cost only the suffix matvecs. Batch
-evaluation falls back to the fully batched device path when the cache
-cannot help.
+BOTH left-prefix and right-suffix environment vectors are memoized
+host-side keyed by index tuples, so repeated evaluations that share
+prefixes or suffixes (the access pattern of TCI pivot enumeration, which
+fixes one side while scanning the other) cost only the local matvecs at
+the meeting site. Batched evaluation combines cached environments with
+one vectorized contraction; very large batches fall back to the fully
+batched device path.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from .tensortrain import TensorTrain
 
 
 class TTCache:
-    """Prefix-environment cache over a fixed TT."""
+    """Two-sided environment cache over a fixed TT (ref cache.rs)."""
 
-    def __init__(self, tt: TensorTrain):
+    def __init__(self, tt: TensorTrain, center: Optional[int] = None):
         self.tt = tt
+        self._cores = [np.asarray(c) for c in tt.cores]
+        dtype = np.result_type(*[c.dtype for c in self._cores])
         self._left: Dict[Tuple[int, ...], np.ndarray] = {
-            (): np.ones((1,), dtype=np.result_type(np.asarray(tt.cores[0])))
+            (): np.ones((1,), dtype=dtype)
         }
+        self._right: Dict[Tuple[int, ...], np.ndarray] = {
+            (): np.ones((1,), dtype=dtype)
+        }
+        L = len(tt)
+        self.center = L // 2 if center is None else int(center)
+        if not 0 <= self.center <= L:
+            raise ValueError("center out of range")
         self.hits = 0
         self.misses = 0
 
     def _left_env(self, prefix: Tuple[int, ...]) -> np.ndarray:
+        """Row vector: contraction of cores[:len(prefix)] at `prefix`."""
         env = self._left.get(prefix)
         if env is not None:
             self.hits += 1
             return env
         self.misses += 1
         parent = self._left_env(prefix[:-1])
-        core = np.asarray(self.tt.cores[len(prefix) - 1])
+        core = self._cores[len(prefix) - 1]
         env = parent @ core[:, prefix[-1], :]
         self._left[prefix] = env
+        return env
+
+    def _right_env(self, suffix: Tuple[int, ...]) -> np.ndarray:
+        """Column vector: contraction of cores[L-len(suffix):] at
+        `suffix` (ref cache.rs right set contractions)."""
+        env = self._right.get(suffix)
+        if env is not None:
+            self.hits += 1
+            return env
+        self.misses += 1
+        parent = self._right_env(suffix[1:])
+        core = self._cores[len(self._cores) - len(suffix)]
+        env = core[:, suffix[0], :] @ parent
+        self._right[suffix] = env
         return env
 
     def evaluate(self, idx: Sequence[int]) -> complex:
@@ -46,18 +71,24 @@ class TTCache:
         L = len(self.tt)
         if len(idx) != L:
             raise ValueError(f"index length {len(idx)} != {L}")
-        # reuse the longest cached prefix; cache up to the second-to-last site
-        env = self._left_env(idx[: L - 1])
-        core = np.asarray(self.tt.cores[L - 1])
-        v = env @ core[:, idx[-1], :]
-        return v[0]
+        c = self.center
+        left = self._left_env(idx[:c])
+        right = self._right_env(idx[c:])
+        return complex(left @ right)
 
     def evaluate_batch(self, idx) -> np.ndarray:
-        idx = np.asarray(idx)
-        if idx.shape[0] > 64:  # large batches: fully-batched device path
+        idx = np.asarray(idx, dtype=np.int64)
+        B = idx.shape[0]
+        if B > 4096:  # huge batches: fully-batched device path
             return np.asarray(self.tt.evaluate_batch(idx))
-        return np.array([self.evaluate(row) for row in idx])
+        c = self.center
+        out = np.empty(
+            B, dtype=np.result_type(*[co.dtype for co in self._cores]))
+        for b in range(B):
+            row = tuple(int(v) for v in idx[b])
+            out[b] = self._left_env(row[:c]) @ self._right_env(row[c:])
+        return out
 
     @property
     def cache_size(self) -> int:
-        return len(self._left)
+        return len(self._left) + len(self._right)

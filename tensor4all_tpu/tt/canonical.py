@@ -116,3 +116,155 @@ class VidalTensorTrain:
     @property
     def ranks(self):
         return [int(l.shape[0]) for l in self.lambdas]
+
+
+class InverseTensorTrain:
+    """Inverse-weight form (ref vidal.rs:515 `InverseTensorTrain`,
+    Hastings' trick): site tensors carry the bond weights absorbed on
+    BOTH sides, ``T_k = Lambda_{k-1} Gamma_k Lambda_k``, plus the inverse
+    singular values per bond. A local two-site update touches only
+    ``T_k inv(Lambda_k) T_{k+1}`` — no global re-gauging."""
+
+    def __init__(self, tensors: List[jnp.ndarray],
+                 inv_lambdas: List[jnp.ndarray],
+                 lambdas: List[jnp.ndarray]):
+        if len(inv_lambdas) != len(tensors) - 1:
+            raise ValueError("need L-1 inverse weights")
+        self.tensors = [jnp.asarray(t) for t in tensors]
+        self.inv_lambdas = [jnp.asarray(v) for v in inv_lambdas]
+        self.lambdas = [jnp.asarray(v) for v in lambdas]
+
+    @staticmethod
+    def from_vidal(v: "VidalTensorTrain") -> "InverseTensorTrain":
+        L = len(v.gammas)
+        tensors = []
+        for k in range(L):
+            t = v.gammas[k]
+            if k > 0:
+                t = t * v.lambdas[k - 1][:, None, None]
+            if k < L - 1:
+                t = t * v.lambdas[k][None, None, :]
+            tensors.append(t)
+        invs = [jnp.where(lam > 0, 1.0 / lam, 0.0) for lam in v.lambdas]
+        return InverseTensorTrain(tensors, invs, list(v.lambdas))
+
+    @staticmethod
+    def from_tt(tt: TensorTrain,
+                policy: Optional[SvdTruncationPolicy] = None
+                ) -> "InverseTensorTrain":
+        return InverseTensorTrain.from_vidal(
+            VidalTensorTrain.from_tt(tt, policy))
+
+    def to_tt(self) -> TensorTrain:
+        cores = []
+        L = len(self.tensors)
+        for k in range(L):
+            t = self.tensors[k]
+            if k < L - 1:
+                t = t * self.inv_lambdas[k][None, None, :]
+            cores.append(t)
+        return TensorTrain(cores)
+
+    def two_site_block(self, k: int) -> jnp.ndarray:
+        """``theta = T_k inv(Lambda_k) T_{k+1}`` (both outer weights
+        absorbed)."""
+        left = self.tensors[k] * self.inv_lambdas[k][None, None, :]
+        return jnp.einsum("adb,bec->adec", left, self.tensors[k + 1])
+
+    def set_two_site(self, k: int, theta: jnp.ndarray,
+                     policy: Optional[SvdTruncationPolicy] = None) -> None:
+        """Replace bond k's block by SVD of `theta` (ref vidal.rs
+        set_two_site_tensors): T_k <- U S, Lambda_k <- S,
+        T_{k+1} <- S Vh — a purely local update."""
+        r0, d0, d1, r1 = theta.shape
+        pol = policy or SvdTruncationPolicy()
+        u, s, vh, _ = truncated_svd_matrix(
+            theta.reshape(r0 * d0, d1 * r1), pol)
+        rk = s.shape[0]
+        self.tensors[k] = (u * s[None, :]).reshape(r0, d0, rk)
+        self.tensors[k + 1] = (s[:, None] * vh).reshape(rk, d1, r1)
+        self.lambdas[k] = s
+        self.inv_lambdas[k] = jnp.where(s > 0, 1.0 / s, 0.0)
+
+    @property
+    def ranks(self):
+        return [int(v.shape[0]) for v in self.inv_lambdas]
+
+
+# ----------------------------------------------------------------------
+# MPO canonical forms (ref simplett/src/mpo/: SiteMPO, VidalMPO,
+# InverseMPO) — the MPO is treated as a TT over fused (out, in) sites.
+# ----------------------------------------------------------------------
+def _mpo_fused_tt(mpo) -> TensorTrain:
+    cores = []
+    for c in mpo.cores:
+        l, o, i, r = c.shape
+        cores.append(jnp.asarray(c).reshape(l, o * i, r))
+    return TensorTrain(cores)
+
+
+def _fused_tt_mpo(tt: TensorTrain, shapes) :
+    from .mpo import MPO
+
+    cores = []
+    for c, (o, i) in zip(tt.cores, shapes):
+        l, _, r = c.shape
+        cores.append(jnp.asarray(c).reshape(l, o, i, r))
+    return MPO(cores)
+
+
+class SiteMPO:
+    """Center-canonical MPO (ref mpo/site_mpo.rs)."""
+
+    def __init__(self, mpo, center: int = 0):
+        self._shapes = [(c.shape[1], c.shape[2]) for c in mpo.cores]
+        self._stt = SiteTensorTrain.from_tt(_mpo_fused_tt(mpo), center)
+
+    @property
+    def center(self) -> int:
+        return self._stt.center
+
+    def move_center(self, new_center: int) -> "SiteMPO":
+        self._stt = self._stt.move_center(new_center)
+        return self
+
+    def to_mpo(self):
+        return _fused_tt_mpo(self._stt.to_tt(), self._shapes)
+
+
+class VidalMPO:
+    """Vidal-form MPO with explicit bond singular values
+    (ref mpo/vidal_mpo.rs)."""
+
+    def __init__(self, mpo, policy: Optional[SvdTruncationPolicy] = None):
+        self._shapes = [(c.shape[1], c.shape[2]) for c in mpo.cores]
+        self._v = VidalTensorTrain.from_tt(_mpo_fused_tt(mpo), policy)
+
+    @property
+    def lambdas(self):
+        return self._v.lambdas
+
+    @property
+    def ranks(self):
+        return self._v.ranks
+
+    def to_mpo(self):
+        return _fused_tt_mpo(self._v.to_tt(), self._shapes)
+
+
+class InverseMPO:
+    """Inverse-weight MPO for local updates (ref mpo/inverse_mpo.rs)."""
+
+    def __init__(self, mpo, policy: Optional[SvdTruncationPolicy] = None):
+        self._shapes = [(c.shape[1], c.shape[2]) for c in mpo.cores]
+        self._inv = InverseTensorTrain.from_tt(_mpo_fused_tt(mpo), policy)
+
+    @property
+    def ranks(self):
+        return self._inv.ranks
+
+    def two_site_block(self, k: int):
+        return self._inv.two_site_block(k)
+
+    def to_mpo(self):
+        return _fused_tt_mpo(self._inv.to_tt(), self._shapes)

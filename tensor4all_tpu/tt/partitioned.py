@@ -129,6 +129,143 @@ class PartitionedTT:
         return PartitionedTT(out)
 
 
+def _tt_fix_site(tt: TensorTrain, pos: int, v: int) -> TensorTrain:
+    """Fix free site `pos` of a TT to value `v` (absorb the slice into a
+    neighbor core) — the split primitive of ref patching.rs:666
+    split_subdomain."""
+    import jax.numpy as jnp
+
+    cores = [jnp.asarray(c) for c in tt.cores]
+    sl = cores[pos][:, v, :]
+    if len(cores) == 1:
+        raise ValueError("cannot fix the only site")
+    if pos + 1 < len(cores):
+        cores[pos + 1] = jnp.einsum("ab,bdc->adc", sl, cores[pos + 1])
+    else:
+        cores[pos - 1] = jnp.einsum("adb,bc->adc", cores[pos - 1], sl)
+    del cores[pos]
+    return TensorTrain(cores)
+
+
+def split_subdomain(patch: SubDomainTT, site: int) -> List[SubDomainTT]:
+    """Split a patch by fixing global site `site` to each of its values
+    (ref patching.rs:666)."""
+    fixed = patch.projector.as_dict
+    if site in fixed:
+        raise ValueError(f"site {site} already fixed")
+    free = patch.free_sites
+    pos = free.index(site)
+    out = []
+    for v in range(patch.local_dims[site]):
+        proj = Projector.make({**fixed, site: v})
+        out.append(SubDomainTT(proj, _tt_fix_site(patch.tt, pos, v),
+                               patch.local_dims))
+    return out
+
+
+def _restrict(patch: SubDomainTT, proj: Projector) -> SubDomainTT:
+    """Restrict a patch's TT to a finer projector (slice the extra
+    fixed sites out)."""
+    extra = {s: v for s, v in proj.as_dict.items()
+             if s not in patch.projector.as_dict}
+    tt = patch.tt
+    free = list(patch.free_sites)
+    for s in sorted(extra):
+        pos = free.index(s)
+        tt = _tt_fix_site(tt, pos, extra[s])
+        free.remove(s)
+    return SubDomainTT(proj, tt, patch.local_dims)
+
+
+def _merge_compatible(pa: Projector, pb: Projector) -> Optional[Projector]:
+    da, db = pa.as_dict, pb.as_dict
+    for s in set(da) & set(db):
+        if da[s] != db[s]:
+            return None
+    return Projector.make({**da, **db})
+
+
+def _adaptive_patch_op(pa: SubDomainTT, pb: SubDomainTT, proj: Projector,
+                       combine, tol: float, maxdim: int,
+                       depth: int) -> List[SubDomainTT]:
+    """Combine two patches on region `proj`; split recursively when the
+    rank cap binds (ref patching.rs add_with_patching/contract_adaptive)."""
+    ra = _restrict(pa, proj)
+    rb = _restrict(pb, proj)
+    tt = combine(ra.tt, rb.tt).compress(tol=tol)
+    if tt.max_rank <= maxdim or depth <= 0 or len(ra.free_sites) < 3:
+        if tt.max_rank > maxdim:
+            tt = tt.compress(tol=tol, maxdim=maxdim)
+        return [SubDomainTT(proj, tt, pa.local_dims)]
+    # split on the largest-dimension free site of the region
+    free = ra.free_sites
+    site = max(free, key=lambda s: pa.local_dims[s])
+    out: List[SubDomainTT] = []
+    for v in range(pa.local_dims[site]):
+        child = Projector.make({**proj.as_dict, site: v})
+        out.extend(_adaptive_patch_op(pa, pb, child, combine, tol, maxdim,
+                                      depth - 1))
+    return out
+
+
+def _pairwise_adaptive(a: "PartitionedTT", b: "PartitionedTT", combine,
+                       tol: float, maxdim: int,
+                       max_depth: int) -> "PartitionedTT":
+    patches: List[SubDomainTT] = []
+    for pa in a.patches:
+        for pb in b.patches:
+            proj = _merge_compatible(pa.projector, pb.projector)
+            if proj is None:
+                continue
+            patches.extend(_adaptive_patch_op(pa, pb, proj, combine, tol,
+                                              maxdim, max_depth))
+    return PartitionedTT(patches)
+
+
+def add_with_patching(a: PartitionedTT, b: PartitionedTT,
+                      tol: float = 1e-12, maxdim: int = 64,
+                      max_depth: int = 3) -> PartitionedTT:
+    """Add two partitioned TTs over the COMMON REFINEMENT of their
+    partitions, splitting patches adaptively where the sum's rank would
+    exceed `maxdim` (ref patching.rs:152 add_with_patching)."""
+    return _pairwise_adaptive(a, b, lambda x, y: x + y, tol, maxdim,
+                              max_depth)
+
+
+def contract_adaptive(a: PartitionedTT, b: PartitionedTT,
+                      tol: float = 1e-12, maxdim: int = 64,
+                      max_depth: int = 3) -> PartitionedTT:
+    """Element-wise (Hadamard) product with adaptive patch refinement
+    (ref patching.rs:273 contract_adaptive)."""
+    return _pairwise_adaptive(a, b, lambda x, y: x.hadamard(y), tol,
+                              maxdim, max_depth)
+
+
+def truncate_adaptive(p: PartitionedTT, tol: float = 1e-12,
+                      maxdim: int = 64,
+                      max_depth: int = 3) -> PartitionedTT:
+    """Compress every patch; split patches whose tolerance-compressed
+    rank exceeds `maxdim` (ref patching.rs:346 truncate_adaptive)."""
+    out: List[SubDomainTT] = []
+
+    def work(patch: SubDomainTT, depth: int) -> None:
+        tt = patch.tt.compress(tol=tol)
+        if tt.max_rank <= maxdim or depth <= 0 or \
+                len(patch.free_sites) < 3:
+            if tt.max_rank > maxdim:
+                tt = tt.compress(tol=tol, maxdim=maxdim)
+            out.append(SubDomainTT(patch.projector, tt, patch.local_dims))
+            return
+        free = patch.free_sites
+        site = max(free, key=lambda s: patch.local_dims[s])
+        for child in split_subdomain(patch, site):
+            work(child, depth - 1)
+
+    for patch in p.patches:
+        work(patch, max_depth)
+    return PartitionedTT(out)
+
+
 def partitioned_interpolate(
     batch_f: Callable[[np.ndarray], np.ndarray],
     local_dims: Sequence[int],

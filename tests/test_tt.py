@@ -198,3 +198,107 @@ def test_mpo_add(key):
         np.asarray(a.to_dense_matrix()) + np.asarray(b.to_dense_matrix()),
         atol=1e-12,
     )
+
+
+def test_inverse_tensortrain_roundtrip_and_local_update(key):
+    """InverseTensorTrain (ref vidal.rs:515): roundtrip + purely local
+    two-site update."""
+    from tensor4all_tpu.tt.canonical import InverseTensorTrain
+
+    tt = TensorTrain.random(key, [2, 3, 2, 3], rank=4)
+    inv = InverseTensorTrain.from_tt(tt)
+    np.testing.assert_allclose(
+        np.asarray(inv.to_tt().full_tensor()),
+        np.asarray(tt.full_tensor()), atol=1e-12)
+    th = inv.two_site_block(1)
+    inv.set_two_site(1, th)
+    np.testing.assert_allclose(
+        np.asarray(inv.to_tt().full_tensor()),
+        np.asarray(tt.full_tensor()), atol=1e-12)
+
+
+def test_mpo_canonical_forms(key):
+    """Site/Vidal/Inverse MPO forms (ref simplett mpo/) roundtrip."""
+    import jax
+
+    from tensor4all_tpu.tt import MPO
+    from tensor4all_tpu.tt.canonical import InverseMPO, SiteMPO, VidalMPO
+
+    ks = jax.random.split(key, 4)
+    links = [1, 3, 3, 3, 1]
+    mpo = MPO([jax.random.normal(ks[k], (links[k], 2, 2, links[k + 1]))
+               for k in range(4)])
+    ref = np.asarray(mpo.to_dense_matrix())
+    for form in (lambda m: SiteMPO(m, 1), VidalMPO, InverseMPO):
+        got = np.asarray(form(mpo).to_mpo().to_dense_matrix())
+        np.testing.assert_allclose(got, ref, atol=1e-9)
+
+
+def test_ttcache_two_sided(key):
+    """Two-sided TTCache (ref cache.rs): prefix AND suffix envs reused."""
+    from tensor4all_tpu.tt.cache import TTCache
+
+    tt = TensorTrain.random(key, [2, 3, 2, 3, 2], rank=4)
+    c = TTCache(tt)
+    idx = np.stack(np.meshgrid(*[np.arange(d) for d in [2, 3, 2, 3, 2]],
+                               indexing="ij"), -1).reshape(-1, 5)
+    np.testing.assert_allclose(c.evaluate_batch(idx),
+                               np.asarray(tt.evaluate_batch(idx)),
+                               atol=1e-12)
+    assert c.hits > c.misses  # envs genuinely shared
+    assert len(c._right) > 1  # right side populated too
+
+
+def test_partitioned_adaptive_ops(key):
+    """add_with_patching / contract_adaptive / truncate_adaptive over
+    mismatched partitions (ref patching.rs:152-346)."""
+    from tensor4all_tpu.tt.partitioned import (
+        PartitionedTT,
+        Projector,
+        SubDomainTT,
+        add_with_patching,
+        contract_adaptive,
+        split_subdomain,
+        truncate_adaptive,
+    )
+    import jax
+
+    dims = [3, 3, 3, 3, 3]
+    tt_a = TensorTrain.random(jax.random.PRNGKey(10), dims, rank=4)
+    tt_b = TensorTrain.random(jax.random.PRNGKey(11), dims, rank=4)
+    a = PartitionedTT([SubDomainTT(Projector.make({}), tt_a, dims)])
+    b = PartitionedTT(split_subdomain(
+        SubDomainTT(Projector.make({}), tt_b, dims), 0))
+    idx = np.random.default_rng(0).integers(0, 3, (200, 5))
+    fa = np.asarray(tt_a.evaluate_batch(idx))
+    fb = np.asarray(tt_b.evaluate_batch(idx))
+    s = add_with_patching(a, b, tol=1e-12, maxdim=64)
+    np.testing.assert_allclose(s.evaluate_batch(idx), fa + fb, atol=1e-10)
+    h = contract_adaptive(a, b, tol=1e-12, maxdim=64)
+    np.testing.assert_allclose(h.evaluate_batch(idx), fa * fb, atol=1e-10)
+    # tiny cap forces refinement, result still exact up to the cap error
+    s2 = add_with_patching(a, b, tol=1e-14, maxdim=3, max_depth=2)
+    assert len(s2) > len(s)
+    assert s2.max_rank() <= 3
+    np.testing.assert_allclose(s2.evaluate_batch(idx), fa + fb, atol=1e-8)
+    t = truncate_adaptive(s2, tol=1e-12, maxdim=4, max_depth=2)
+    np.testing.assert_allclose(t.evaluate_batch(idx), fa + fb, atol=1e-8)
+
+
+def test_tci1_aca_lazy():
+    """TCI1's rook/ACA growth evaluates far fewer points than the grid
+    (ref tensorci1.rs / matrixaca.rs cost profile)."""
+    from tensor4all_tpu.tci.tensorci1 import TCI1Options, crossinterpolate1
+    from tensor4all_tpu.tci.tensorci2 import estimate_true_error
+
+    def f(idx):
+        x = (np.asarray(idx, np.float64) - 2.0) / 3.0
+        return 1.0 / (1.0 + np.sum(x * x, axis=-1))
+
+    tci, ranks, errs = crossinterpolate1(
+        batch_f=f, local_dims=[6] * 6,
+        options=TCI1Options(tol=1e-9, max_iter=40))
+    err = estimate_true_error(tci.to_tensortrain(), tci.func,
+                              n_samples=3000)
+    assert err < 1e-7 * tci.f_max
+    assert tci.func.num_evals < 6 ** 6 // 2
