@@ -1,0 +1,322 @@
+"""Benchmark journal: reproduce the reference's results journal
+(ref benchmarks/results/*.md; BASELINE.md rows) as one command.
+
+    python benchmarks/journal.py [--quick] [--out results/<date>.md]
+
+Each rung emits a JSON record {metric, value, unit, baseline,
+vs_baseline}; the driver prints the full table and writes a results
+markdown. These configs are latency-bound CPU-class workloads
+(chi <= 64, host-driven sweeps) — the reference's numbers are
+single-thread CPU; run this journal with JAX_PLATFORMS=cpu for a
+like-for-like comparison. The TPU headline metrics (DMRG engine, MXU
+utilization, in-program rrLU) live in bench.py / benchmarks/mxu.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _median(fn, warmup=1, reps=5):
+    for _ in range(warmup):
+        fn()
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
+def _setup_chain(N, chi, key=0):
+    import jax
+    import networkx as nx
+
+    from tensor4all_tpu.models.spin import heisenberg
+    from tensor4all_tpu.treetn.network import random_treetn
+
+    g = nx.Graph()
+    for i in range(N - 1):
+        g.add_edge(i, i + 1)
+    tn, site_inds = random_treetn(jax.random.PRNGKey(key), g,
+                                  {n: [2] for n in g.nodes}, bond_dim=chi)
+    sites = {n: site_inds[n][0] for n in g.nodes}
+    return g, tn, sites, heisenberg(g, sites)
+
+
+def _setup_star(N, chi, key=0):
+    import jax
+    import networkx as nx
+
+    from tensor4all_tpu.models.spin import heisenberg
+    from tensor4all_tpu.treetn.network import random_treetn
+
+    g = nx.Graph()
+    arms, per = 3, (N - 1) // 3
+    prev_names = []
+    for a in range(arms):
+        prev = "c"
+        for i in range(per):
+            g.add_edge(prev, (a, i))
+            prev = (a, i)
+        prev_names.append(prev)
+    tn, site_inds = random_treetn(jax.random.PRNGKey(key), g,
+                                  {n: [2] for n in g.nodes}, bond_dim=chi)
+    sites = {n: site_inds[n][0] for n in g.nodes}
+    return g, tn, sites, heisenberg(g, sites)
+
+
+def bench_dmrg_chain(quick=False):
+    from benchmarks.dmrg_chain import run
+
+    r = run(_median)
+    return {"metric": "treetn_dmrg_chain_N8_chi32", "value": r["value"],
+            "unit": "ms", "baseline": 135.4,
+            "vs_baseline": r["vs_baseline"],
+            "detail": r.get("detail", {})}
+
+
+def bench_tdvp(topology: str, quick=False):
+    from tensor4all_tpu.treetn.tdvp import TdvpOptions, tdvp
+
+    if topology == "chain":
+        g, tn, sites, op = _setup_chain(8, 8)
+        baseline = 104.6
+    else:
+        g, tn, sites, op = _setup_star(7, 8)
+        baseline = 1739.5
+    tn.set_tensor(list(g.nodes)[0],
+                  tn.tensor(list(g.nodes)[0]) / float(tn.norm()))
+    opts = TdvpOptions(nsteps=4, order=2, maxdim=32, cutoff=1e-12)
+
+    def body():
+        tdvp(op, tn, t=-1j * 0.08, options=opts)
+
+    t = _median(body, warmup=1, reps=2 if quick else 3)
+    return {"metric": f"treetn_tdvp_{topology}_N8_chi32",
+            "value": t * 1e3, "unit": "ms", "baseline": baseline,
+            "vs_baseline": baseline / (t * 1e3)}
+
+
+def bench_projected_apply(chi: int, quick=False):
+    """Warm local two-site projected-operator apply, N=38
+    (ref 2026-05-18-projected-apply.md)."""
+    from tensor4all_tpu.treetn.projected import ProjectedOperator
+
+    N = 38
+    g, tn, sites, op = _setup_chain(N, chi)
+    tn.canonicalize([N // 2])
+    proj = ProjectedOperator(op, tn)
+    from tensor4all_tpu.core.contract import contract
+
+    a, b = N // 2, N // 2 + 1
+    theta = contract([tn.tensor(a), tn.tensor(b)])
+    proj.apply_local(theta, (a, b))  # build envs (warm)
+
+    def body():
+        y = proj.apply_local(theta, (a, b))
+        np.asarray(y.data)
+
+    t = _median(body, warmup=2, reps=3 if quick else 7)
+    baseline = 6.0 if chi == 32 else 68.2
+    return {"metric": f"projected_apply_N38_chi{chi}", "value": t * 1e3,
+            "unit": "ms", "baseline": baseline,
+            "vs_baseline": baseline / (t * 1e3)}
+
+
+def bench_local_linsolve(quick=False):
+    """Prepared local linsolve sweeps (ref 2026-05-18-local-linsolve.md):
+    N=38, chi=32 operator/state."""
+    from tensor4all_tpu.treetn.linsolve import (
+        LinsolveOptions,
+        square_linsolve,
+    )
+
+    N = 38 if not quick else 16
+    g, x0, sites, op = _setup_chain(N, 16)
+    _, b, _, _ = _setup_chain(N, 16, key=1)
+    # b must share x0's site indices
+    from tensor4all_tpu.treetn.network import TreeTN
+    import jax
+
+    from tensor4all_tpu.core.index import Index
+    from tensor4all_tpu.core.tensor import Tensor
+    from tensor4all_tpu.treetn.network import _edge_key
+
+    bonds = {}
+    for u, v in g.edges:
+        bonds[_edge_key(u, v)] = Index(16, tags="Link")
+    bb = TreeTN()
+    ks = jax.random.split(jax.random.PRNGKey(2), N)
+    for k, n in zip(ks, g.nodes):
+        inds = [sites[n]] + [bonds[_edge_key(n, nb)]
+                             for nb in g.neighbors(n)]
+        bb.add_node(n, Tensor.random(k, inds))
+    for u, v in g.edges:
+        bb.graph.add_edge(u, v, bond=bonds[_edge_key(u, v)])
+
+    opts = LinsolveOptions(nsweeps=1, maxdim=32, cutoff=1e-10,
+                           gmres_maxiter=10, a0=1.0, a1=0.05)
+
+    def body():
+        square_linsolve(op, bb, x0, options=opts)
+
+    t = _median(body, warmup=1, reps=2)
+    return {"metric": "local_linsolve_N38_chi32_1sweep", "value": t,
+            "unit": "s", "baseline": 6.89 / 2,  # ref runs 2 sweeps/74 steps
+            "vs_baseline": (6.89 / 2) / t}
+
+
+def bench_aci_elementwise(chi: int = 8, quick=False):
+    """ACI elementwise product (ref 2026-05-21-aci-elementwise.md)."""
+    import jax
+
+    from tensor4all_tpu.tt.aci import AciOptions, elementwise_batched
+    from tensor4all_tpu.tt.tensortrain import TensorTrain
+
+    L, d = 10, 2
+    a = TensorTrain.random(jax.random.PRNGKey(0), [d] * L, rank=chi)
+    b = TensorTrain.random(jax.random.PRNGKey(1), [d] * L, rank=chi)
+
+    def body():
+        elementwise_batched(lambda x, y: x * y, [a, b],
+                            AciOptions(tol=1e-10, max_iter=8,
+                                       maxbonddim=chi * chi))
+
+    t = _median(body, warmup=1, reps=2 if quick else 3)
+    baseline = 84.3 if chi == 8 else 25.6
+    return {"metric": f"aci_elementwise_chi{chi}", "value": t * 1e3,
+            "unit": "ms", "baseline": baseline,
+            "vs_baseline": baseline / (t * 1e3)}
+
+
+def bench_mps_ops(quick=False):
+    """MPS inner / direct-sum add, L=32 chi=8 complex128
+    (ref 2026-05-19-tt-ops.md)."""
+    import jax
+
+    from tensor4all_tpu.tt.tensortrain import TensorTrain
+
+    L, d, chi = 32, 2, 8
+    a = TensorTrain.random(jax.random.PRNGKey(0), [d] * L, rank=chi,
+                           dtype=np.complex128)
+    b = TensorTrain.random(jax.random.PRNGKey(1), [d] * L, rank=chi,
+                           dtype=np.complex128)
+
+    def inner():
+        complex(a.inner(b))
+
+    def add():
+        (a + b).cores[-1].block_until_ready()
+
+    t_i = _median(inner, warmup=2, reps=5)
+    t_a = _median(add, warmup=2, reps=5)
+    return [
+        {"metric": "mps_inner_L32_chi8", "value": t_i * 1e3, "unit": "ms",
+         "baseline": 1.151, "vs_baseline": 1.151 / (t_i * 1e3)},
+        {"metric": "mps_add_L32_chi8", "value": t_a * 1e3, "unit": "ms",
+         "baseline": 1.149, "vs_baseline": 1.149 / (t_a * 1e3)},
+    ]
+
+
+def bench_mpo_zipup(quick=False):
+    import jax
+    import jax.numpy as jnp
+
+    from tensor4all_tpu.tt import MPO
+
+    L, d, chi = 10, 2, 8
+    links = [1] + [chi] * (L - 1) + [1]
+    ks = jax.random.split(jax.random.PRNGKey(0), 2 * L)
+    a = MPO([jax.random.normal(ks[k], (links[k], d, d, links[k + 1]),
+                               jnp.float64) / chi for k in range(L)])
+    b = MPO([jax.random.normal(ks[L + k], (links[k], d, d, links[k + 1]),
+                               jnp.float64) / chi for k in range(L)])
+
+    def body():
+        out = a.compose_zipup(b, tol=1e-12, maxdim=chi)
+        out.cores[-1].block_until_ready()
+
+    t = _median(body, warmup=2, reps=5)
+    return {"metric": "mpo_zipup_L10_chi8", "value": t * 1e3,
+            "unit": "ms", "baseline": 2.297,
+            "vs_baseline": 2.297 / (t * 1e3)}
+
+
+def bench_rrlu(quick=False):
+    import sys as _s
+
+    _s.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import bench_rrlu as rung
+
+    r = rung()
+    return {"metric": "rrlu_hilbert_128", "value": r["value"],
+            "unit": "ms", "baseline": 0.329,
+            "vs_baseline": r["vs_baseline"],
+            "detail": r.get("detail", {})}
+
+
+def main():
+    quick = "--quick" in sys.argv
+    import jax
+
+    rungs = [
+        ("dmrg", lambda: bench_dmrg_chain(quick)),
+        ("tdvp chain", lambda: bench_tdvp("chain", quick)),
+        ("tdvp star", lambda: bench_tdvp("star", quick)),
+        ("proj apply 32", lambda: bench_projected_apply(32, quick)),
+        ("proj apply 64", lambda: bench_projected_apply(64, quick)),
+        ("linsolve", lambda: bench_local_linsolve(quick)),
+        ("aci", lambda: bench_aci_elementwise(8, quick)),
+        ("mps ops", lambda: bench_mps_ops(quick)),
+        ("mpo zipup", lambda: bench_mpo_zipup(quick)),
+        ("rrlu", lambda: bench_rrlu(quick)),
+    ]
+    records = []
+    for name, fn in rungs:
+        try:
+            r = fn()
+        except Exception as e:  # noqa: BLE001 — keep the journal running
+            records.append({"metric": name, "error": f"{type(e).__name__}: {e}"})
+            continue
+        records.extend(r if isinstance(r, list) else [r])
+    device = str(jax.devices()[0])
+    print(f"\n== benchmark journal ({device}) ==")
+    hdr = f"{'metric':38s} {'value':>12s} {'unit':>5s} {'baseline':>10s} {'vs':>8s}"
+    print(hdr)
+    lines = ["# Benchmark journal", "",
+             f"Device: {device}", "",
+             "| metric | value | unit | baseline | vs_baseline |",
+             "|---|---|---|---|---|"]
+    for r in records:
+        if "error" in r:
+            print(f"{r['metric']:38s} ERROR {r['error']}")
+            lines.append(f"| {r['metric']} | ERROR {r['error']} | | | |")
+            continue
+        print(f"{r['metric']:38s} {r['value']:12.3f} {r['unit']:>5s} "
+              f"{r['baseline']:10.3f} {r['vs_baseline']:8.3f}")
+        lines.append(
+            f"| {r['metric']} | {r['value']:.3f} | {r['unit']} | "
+            f"{r['baseline']:.3f} | {r['vs_baseline']:.3f} |")
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "results")
+    os.makedirs(out_dir, exist_ok=True)
+    stamp = time.strftime("%Y-%m-%d")
+    path = os.path.join(out_dir, f"{stamp}-journal.md")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"\nwrote {path}")
+    print(json.dumps(records))
+
+
+if __name__ == "__main__":
+    main()
