@@ -106,6 +106,32 @@ def bench_tdvp(topology: str, quick=False):
             "vs_baseline": baseline / (t * 1e3)}
 
 
+def bench_tdvp_chain_jit(quick=False):
+    """Fully-jitted TDVP chain engine (ops.tdvp_chain): the speed-of-
+    light path next to the flexible host-driven treetn.tdvp row."""
+    import jax
+    import jax.numpy as jnp
+
+    from tensor4all_tpu.ops.dmrg_chain import treeoperator_to_mpo_cores
+    from tensor4all_tpu.ops.tdvp_chain import tdvp_chain
+    from tensor4all_tpu.tt.tensortrain import TensorTrain
+
+    g, tn, sites, op = _setup_chain(8, 8)
+    h_cores = treeoperator_to_mpo_cores(op, list(g.nodes))
+    tt = TensorTrain.random(jax.random.PRNGKey(1), [2] * 8, rank=32)
+    cores0 = list(tt.cores)
+
+    def body():
+        mps = tdvp_chain(h_cores, cores0, -1j * 0.08, 32, nsteps=4,
+                         order=2)
+        float(jnp.sum(jnp.abs(mps)))
+
+    t = _median(body, warmup=1, reps=3)
+    return {"metric": "tdvp_chain_jit_N8_chi32", "value": t * 1e3,
+            "unit": "ms", "baseline": 104.6,
+            "vs_baseline": 104.6 / (t * 1e3)}
+
+
 def bench_projected_apply(chi: int, quick=False):
     """Warm local two-site projected-operator apply, N=38
     (ref 2026-05-18-projected-apply.md)."""
@@ -273,6 +299,7 @@ def main():
         ("dmrg", lambda: bench_dmrg_chain(quick)),
         ("tdvp chain", lambda: bench_tdvp("chain", quick)),
         ("tdvp star", lambda: bench_tdvp("star", quick)),
+        ("tdvp chain jit", lambda: bench_tdvp_chain_jit(quick)),
         ("proj apply 32", lambda: bench_projected_apply(32, quick)),
         ("proj apply 64", lambda: bench_projected_apply(64, quick)),
         ("linsolve", lambda: bench_local_linsolve(quick)),

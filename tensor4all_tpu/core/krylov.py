@@ -59,6 +59,66 @@ class ArrayVS(VectorSpace):
 
 
 @dataclasses.dataclass
+class GmresOpProfile:
+    """Per-phase wall-clock accounting (ref krylov.rs:49-70 GMRES op
+    profile): seconds and call counts per vector-space operation."""
+
+    apply_s: float = 0.0
+    inner_s: float = 0.0
+    axpby_s: float = 0.0
+    norm_s: float = 0.0
+    scale_s: float = 0.0
+    post_s: float = 0.0
+    apply_calls: int = 0
+    inner_calls: int = 0
+    axpby_calls: int = 0
+    norm_calls: int = 0
+    scale_calls: int = 0
+    post_calls: int = 0
+
+    def report(self) -> str:
+        rows = []
+        for op in ("apply", "inner", "axpby", "norm", "scale", "post"):
+            rows.append(f"{op}: {getattr(self, op + '_s'):.6f}s "
+                        f"x{getattr(self, op + '_calls')}")
+        return "; ".join(rows)
+
+
+class _ProfiledVS:
+    """VectorSpace wrapper recording per-op timings."""
+
+    def __init__(self, vs: "VectorSpace", prof: GmresOpProfile):
+        self._vs = vs
+        self._p = prof
+
+    def _timed(self, name, fn, *args):
+        import time as _t
+
+        t0 = _t.perf_counter()
+        out = fn(*args)
+        setattr(self._p, name + "_s",
+                getattr(self._p, name + "_s") + _t.perf_counter() - t0)
+        setattr(self._p, name + "_calls",
+                getattr(self._p, name + "_calls") + 1)
+        return out
+
+    def axpby(self, a, x, b, y):
+        return self._timed("axpby", self._vs.axpby, a, x, b, y)
+
+    def inner(self, x, y):
+        return self._timed("inner", self._vs.inner, x, y)
+
+    def norm(self, x):
+        return self._timed("norm", self._vs.norm, x)
+
+    def scale(self, a, x):
+        return self._timed("scale", self._vs.scale, a, x)
+
+    def post(self, x):
+        return self._timed("post", self._vs.post, x)
+
+
+@dataclasses.dataclass
 class GmresResult(Generic[V]):
     """Ref: GmresResult (krylov.rs:230)."""
 
@@ -66,6 +126,7 @@ class GmresResult(Generic[V]):
     residual_norms: List[float]
     converged: bool
     n_iter: int
+    profile: Optional[GmresOpProfile] = None
 
 
 def gmres(
@@ -77,18 +138,36 @@ def gmres(
     atol: float = 0.0,
     maxiter: int = 100,
     restart: Optional[int] = None,
+    profile: bool = False,
 ) -> GmresResult:
     """Restarted GMRES for ``A x = b`` (ref krylov.rs:889).
 
     Modified Gram-Schmidt Arnoldi; the (m+1, m) Hessenberg least-squares
-    problem is solved densely on host per restart cycle.
+    problem is solved densely on host per restart cycle. With
+    ``profile=True`` the result carries per-op wall-clock accounting
+    (ref krylov.rs:49-70).
     """
     vs = vs or VectorSpace()
+    prof = None
+    if profile:
+        import time as _t
+
+        prof = GmresOpProfile()
+        base_apply = apply_a
+        vs = _ProfiledVS(vs, prof)
+
+        def apply_a(x, _f=base_apply, _p=prof):  # noqa: F811
+            t0 = _t.perf_counter()
+            out = _f(x)
+            _p.apply_s += _t.perf_counter() - t0
+            _p.apply_calls += 1
+            return out
+
     restart = restart or maxiter
     bnorm = vs.norm(b)
     target = max(rtol * bnorm, atol)
     if bnorm == 0.0:
-        return GmresResult(vs.scale(0.0, b), [0.0], True, 0)
+        return GmresResult(vs.scale(0.0, b), [0.0], True, 0, prof)
     x = x0
     res_norms: List[float] = []
     total = 0
@@ -101,7 +180,7 @@ def gmres(
         res_norms.append(rnorm)
         if rnorm <= target:
             return GmresResult(x if x is not None else vs.scale(0.0, b),
-                               res_norms, True, total)
+                               res_norms, True, total, prof)
         m = min(restart, maxiter - total)
         Vk: List[V] = [vs.scale(1.0 / rnorm, r)]
         H = np.zeros((m + 1, m), dtype=complex)
@@ -140,7 +219,154 @@ def gmres(
     r = vs.axpby(1.0, b, -1.0, vs.post(apply_a(x)))
     rnorm = vs.norm(r)
     res_norms.append(rnorm)
+    return GmresResult(x, res_norms, rnorm <= target, total, prof)
+
+
+def gmres_affine(
+    apply_a: Callable[[V], V],
+    b: V,
+    x0: Optional[V] = None,
+    a0: complex = 0.0,
+    a1: complex = 1.0,
+    vs: Optional[VectorSpace] = None,
+    rtol: float = 1e-10,
+    atol: float = 0.0,
+    maxiter: int = 100,
+    restart: Optional[int] = None,
+) -> GmresResult:
+    """Solve ``(a0 I + a1 A) x = b`` with the KrylovKit affine convention
+    (ref krylov.rs:934 gmres_affine): the Arnoldi basis is built from the
+    UNSHIFTED ``A``; the affine coefficients enter only the projected
+    Hessenberg problem, so affine shifts never change the Krylov basis."""
+    vs = vs or VectorSpace()
+
+    def apply_affine(x):
+        # never materialize a0 I + a1 A at the operator level — wrap the
+        # small problem instead; here we only need residual computations
+        y = vs.scale(a1, vs.post(apply_a(x)))
+        if a0 != 0:
+            y = vs.axpby(a0, x, 1.0, y)
+        return y
+
+    restart = restart or maxiter
+    bnorm = vs.norm(b)
+    target = max(rtol * bnorm, atol)
+    if bnorm == 0.0:
+        return GmresResult(vs.scale(0.0, b), [0.0], True, 0)
+    x = x0
+    res_norms: List[float] = []
+    total = 0
+    while total < maxiter:
+        r = b if x is None else vs.axpby(1.0, b, -1.0, apply_affine(x))
+        rnorm = vs.norm(r)
+        res_norms.append(rnorm)
+        if rnorm <= target:
+            return GmresResult(x if x is not None else vs.scale(0.0, b),
+                               res_norms, True, total)
+        m = min(restart, maxiter - total)
+        Vk: List[V] = [vs.scale(1.0 / rnorm, r)]
+        H = np.zeros((m + 1, m), dtype=complex)
+        k_used = 0
+        for k in range(m):
+            # basis from the UNSHIFTED operator (KrylovKit convention)
+            w = vs.post(apply_a(Vk[k]))
+            for i in range(k + 1):
+                H[i, k] = vs.inner(Vk[i], w)
+                w = vs.axpby(-H[i, k], Vk[i], 1.0, w)
+            H[k + 1, k] = vs.norm(w)
+            k_used = k + 1
+            total += 1
+            # affine-shifted projected problem: a0 I + a1 H
+            Ha = a1 * H[: k + 2, : k + 1]
+            Ha[: k + 1, : k + 1] += a0 * np.eye(k + 1)
+            e1 = np.zeros(k + 2, dtype=complex)
+            e1[0] = rnorm
+            y, _, _, _ = np.linalg.lstsq(Ha, e1, rcond=None)
+            est = np.linalg.norm(Ha @ y - e1)
+            if (H[k + 1, k].real <= 1e-14 * max(rnorm, 1e-300)
+                    or est <= target or total >= maxiter):
+                break
+            Vk.append(vs.scale(1.0 / H[k + 1, k], w))
+        Ha = a1 * H[: k_used + 1, :k_used]
+        Ha[:k_used, :k_used] += a0 * np.eye(k_used)
+        e1 = np.zeros(k_used + 1, dtype=complex)
+        e1[0] = rnorm
+        y, _, _, _ = np.linalg.lstsq(Ha, e1, rcond=None)
+        dx = None
+        for i in range(k_used):
+            if abs(y[i]) == 0:
+                continue
+            dx = vs.scale(y[i], Vk[i]) if dx is None else vs.axpby(
+                y[i], Vk[i], 1.0, dx)
+        if dx is not None:
+            x = dx if x is None else vs.post(vs.axpby(1.0, dx, 1.0, x))
+    if x is None:
+        x = vs.scale(0.0, b)
+    r = vs.axpby(1.0, b, -1.0, apply_affine(x))
+    rnorm = vs.norm(r)
+    res_norms.append(rnorm)
     return GmresResult(x, res_norms, rnorm <= target, total)
+
+
+@dataclasses.dataclass
+class RestartGmresOptions:
+    """Ref: RestartGmresOptions (krylov.rs:141-181)."""
+
+    rtol: float = 1e-10
+    max_iter: int = 30  # inner cycle length
+    max_restarts: int = 10
+
+
+@dataclasses.dataclass
+class RestartGmresResult(Generic[V]):
+    solution: V
+    iterations: int
+    outer_iterations: int
+    residual_norm: float
+    converged: bool
+
+
+def restart_gmres_with_truncation(
+    apply_a: Callable[[V], V],
+    b: V,
+    x0: Optional[V] = None,
+    options: Optional[RestartGmresOptions] = None,
+    truncate: Optional[Callable[[V], V]] = None,
+    vs: Optional[VectorSpace] = None,
+) -> RestartGmresResult:
+    """Restarted GMRES with an operand truncation between cycles (ref
+    krylov.rs:2213 restart_gmres_with_truncation): each outer iteration
+    solves the residual equation ``A dx = r`` with plain GMRES, applies
+    ``x <- truncate(x + dx)``, and re-measures the TRUE residual — the
+    pattern that keeps TT/TreeTN ranks bounded across restarts."""
+    opts = options or RestartGmresOptions()
+    vs = vs or VectorSpace()
+    trunc = truncate or (lambda x: x)
+    bnorm = vs.norm(b)
+    if bnorm < 1e-15:
+        sol = x0 if x0 is not None else vs.scale(0.0, b)
+        return RestartGmresResult(sol, 0, 0, 0.0, True)
+    x = x0
+    total = 0
+    rnorm = bnorm
+    for outer in range(opts.max_restarts):
+        r = b if x is None else vs.axpby(1.0, b, -1.0,
+                                         vs.post(apply_a(x)))
+        rnorm = vs.norm(r)
+        if rnorm <= opts.rtol * bnorm:
+            sol = x if x is not None else vs.scale(0.0, b)
+            return RestartGmresResult(sol, total, outer, rnorm, True)
+        inner = gmres(apply_a, r, vs=vs, rtol=0.1 * opts.rtol * bnorm
+                      / max(rnorm, 1e-300), maxiter=opts.max_iter)
+        total += inner.n_iter
+        dx = inner.x
+        x = dx if x is None else vs.axpby(1.0, dx, 1.0, x)
+        x = trunc(x)
+    r = b if x is None else vs.axpby(1.0, b, -1.0, vs.post(apply_a(x)))
+    rnorm = vs.norm(r)
+    sol = x if x is not None else vs.scale(0.0, b)
+    return RestartGmresResult(sol, total, opts.max_restarts, rnorm,
+                              rnorm <= opts.rtol * bnorm)
 
 
 def hermitian_lanczos_lowest_eigenpair(

@@ -222,6 +222,16 @@ class TensorTrain:
     def __sub__(self, other: "TensorTrain") -> "TensorTrain":
         return self + other.scale(-1.0)
 
+    def __mul__(self, s) -> "TensorTrain":
+        return self.scale(s)
+
+    __rmul__ = __mul__
+
+    def axpby(self, a, x: "TensorTrain", b) -> "TensorTrain":
+        """``a*x + b*self`` (TensorVectorSpace protocol — what puts TTs
+        into the generic Krylov solvers, ref tensor_like.rs:579)."""
+        return x.scale(a) + self.scale(b)
+
     def scale(self, s) -> "TensorTrain":
         out = list(self.cores)
         out[0] = out[0] * s

@@ -109,3 +109,55 @@ def test_gmres_on_tensor_space(rng):
         np.asarray(res.x.data), np.linalg.solve(amat, np.asarray(b.data)),
         atol=1e-9,
     )
+
+
+def test_gmres_affine_matches_dense():
+    """(a0 I + a1 A) x = b with the KrylovKit affine convention
+    (ref krylov.rs:934): basis from unshifted A."""
+    import jax.numpy as jnp
+
+    from tensor4all_tpu.core.krylov import ArrayVS, gmres_affine
+
+    rng = np.random.default_rng(0)
+    n = 24
+    A = jnp.asarray(rng.standard_normal((n, n)))
+    b = jnp.asarray(rng.standard_normal(n))
+    a0, a1 = 7.5, 0.3
+    res = gmres_affine(lambda v: A @ v, b, a0=a0, a1=a1, vs=ArrayVS(),
+                       rtol=1e-12, maxiter=80)
+    x_dense = np.linalg.solve(a0 * np.eye(n) + a1 * np.asarray(A),
+                              np.asarray(b))
+    np.testing.assert_allclose(np.asarray(res.x), x_dense, atol=1e-8)
+    assert res.converged
+
+
+def test_restart_gmres_with_truncation():
+    """Restarted GMRES with between-cycle truncation (ref krylov.rs:2213)
+    converges on a well-conditioned system with a rank-bounding hook."""
+    import jax.numpy as jnp
+
+    from tensor4all_tpu.core.krylov import (
+        ArrayVS,
+        RestartGmresOptions,
+        restart_gmres_with_truncation,
+    )
+
+    rng = np.random.default_rng(1)
+    n = 32
+    A = jnp.asarray(rng.standard_normal((n, n)) + n * np.eye(n))
+    b = jnp.asarray(rng.standard_normal(n))
+    calls = []
+
+    def trunc(x):
+        calls.append(1)
+        return jnp.round(x, 13)  # stand-in lossy compression
+
+    res = restart_gmres_with_truncation(
+        lambda v: A @ v, b, options=RestartGmresOptions(rtol=1e-10,
+                                                        max_iter=10,
+                                                        max_restarts=8),
+        truncate=trunc, vs=ArrayVS())
+    assert res.converged and calls
+    x_dense = np.linalg.solve(np.asarray(A), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(res.solution), x_dense,
+                               atol=1e-7)

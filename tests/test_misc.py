@@ -109,3 +109,82 @@ def test_memory_utils():
     assert live_array_bytes() >= 0
     device_memory_stats()  # must not raise
     memory_pressure_relief()
+
+
+def test_site_index_network():
+    """SiteIndexNetwork bookkeeping (ref site_index_network.rs)."""
+    import jax
+    import networkx as nx
+
+    from tensor4all_tpu.treetn.network import random_treetn
+    from tensor4all_tpu.treetn.site_index_network import SiteIndexNetwork
+    from tensor4all_tpu.models.spin import heisenberg
+
+    g = nx.path_graph(4)
+    tn, sites = random_treetn(jax.random.PRNGKey(0), g,
+                              {n: [2] for n in g.nodes}, bond_dim=2)
+    net = SiteIndexNetwork.from_treetn(tn)
+    assert net.node_count() == 4 and net.edge_count() == 3
+    net.validate_tree()
+    s0 = sites[0][0]
+    assert net.find_node_by_index(s0) == 0
+    assert net.contains_index(s0)
+    net2 = SiteIndexNetwork.from_treetn(tn)
+    assert net == net2
+    net2.rename_node(3, "last")
+    assert not net.same_topology(net2)
+    op = heisenberg(g, {n: sites[n][0] for n in g.nodes})
+    assert net.operator_compatible(op)
+    from tensor4all_tpu.core.index import Index
+
+    net.replace_site_index(0, s0, Index(2, tags="new"))
+    assert not net.operator_compatible(op)
+
+
+def test_tensor_like_protocols():
+    """TensorLike protocol family (ref tensor_like.rs): core types
+    conform structurally."""
+    import jax
+
+    from tensor4all_tpu.core.index import Index
+    from tensor4all_tpu.core.tensor import Tensor
+    from tensor4all_tpu.core.tensor_like import (
+        TensorIndexLike,
+        TensorVectorSpaceLike,
+        conforms,
+    )
+    from tensor4all_tpu.tt.tensortrain import TensorTrain
+
+    t = Tensor.random(jax.random.PRNGKey(0), [Index(2), Index(3)])
+    ok, missing = conforms(t, TensorIndexLike)
+    assert ok, missing
+    ok, missing = conforms(t, TensorVectorSpaceLike)
+    assert ok, missing
+    tt = TensorTrain.random(jax.random.PRNGKey(0), [2, 2], rank=2)
+    ok, missing = conforms(tt, TensorVectorSpaceLike)
+    assert ok, missing
+    assert isinstance(t, TensorIndexLike)
+
+
+def test_cached_function_thread_safety():
+    """Concurrent eval_batch on one CachedFunction (ref send_sync.rs /
+    cached_function RwLock): no lost updates, consistent values."""
+    import concurrent.futures as cf
+
+    from tensor4all_tpu.tci.cached_function import CachedFunction
+
+    def batch_f(idx):
+        return np.sum(idx * 0.5, axis=1)
+
+    cf_obj = CachedFunction(batch_f=batch_f, local_dims=[7] * 4)
+    rng = np.random.default_rng(0)
+    batches = [rng.integers(0, 7, (64, 4)) for _ in range(16)]
+
+    def work(b):
+        return cf_obj.eval_batch(b)
+
+    with cf.ThreadPoolExecutor(max_workers=8) as ex:
+        outs = list(ex.map(work, batches))
+    for b, o in zip(batches, outs):
+        np.testing.assert_allclose(o, batch_f(b))
+    assert cf_obj.cache_size <= 7 ** 4
