@@ -162,6 +162,109 @@ class MPO:
             C = (s[:, None] * vh).reshape(r, l1, a1)
         return TensorTrain(out_cores)
 
+    def apply_fit(
+        self,
+        tt: TensorTrain,
+        tol: float = 1e-12,
+        maxdim: Optional[int] = None,
+        nsweeps: int = 2,
+        initial: Optional[TensorTrain] = None,
+    ) -> TensorTrain:
+        """Variational ``y ~= W|tt>`` with cached environments on raw
+        cores (ref mpo/contract_fit.rs + environment.rs): two-site
+        sweeps replace each region by the environment-projected exact
+        image — the cheap path when the zipup rank cap binds."""
+        if self.in_dims != tt.local_dims:
+            raise ValueError("apply: dims mismatch")
+        pol = SvdTruncationPolicy(
+            tol=tol, scale=ThresholdScale.RELATIVE,
+            measure=SingularValueMeasure.VALUE, maxdim=maxdim)
+        L = len(tt)
+        if L < 2:
+            return self.apply_naive(tt)
+        y = (initial.copy() if initial is not None
+             else self.apply_zipup(tt, tol=tol, maxdim=maxdim))
+        Y = [jnp.asarray(c) for c in y.cores]
+        W = [jnp.asarray(c) for c in self.cores]
+        X = [jnp.asarray(c) for c in tt.cores]
+        dtype = jnp.result_type(Y[0].dtype, W[0].dtype, X[0].dtype)
+
+        def lstep(E, k):
+            # E (c, w, a): y-bond, mpo-bond, x-bond left of site k
+            return jnp.einsum("cwa,cid,wiju,ajb->dub", E, jnp.conj(Y[k]),
+                              W[k], X[k], optimize=True)
+
+        def rstep(E, k):
+            return jnp.einsum("dub,cid,wiju,ajb->cwa", E, jnp.conj(Y[k]),
+                              W[k], X[k], optimize=True)
+
+        Rs = [None] * (L + 1)
+        Rs[L] = jnp.ones((1, 1, 1), dtype)
+        for k in range(L - 1, 1, -1):
+            Rs[k] = rstep(Rs[k + 1], k)
+        E1 = jnp.ones((1, 1, 1), dtype)  # left env of site 0
+        for _ in range(nsweeps):
+            # left -> right
+            E = E1
+            Ls = [None] * L
+            for k in range(L - 1):
+                Ls[k] = E
+                img = jnp.einsum(
+                    "cwa,wiju,uklv,ajb,blm,evm->cike", E, W[k],
+                    W[k + 1], X[k], X[k + 1], Rs[k + 2], optimize=True)
+                c, i, kk, e = img.shape
+                u, s, vh, _ = truncated_svd_matrix(
+                    img.reshape(c * i, kk * e), pol)
+                r = u.shape[1]
+                Y[k] = u.reshape(c, i, r)
+                Y[k + 1] = (s[:, None] * vh).reshape(r, kk, e)
+                E = lstep(E, k)
+            # right -> left (left envs from the forward pass stay valid:
+            # cores < k are untouched until the sweep reaches them)
+            for k in range(L - 2, -1, -1):
+                img = jnp.einsum(
+                    "cwa,wiju,uklv,ajb,blm,evm->cike",
+                    Ls[k] if k > 0 else E1, W[k], W[k + 1], X[k],
+                    X[k + 1], Rs[k + 2], optimize=True)
+                c, i, kk, e = img.shape
+                u, s, vh, _ = truncated_svd_matrix(
+                    img.reshape(c * i, kk * e), pol)
+                r = u.shape[1]
+                Y[k] = (u * s[None, :]).reshape(c, i, r)
+                Y[k + 1] = vh.reshape(r, kk, e)
+                Rs[k + 1] = rstep(Rs[k + 2], k + 1)
+        return TensorTrain(Y)
+
+    def compose_fit(self, other: "MPO", tol: float = 1e-12,
+                    maxdim: Optional[int] = None,
+                    nsweeps: int = 2) -> "MPO":
+        """Variational MPO x MPO composition: apply ``self (x) I`` to
+        `other` viewed as an MPS over fused (out, in) sites (ref
+        mpo/contract_fit.rs for MPOs)."""
+        if self.in_dims != other.out_dims:
+            raise ValueError("compose: dims mismatch")
+        ext_cores = []
+        for k, Wc in enumerate(self.cores):
+            l, o, i, r = Wc.shape
+            din = other.in_dims[k]
+            eye = jnp.eye(din, dtype=Wc.dtype)
+            # fused site: out' = (o, m), in' = (i, n), o/i-major
+            ext = jnp.einsum("loir,mn->lominr", Wc, eye)
+            ext_cores.append(ext.reshape(l, o * din, i * din, r))
+        ext_mpo = MPO(ext_cores)
+        b_tt = TensorTrain([
+            jnp.asarray(c).reshape(c.shape[0], c.shape[1] * c.shape[2],
+                                   c.shape[3])
+            for c in other.cores])
+        y = ext_mpo.apply_fit(b_tt, tol=tol, maxdim=maxdim,
+                              nsweeps=nsweeps)
+        out = []
+        for k, c in enumerate(y.cores):
+            l, _, r = c.shape
+            out.append(jnp.asarray(c).reshape(
+                l, self.out_dims[k], other.in_dims[k], r))
+        return MPO(out)
+
     def compose_naive(self, other: "MPO") -> "MPO":
         """self @ other as an MPO (ranks multiply)."""
         if self.in_dims != other.out_dims:

@@ -188,3 +188,42 @@ def test_cached_function_thread_safety():
     for b, o in zip(batches, outs):
         np.testing.assert_allclose(o, batch_f(b))
     assert cf_obj.cache_size <= 7 ** 4
+
+
+def test_colmajor_array():
+    """ColMajorArray interchange (ref col_major_array.rs)."""
+    from tensor4all_tpu.core.colmajor import ColMajorArray
+
+    a = np.arange(24.0).reshape(2, 3, 4)
+    c = ColMajorArray.from_array(a)
+    assert c.dims == (2, 3, 4) and c.rank == 3
+    assert c.strides == (1, 2, 6)
+    np.testing.assert_array_equal(c.to_array(), a)
+    assert c[(1, 2, 3)] == a[1, 2, 3]
+    assert c.flat[0] == a[0, 0, 0] and c.flat[1] == a[1, 0, 0]
+
+
+def test_mpo_fit_contraction(key):
+    """MPO apply_fit / compose_fit with cached environments
+    (ref mpo/contract_fit.rs + environment.rs)."""
+    import jax
+
+    from tensor4all_tpu.tt import MPO
+    from tensor4all_tpu.tt.tensortrain import TensorTrain
+
+    L, d, chi = 6, 2, 4
+    ks = jax.random.split(key, 2 * L)
+    links = [1] + [chi] * (L - 1) + [1]
+    W = MPO([jax.random.normal(ks[k], (links[k], d, d, links[k + 1]))
+             / chi for k in range(L)])
+    B = MPO([jax.random.normal(ks[L + k], (links[k], d, d, links[k + 1]))
+             / chi for k in range(L)])
+    x = TensorTrain.random(jax.random.PRNGKey(5), [d] * L, rank=chi)
+    ref = np.asarray(W.apply_naive(x).full_tensor())
+    fit = np.asarray(W.apply_fit(x, tol=1e-13).full_tensor())
+    assert np.abs(fit - ref).max() < 1e-9 * np.abs(ref).max()
+    refc = np.asarray(W.compose_naive(B).to_dense_matrix())
+    fitc = np.asarray(W.compose_fit(B, tol=1e-13).to_dense_matrix())
+    assert np.abs(fitc - refc).max() < 1e-9 * np.abs(refc).max()
+    capped = W.apply_fit(x, tol=0.0, maxdim=4)
+    assert max(capped.ranks) <= 4
