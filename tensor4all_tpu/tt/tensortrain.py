@@ -56,6 +56,7 @@ class TensorTrain:
                     f"bond mismatch: {a.shape} -> {b.shape}"
                 )
         self.cores: List[jnp.ndarray] = cores
+        self._stacked_interior = None  # cached for uniform fast paths
 
     # ------------------------------------------------------------------
     # constructors (ref tensortrain.rs ctors)
@@ -166,10 +167,40 @@ class TensorTrain:
             v = v @ jnp.sum(c, axis=1)
         return v[0]
 
+    def _padded_stack(self):
+        """Zero-padded (L, c, d, c) stack of all cores (cached) — exact
+        for transfer-matrix scans since padded rows/cols stay zero.
+        None when sites have mixed physical dimensions."""
+        if self._stacked_interior is None:
+            dims = self.local_dims
+            if len(set(dims)) != 1:
+                self._stacked_interior = False
+                return None
+            c = max(self.max_rank, 1)
+            d = dims[0]
+            pads = []
+            for core in self.cores:
+                r0, _, r1 = core.shape
+                pads.append(jnp.pad(core, ((0, c - r0), (0, 0),
+                                           (0, c - r1))))
+            self._stacked_interior = jnp.stack(pads)
+        if self._stacked_interior is False:
+            return None
+        return self._stacked_interior
+
     def inner(self, other: "TensorTrain"):
-        """<self|other> with conj on self, via transfer matrices."""
+        """<self|other> with conj on self, via transfer matrices.
+
+        Equal-physical-dim trains run as ONE jitted scan program over a
+        zero-padded core stack (the per-site host loop costs a dispatch
+        per site otherwise)."""
         if self.local_dims != other.local_dims:
             raise ValueError("inner: local dims mismatch")
+        if len(self) == len(other) and len(self) >= 2:
+            sa = self._padded_stack()
+            sb = other._padded_stack()
+            if sa is not None and sb is not None:
+                return _inner_stacked(sa, sb)
         E = jnp.ones((1, 1), dtype=jnp.result_type(self.dtype, other.dtype))
         for a, b in zip(self.cores, other.cores):
             # E (ra, rb); a (ra, d, ra'); b (rb, d, rb')
@@ -268,8 +299,38 @@ class TensorTrain:
         return compress(self, tol=tol, maxdim=maxdim, method=method)
 
 
-def tt_from_function_samples(*args, **kw):  # placeholder for TCI entry
-    raise NotImplementedError("use tci.crossinterpolate2")
+@jax.jit
+def _inner_stacked(sa, sb):
+    """One-program transfer-matrix scan over zero-padded core stacks."""
+    ca = sa.shape[1]
+    cb = sb.shape[1]
+    dtype = jnp.result_type(sa.dtype, sb.dtype)
+    E = jnp.zeros((ca, cb), dtype).at[0, 0].set(1.0)
+
+    def body(E, ab):
+        a, b = ab
+        return jnp.einsum("ab,adx,bdy->xy", E, jnp.conj(a), b), None
+
+    E, _ = jax.lax.scan(body, E, (sa, sb))
+    return E[0, 0]
+
+
+def tt_from_function_samples(
+    f=None,
+    local_dims=None,
+    batch_f=None,
+    tol: float = 1e-8,
+    maxdim: Optional[int] = None,
+    **tci_kwargs,
+) -> "TensorTrain":
+    """Build a TT from a black-box function via TCI2 (the reference's
+    from-samples entry; delegates to tci.crossinterpolate2)."""
+    from ..tci.tensorci2 import TCI2Options, crossinterpolate2
+
+    tci, _, _ = crossinterpolate2(
+        f=f, local_dims=local_dims, batch_f=batch_f,
+        options=TCI2Options(tol=tol, maxbonddim=maxdim, **tci_kwargs))
+    return tci.to_tensortrain()
 
 
 jax.tree_util.register_pytree_node(
