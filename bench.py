@@ -136,7 +136,7 @@ def bench_mpo_zipup():
     ])
 
     def run():
-        out = a.compose_zipup(b, tol=1e-12, maxdim=chi)
+        out = a.compose_zipup_fast(b, tol=1e-12, maxdim=chi)
         out.cores[-1].block_until_ready()
         return out
 

@@ -268,7 +268,7 @@ def bench_mpo_zipup(quick=False):
                                jnp.float64) / chi for k in range(L)])
 
     def body():
-        out = a.compose_zipup(b, tol=1e-12, maxdim=chi)
+        out = a.compose_zipup_fast(b, tol=1e-12, maxdim=chi)
         out.cores[-1].block_until_ready()
 
     t = _median(body, warmup=2, reps=5)

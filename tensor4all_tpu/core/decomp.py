@@ -16,6 +16,7 @@ import dataclasses
 import enum
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -91,13 +92,32 @@ def truncation_rank(s: np.ndarray, policy: SvdTruncationPolicy) -> Tuple[int, fl
     return rank, err
 
 
+def _on_cpu_backend() -> bool:
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:  # noqa: BLE001 — backend probe must never raise
+        return False
+
+
 def truncated_svd_matrix(
     a: jnp.ndarray,
     policy: Optional[SvdTruncationPolicy] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, TruncationSpec]:
-    """SVD of a matrix, truncated per policy. Returns (U, s, Vh, spec)."""
+    """SVD of a matrix, truncated per policy. Returns (U, s, Vh, spec).
+
+    This runs at the HOST level (between jitted kernels); on a CPU
+    backend, small matrices use LAPACK directly — each jax dispatch
+    costs more than the entire factorization at sweep-sized shapes.
+    Device-resident code paths (the jitted engines) never call this.
+    """
     if policy is None:
         policy = get_default_svd_truncation_policy()
+    if _on_cpu_backend() and a.shape[0] * a.shape[1] <= 512 * 512:
+        un, sn, vhn = np.linalg.svd(np.asarray(a), full_matrices=False)
+        rank, err = truncation_rank(sn, policy)
+        spec = TruncationSpec(rank=rank, error=err, singular_values=sn)
+        return (jnp.asarray(un[:, :rank]), jnp.asarray(sn[:rank]),
+                jnp.asarray(vhn[:rank, :]), spec)
     u, s, vh = jnp.linalg.svd(a, full_matrices=False)
     s_host = np.asarray(s)
     rank, err = truncation_rank(s_host, policy)

@@ -58,11 +58,26 @@ class RrLUResult:
         return left, right
 
 
+def _bucket(n: int) -> int:
+    """Next power-of-two bucket (min 8) — bounds compile count."""
+    b = 8
+    while b < n:
+        b *= 2
+    return b
+
+
 @functools.partial(jax.jit, static_argnames=("max_rank",))
-def _rrlu_kernel(a: jnp.ndarray, rtol: float, atol: float, max_rank: int):
-    """Full-pivot LU loop; returns padded factors + traced rank."""
+def _rrlu_kernel(a: jnp.ndarray, rtol: float, atol: float, max_rank: int,
+                 cap=None):
+    """Full-pivot LU loop; returns padded factors + traced rank.
+
+    `max_rank` (static) sizes the factor buffers; `cap` (traced,
+    defaults to max_rank) bounds the accepted rank — so data-dependent
+    rank caps never force recompilation (bucket-and-mask, SURVEY §7).
+    """
     n, m = a.shape
     dtype = a.dtype
+    cap_t = jnp.asarray(max_rank if cap is None else cap, jnp.int32)
     Lb = jnp.zeros((n, max_rank), dtype)
     Ub = jnp.zeros((max_rank, m), dtype)
     rows = jnp.full((max_rank,), -1, jnp.int32)
@@ -73,7 +88,7 @@ def _rrlu_kernel(a: jnp.ndarray, rtol: float, atol: float, max_rank: int):
 
     def cond(carry):
         A, Lb, Ub, rows, cols, pivs, k, done, lastdrop = carry
-        return jnp.logical_and(k < max_rank, jnp.logical_not(done))
+        return jnp.logical_and(k < cap_t, jnp.logical_not(done))
 
     def body(carry):
         A, Lb, Ub, rows, cols, pivs, k, done, lastdrop = carry
@@ -151,15 +166,25 @@ def rrlu(
         return RrLUResult(0, np.zeros(0, np.int64), np.zeros(0, np.int64),
                           jnp.zeros((n, 0), a.dtype), jnp.zeros((0, m), a.dtype),
                           np.zeros(0), 0.0)
+    # bucket the operand shape (zero padding is exact: padded rows/cols
+    # have zero residual and are never selected) so data-dependent Pi
+    # shapes inside TCI sweeps reuse a handful of compiled kernels
+    nb = _bucket(n)
+    mb = _bucket(m)
+    if (nb, mb) != (n, m):
+        a = jnp.pad(a, ((0, nb - n), (0, mb - m)))
+    kernel_rank = min(nb, mb)
     Lb, Ub, meta = _rrlu_kernel(
-        a, float(rtol), float(atol), int(max_rank)
+        a, float(rtol), float(atol), int(kernel_rank), int(max_rank)
     )
     meta = np.asarray(meta)  # single device->host transfer
-    rows = meta[:max_rank]
-    cols = meta[max_rank:2 * max_rank]
-    pivs = meta[2 * max_rank:3 * max_rank]
-    rank = int(meta[3 * max_rank])
-    lastdrop = float(meta[3 * max_rank + 1])
+    rows = meta[:kernel_rank]
+    cols = meta[kernel_rank:2 * kernel_rank]
+    pivs = meta[2 * kernel_rank:3 * kernel_rank]
+    rank = int(meta[3 * kernel_rank])
+    lastdrop = float(meta[3 * kernel_rank + 1])
+    Lb = Lb[:n]
+    Ub = Ub[:, :m]
     return RrLUResult(
         rank=rank,
         row_pivots=rows[:rank].astype(np.int64),

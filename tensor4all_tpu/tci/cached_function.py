@@ -60,6 +60,13 @@ class CachedFunction:
             w.append(w[-1] * d)
         self._weights = np.asarray(w, dtype=object)
         self._wvec = np.asarray(w, dtype=np.float64)  # overflow check only
+        # vectorized int64 packing when the key space fits (the common
+        # case; Python big-int fallback keeps the reference's u64->U1024
+        # auto-widening semantics)
+        total = w[-1] * self.local_dims[-1]
+        self._w64 = (np.asarray(w, dtype=np.int64)
+                     if total < (1 << 62) else None)
+        self._dims_arr = np.asarray(self.local_dims, dtype=np.int64)
         self.dtype = np.dtype(dtype)
         self._cache: dict = {}
         self._lock = threading.Lock()
@@ -106,13 +113,19 @@ class CachedFunction:
         if idx.ndim != 2 or idx.shape[1] != len(self.local_dims):
             raise ValueError(f"batch must be (B, {len(self.local_dims)})")
         B = idx.shape[0]
+        if self._w64 is not None:
+            if ((idx < 0) | (idx >= self._dims_arr[None, :])).any():
+                raise IndexError("index out of range")
+            keys = (idx @ self._w64).tolist()
+        else:
+            keys = [self._key(row) for row in idx]
         out = np.empty(B, dtype=self.dtype)
         missing_rows = []
         missing_pos = []
         with self._lock:
+            cache_get = self._cache.get
             for b in range(B):
-                key = self._key(idx[b])
-                v = self._cache.get(key)
+                v = cache_get(keys[b])
                 if v is None:
                     missing_rows.append(idx[b])
                     missing_pos.append(b)
@@ -121,10 +134,11 @@ class CachedFunction:
                     out[b] = v
         if missing_rows:
             vals = self._eval_batch_raw(np.stack(missing_rows))
+            typ = self.dtype.type
             with self._lock:
-                for b, v, row in zip(missing_pos, vals, missing_rows):
+                for b, v in zip(missing_pos, vals):
                     out[b] = v
-                    self._cache[self._key(row)] = self.dtype.type(v)
+                    self._cache[keys[b]] = typ(v)
         return out
 
     @property

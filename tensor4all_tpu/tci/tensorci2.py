@@ -424,6 +424,17 @@ def _pad_multiindex(items: Sequence[MultiIndex]) -> np.ndarray:
 # ----------------------------------------------------------------------
 # global pivot search (ref globalpivot.rs:100-220)
 # ----------------------------------------------------------------------
+def _tt_eval_np(cores: List[np.ndarray], idx: np.ndarray) -> np.ndarray:
+    """Host numpy TT evaluation — latency-free for the small random
+    batches of the global pivot search (a device dispatch per batch
+    dominated the search otherwise)."""
+    v = np.ones((idx.shape[0], 1), dtype=cores[0].dtype)
+    for k, c in enumerate(cores):
+        sl = c[:, idx[:, k], :]  # (r0, B, r1)
+        v = np.einsum("bi,ibj->bj", v, sl)
+    return v[:, 0]
+
+
 def find_global_pivots(
     tci: TensorCI2,
     tt: TensorTrain,
@@ -432,30 +443,30 @@ def find_global_pivots(
     abs_tol: float,
 ) -> List[MultiIndex]:
     """Random starts + per-dimension greedy sweep on |f - tt|; keep points
-    with error > abs_tol * tol_margin (ref DefaultGlobalPivotFinder)."""
+    with error > abs_tol * tol_margin (ref DefaultGlobalPivotFinder).
+    All starts share ONE evaluation batch per site."""
     L, dims = tci.L, tci.local_dims
-    starts = np.stack(
-        [rng.integers(0, d, size=opts.nsearch) for d in dims], axis=1
-    )
-    found: List[MultiIndex] = []
+    S = opts.nsearch
+    starts = np.stack([rng.integers(0, d, size=S) for d in dims], axis=1)
+    cores = [np.asarray(c) for c in tt.cores]
+    best_err = np.zeros(S)
+    best_point = starts.copy()
     threshold = abs_tol * opts.tol_margin_global_search
-    for s in range(opts.nsearch):
-        point = starts[s].copy()
-        best_err = 0.0
-        best_point = point.copy()
-        for site in range(L):
-            cand = np.tile(point, (dims[site], 1))
-            cand[:, site] = np.arange(dims[site])
-            fv = tci.func.eval_batch(cand)
-            tv = np.asarray(tt.evaluate_batch(cand))
-            e = np.abs(fv - tv)
-            j = int(np.argmax(e))
-            if e[j] > best_err:
-                best_err = float(e[j])
-                best_point = cand[j].copy()
-            # point[site] stays at its original value (ref resets)
-        if best_err > threshold:
-            found.append(tuple(int(v) for v in best_point))
+    for site in range(L):
+        d = dims[site]
+        cand = np.repeat(starts, d, axis=0)  # (S*d, L)
+        cand[:, site] = np.tile(np.arange(d), S)
+        fv = tci.func.eval_batch(cand)
+        tv = _tt_eval_np(cores, cand)
+        e = np.abs(fv - tv).reshape(S, d)
+        j = e.argmax(axis=1)
+        better = e[np.arange(S), j] > best_err
+        best_err = np.where(better, e[np.arange(S), j], best_err)
+        upd = cand.reshape(S, d, L)[np.arange(S), j]
+        best_point[better] = upd[better]
+        # starts keep their original value at `site` (ref resets)
+    found = [tuple(int(v) for v in best_point[s])
+             for s in range(S) if best_err[s] > threshold]
     return found[: opts.max_nglobal_pivot]
 
 

@@ -77,17 +77,22 @@ class TTCache:
         return complex(left @ right)
 
     def evaluate_batch(self, idx) -> np.ndarray:
+        """Batch evaluation with distinct prefix/suffix interning: each
+        DISTINCT half-assignment's environment is contracted once (and
+        cached across calls); the final combine is one vectorized
+        contraction."""
         idx = np.asarray(idx, dtype=np.int64)
         B = idx.shape[0]
         if B > 4096:  # huge batches: fully-batched device path
             return np.asarray(self.tt.evaluate_batch(idx))
         c = self.center
-        out = np.empty(
-            B, dtype=np.result_type(*[co.dtype for co in self._cores]))
-        for b in range(B):
-            row = tuple(int(v) for v in idx[b])
-            out[b] = self._left_env(row[:c]) @ self._right_env(row[c:])
-        return out
+        uL, invL = np.unique(idx[:, :c], axis=0, return_inverse=True)
+        uR, invR = np.unique(idx[:, c:], axis=0, return_inverse=True)
+        EL = np.stack([self._left_env(tuple(int(v) for v in r))
+                       for r in uL])
+        ER = np.stack([self._right_env(tuple(int(v) for v in r))
+                       for r in uR])
+        return np.einsum("br,br->b", EL[invL], ER[invR])
 
     @property
     def cache_size(self) -> int:

@@ -13,9 +13,12 @@ the test oracle (ref ContractMethod::Naive, options.rs:119-121).
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import (
     SingularValueMeasure,
@@ -265,6 +268,49 @@ class MPO:
                 l, self.out_dims[k], other.in_dims[k], r))
         return MPO(out)
 
+    def compose_zipup_fast(self, other: "MPO", tol: float = 1e-12,
+                           maxdim: int = 64) -> "MPO":
+        """One-program zipup composition: cores zero-padded to uniform
+        shapes and the whole left-to-right truncating sweep runs as a
+        single jitted scan (the per-site host loop costs a dispatch per
+        op otherwise). Exact up to the same (tol, maxdim) policy as
+        `compose_zipup`; trailing zero bond slots are trimmed on exit."""
+        if self.in_dims != other.out_dims:
+            raise ValueError("compose: dims mismatch")
+        o_dims = set(self.out_dims)
+        i_dims = set(other.in_dims)
+        m_dims = set(self.in_dims)
+        if len(o_dims) != 1 or len(i_dims) != 1 or len(m_dims) != 1:
+            return self.compose_zipup(other, tol=tol, maxdim=maxdim)
+        L = len(self)
+        dtype = jnp.result_type(self.cores[0].dtype,
+                                other.cores[0].dtype)
+        wA = max(max(c.shape[0], c.shape[3]) for c in self.cores)
+        wB = max(max(c.shape[0], c.shape[3]) for c in other.cores)
+        o = self.out_dims[0]
+        i = other.in_dims[0]
+        m = self.in_dims[0]
+
+        def pad4(c, w):
+            l, x, y, r = c.shape
+            return jnp.pad(c.astype(dtype),
+                           ((0, w - l), (0, 0), (0, 0), (0, w - r)))
+
+        A = jnp.stack([pad4(c, wA) for c in self.cores])
+        B = jnp.stack([pad4(c, wB) for c in other.cores])
+        cap = int(min(maxdim, o * i * min(wA * wB, maxdim)))
+        out, ranks = _compose_zipup_scan(A, B, float(tol), cap)
+        # trim: rank k bond = max used rank (host, once)
+        ranks = np.asarray(ranks)
+        cores = []
+        prev = 1
+        for k in range(L):
+            ck = np.asarray(out[k])
+            r = int(ranks[k]) if k < L - 1 else 1
+            cores.append(jnp.asarray(ck[:prev, :, :, :r]))
+            prev = max(r, 1)
+        return MPO(cores)
+
     def compose_naive(self, other: "MPO") -> "MPO":
         """self @ other as an MPO (ranks multiply)."""
         if self.in_dims != other.out_dims:
@@ -308,3 +354,44 @@ class MPO:
             out_cores.append(u.reshape(chi, o, i, r))
             C = (s[:, None] * vh).reshape(r, l1, k1)
         return MPO(out_cores)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compose_zipup_scan(A, B, tol, cap):
+    """Jitted left-to-right truncating zipup over stacked padded MPO
+    cores: A (L, wA, o, m, wA), B (L, wB, m, i, wB). Returns padded
+    output cores (L, cap, o, i, cap) + per-bond used ranks."""
+    L, wA, o, m, _ = A.shape
+    wB = B.shape[1]
+    i = B.shape[3]
+    dtype = jnp.result_type(A.dtype, B.dtype)
+
+    def body(carry, ab):
+        C = carry  # (cap, wA, wB)
+        Ak, Bk = ab
+        theta = jnp.einsum("xab,aopu,bpiv->xoiuv", C, Ak, Bk,
+                           optimize=True)
+        mat = theta.reshape(cap * o * i, wA * wB)
+        u, s, vh = jnp.linalg.svd(mat, full_matrices=False)
+        keep = jnp.minimum(cap, s.shape[0])
+        thresh = tol * jnp.maximum(s[0], 1e-300)
+        mask = (s >= thresh) & (jnp.arange(s.shape[0]) < keep)
+        rank = jnp.sum(mask).astype(jnp.int32)
+        s_m = jnp.where(mask, s, 0.0)
+        r = min(int(s.shape[0]), cap)  # static
+        # pad/trim factor columns out to cap (masked tail is exact zero)
+        u_p = jnp.zeros((cap * o * i, cap), dtype).at[:, :r].set(
+            (u * mask[None, :].astype(dtype))[:, :r])
+        c_p = jnp.zeros((cap, wA * wB), dtype).at[:r, :].set(
+            (s_m[:, None].astype(dtype) * vh)[:r, :])
+        core = u_p.reshape(cap, o, i, cap)
+        return c_p.reshape(cap, wA, wB), (core, rank)
+
+    C0 = jnp.zeros((cap, wA, wB), dtype).at[0, 0, 0].set(1.0)
+    Cf, (cores, ranks) = jax.lax.scan(body, C0, (A, B))
+    # the scan also split the LAST site; fold the residual carry back in
+    # (its boundary links live at slot 0 of the padding)
+    last = jnp.einsum("xoiu,u->xoi", cores[-1], Cf[:, 0, 0])
+    cores = cores.at[-1].set(jnp.zeros_like(cores[-1])
+                             .at[:, :, :, 0].set(last))
+    return cores, ranks
