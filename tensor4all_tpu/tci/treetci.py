@@ -36,11 +36,19 @@ Assignment = Tuple[Tuple[int, int], ...]
 
 @dataclasses.dataclass
 class TreeTciOptions:
-    """Ref: treetci options (api.rs / optimize.rs)."""
+    """Ref: treetci options (api.rs / optimize.rs).
+
+    `pivot_search="rook"` selects the lazy block-rook kernel (ref
+    tcicore matrixluci/block_rook.rs via the LUCI substrate): the edge's
+    Pi block is evaluated one residual row/column at a time instead of
+    being materialized — the saving is real f-evals at large local
+    dimensions / pivot counts.
+    """
 
     tol: float = 1e-8
     maxbonddim: Optional[int] = None
     max_iter: int = 10
+    pivot_search: str = "full"  # "full" | "rook"
     verbosity: int = 0
 
 
@@ -125,21 +133,41 @@ class TreeTCI2:
                 out.append(_merge(*combo, ((self.pos[a], s),)))
         return out
 
+    def _eval_block_assignments(self, rows, cols, rsel, csel) -> np.ndarray:
+        """Sub-block of the implicit Pi over assignments (rook path)."""
+        return self._eval_assignments([rows[i] for i in rsel],
+                                      [cols[j] for j in csel])
+
     def update_edge(self, a: NodeName, b: NodeName,
                     opts: TreeTciOptions) -> None:
         """Two-site pivot update at edge (a, b) (ref optimize.rs:179)."""
         rows = self._candidates(a, b)
         cols = self._candidates(b, a)
-        Pi = self._eval_assignments(rows, cols)
         atol = opts.tol * self.f_max
-        res = rrlu(jnp.asarray(Pi), rtol=0.0, atol=atol,
-                   max_rank=opts.maxbonddim)
-        if res.rank == 0:
-            rp, cp = np.array([0]), np.array([0])
-            err = 0.0
+        if opts.pivot_search == "rook":
+            from ..ops.rrlu import luci_rook_from_blocks
+
+            fac = luci_rook_from_blocks(
+                len(rows), len(cols),
+                lambda rs, cs: self._eval_block_assignments(rows, cols,
+                                                            rs, cs),
+                rel_tol=0.0, abs_tol=atol, max_rank=opts.maxbonddim)
+            if fac.rank == 0:
+                rp, cp = np.array([0]), np.array([0])
+                err = 0.0
+            else:
+                rp, cp = fac.row_indices, fac.col_indices
+                err = fac.last_pivot_error
         else:
-            rp, cp = res.row_pivots, res.col_pivots
-            err = res.last_pivot_error
+            Pi = self._eval_assignments(rows, cols)
+            res = rrlu(jnp.asarray(Pi), rtol=0.0, atol=atol,
+                       max_rank=opts.maxbonddim)
+            if res.rank == 0:
+                rp, cp = np.array([0]), np.array([0])
+                err = 0.0
+            else:
+                rp, cp = res.row_pivots, res.col_pivots
+                err = res.last_pivot_error
         self.piv[(a, b)] = [rows[i] for i in rp]
         self.piv[(b, a)] = [cols[j] for j in cp]
         self.pivot_errors[(a, b)] = err

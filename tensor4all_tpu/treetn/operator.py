@@ -121,6 +121,32 @@ class TreeOperator:
             net.set_tensor(v, t)
         return TreeOperator(net, s_in, s_out)
 
+    def restructure_to(self, target_graph, target_nodes,
+                       policy=None) -> "TreeOperator":
+        """Restructure the operator's network to a target topology
+        (ref linear_operator.rs restructure_to): `target_nodes[t]` lists
+        the CURRENT operator nodes whose (in, out) site pairs move to
+        target node `t`. Built on treetn.restructure.restructure_to with
+        the site groups = the union of those nodes' in/out indices."""
+        from .restructure import restructure_to
+
+        target_sites = {}
+        for t, group in target_nodes.items():
+            s = set()
+            for v in group:
+                s.add(self.site_in[v])
+                s.add(self.site_out[v])
+            target_sites[t] = s
+        net = restructure_to(self.network, target_graph, target_sites,
+                             policy=policy)
+        s_in, s_out = {}, {}
+        for t, group in target_nodes.items():
+            # one representative pair per target node (the first); the
+            # remaining pairs ride along as extra site indices
+            v0 = group[0]
+            s_in[t], s_out[t] = self.site_in[v0], self.site_out[v0]
+        return TreeOperator(net, s_in, s_out)
+
     def gap_fill(self, state: TreeTN) -> "TreeOperator":
         """Extend an operator defined on a node subset to the full state
         topology by filling identity nodes (ref operator/apply.rs:300

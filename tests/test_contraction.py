@@ -285,3 +285,25 @@ def test_partial_contract_pairs():
         [oa[0], oa[2], ob[0], ob[2]]))
     np.testing.assert_allclose(got, expect,
                                atol=1e-9 * np.abs(expect).max())
+
+
+def test_operator_restructure_to():
+    """Operator-level restructure_to (ref linear_operator.rs)."""
+    import jax
+
+    from tensor4all_tpu.models.spin import heisenberg
+    from tensor4all_tpu.treetn.network import random_treetn
+
+    g = nx.path_graph(4)
+    _, sites = random_treetn(jax.random.PRNGKey(0), g,
+                             {n: [2] for n in g.nodes}, bond_dim=2)
+    op = heisenberg(g, {n: sites[n][0] for n in g.nodes})
+    ref = np.asarray(op.to_dense_matrix(order=list(g.nodes)))
+    tg = nx.path_graph(2)
+    op2 = op.restructure_to(tg, {0: [0, 1], 1: [2, 3]})
+    t = op2.network.contract_to_tensor()
+    outs = [op.site_out[v] for v in g.nodes]
+    ins = [op.site_in[v] for v in g.nodes]
+    tt, (ro, ci) = t.fuse_indices([outs, ins])
+    got = np.asarray(tt.dense((ro, ci)))
+    np.testing.assert_allclose(got, ref, atol=1e-9)

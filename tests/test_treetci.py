@@ -134,3 +134,39 @@ def test_cached_tree_evaluator():
     ce = TreeTNCachedEvaluator(tn, order)
     np.testing.assert_allclose(ce.evaluate_batch(idx), ref, atol=1e-10)
     assert ce.misses < idx.shape[0]  # distinct-key interning pays off
+
+
+def test_treetci_rook_matches_full():
+    """Rook pivot search on tree edges agrees with full and saves
+    f-evals (ref treetci via tcicore block_rook)."""
+    import networkx as nx
+
+    from tensor4all_tpu.tci.treetci import (
+        TreeTciOptions,
+        tree_crossinterpolate2,
+    )
+
+    g = nx.Graph()
+    g.add_edge("c", "a")
+    g.add_edge("c", "b")
+    g.add_edge("c", "d")
+
+    def batch_f(idx):
+        x = (np.asarray(idx, np.float64) - 2.0) / 2.5
+        return 1.0 / (1.0 + np.sum(x * x, axis=-1))
+
+    dims = [6] * 4
+    order = ["a", "b", "c", "d"]
+    full = tree_crossinterpolate2(batch_f, g, dims, node_order=order,
+                                  options=TreeTciOptions(tol=1e-9))
+    rook = tree_crossinterpolate2(
+        batch_f, g, dims, node_order=order,
+        options=TreeTciOptions(tol=1e-9, pivot_search="rook"))
+    idx = np.random.default_rng(0).integers(0, 6, (500, 4))
+    ref = batch_f(idx)
+    for tci in (full, rook):
+        dev = np.abs(tci.evaluate_batch(idx) - ref).max()
+        assert dev < 1e-7 * tci.f_max, dev
+    # at this small size the memoized materialize pass dominates either
+    # way; the rook path must never need MORE evaluations
+    assert rook.func.num_evals <= full.func.num_evals
