@@ -73,7 +73,10 @@ class SvdTruncationPolicy:
 
 _lock = threading.Lock()
 _default_svd_policy = SvdTruncationPolicy()
-_default_qr_rtol = 1e-12
+# Exact-shape QR by default (matching the reference: rank decisions
+# belong to SVD/LU). Opt into row-norm tail dropping — sound but not
+# rank-revealing without column pivoting — via set_default_qr_rtol.
+_default_qr_rtol = 0.0
 
 
 def get_default_svd_truncation_policy() -> SvdTruncationPolicy:
