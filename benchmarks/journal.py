@@ -23,6 +23,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Pin the CPU backend up front (explicit config beats any ambient
+# JAX_PLATFORMS=axon from the TPU plugin): every row here is compared
+# against the reference's single-thread CPU numbers.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 def _median(fn, warmup=1, reps=5):
     for _ in range(warmup):

@@ -31,9 +31,12 @@ if not os.environ.get("T4A_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
 # Some TPU plugins ignore the JAX_PLATFORMS env var; honor it explicitly
-# (before backend init) so CPU-pinned runs behave as requested.
+# (before backend init) so CPU-pinned runs behave as requested. Never
+# override a platform the user already pinned via
+# jax.config.update("jax_platforms", ...) — an explicit config beats the
+# ambient env (which may carry the plugin's own setting, e.g. "axon").
 _plat = os.environ.get("JAX_PLATFORMS", "")
-if _plat:
+if _plat and not jax.config.jax_platforms:
     try:
         jax.config.update("jax_platforms", _plat)
     except Exception:

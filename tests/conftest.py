@@ -4,7 +4,9 @@ implication (d)), and enable x64 before JAX initializes."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force (not setdefault): the shell may carry JAX_PLATFORMS=axon from a
+# TPU plugin; tests must run on the virtual-device CPU backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
