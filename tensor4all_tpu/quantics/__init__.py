@@ -14,6 +14,7 @@ from .transforms import (
     bitflip_operator,
     cumsum_operator,
     difference_kernel_mpo,
+    difference_kernel_mpo_from_qtt,
     flip_operator,
     phase_rotation_operator,
     quantics_fourier_operator,
@@ -35,6 +36,7 @@ __all__ = [
     "bitflip_operator",
     "cumsum_operator",
     "difference_kernel_mpo",
+    "difference_kernel_mpo_from_qtt",
     "flip_operator",
     "phase_rotation_operator",
     "quantics_fourier_operator",

@@ -153,9 +153,16 @@ class TreeOperator:
         gap-fill + identity.rs:12).
 
         Filled nodes act as the identity on every state site index there;
-        edges outside the original operator get dimension-1 bonds.
-        """
-        return compose_exclusive([self], state)
+        edges outside the original operator get dimension-1 bonds. When
+        the subset is NOT a connected subtree of the state graph
+        (e.g. a 1-D operator on the x-sites of an interleaved 2-D
+        quantics state), operator bonds are routed through pass-through
+        identity nodes along the state-graph paths (the reference's
+        Steiner-tree partial apply)."""
+        sub = state.graph.subgraph(set(self.node_names))
+        if len(self.node_names) == 0 or nx.is_connected(sub):
+            return compose_exclusive([self], state)
+        return route_gap_fill(self, state)
 
     def apply(
         self,
@@ -339,13 +346,107 @@ def compose_exclusive(operators, state: TreeTN) -> TreeOperator:
     return TreeOperator(net, s_in, s_out)
 
 
-def mpo_to_treeoperator(mpo, site_indices) -> TreeOperator:
-    """Chain MPO (tt.MPO rank-4 cores) -> TreeOperator on nodes 0..L-1.
+def route_gap_fill(op: TreeOperator, state: TreeTN) -> TreeOperator:
+    """Steiner-tree gap fill (ref operator/apply.rs partial apply):
+    extend ``op``, defined on a node subset that need NOT be connected
+    in the state graph, to the full state topology. Every operator bond
+    whose endpoints are not state-adjacent is routed along the unique
+    state-graph path through pass-through identity nodes
+    (identity on the sites x delta on the routed bond). State edges
+    crossed by several routed bonds fuse them into one bond.
+    """
+    import numpy as np
+
+    nodes = set(op.node_names)
+    if not nodes <= set(state.node_names):
+        raise ValueError("route_gap_fill: operator nodes not a subset "
+                         "of the state's")
+    dtype = np.asarray(state.tensor(state.node_names[0]).data).dtype
+
+    tensors: Dict[NodeName, Tensor] = {v: op.tensor(v) for v in nodes}
+    crossing: Dict[Tuple, list] = {_edge_key(a, b): []
+                                   for a, b in state.graph.edges}
+    deltas: Dict[NodeName, list] = {}   # node -> [(b_in, b_out), ...]
+
+    for (u, w) in op.network.graph.edges:
+        B = op.network.bond(u, w)
+        path = nx.shortest_path(state.graph, u, w)
+        hop = [B] + [Index(B.dim, tags="OpLink")
+                     for _ in range(len(path) - 2)]
+        for i in range(len(path) - 1):
+            crossing[_edge_key(path[i], path[i + 1])].append(hop[i])
+        for i in range(1, len(path) - 1):
+            deltas.setdefault(path[i], []).append((hop[i - 1], hop[i]))
+        if len(path) > 2:
+            # w's tensor referenced B; it now connects to the last hop
+            tensors[w] = tensors[w].replaceind(B, hop[-1])
+
+    net = TreeTN()
+    s_in: Dict[NodeName, Index] = {}
+    s_out: Dict[NodeName, Index] = {}
+    edge_bond: Dict[Tuple, Index] = {}
+
+    # materialize node tensors (identity + pass-through deltas off-op)
+    for v in state.node_names:
+        if v in nodes:
+            t = tensors[v]
+            s_in[v], s_out[v] = op.site_in[v], op.site_out[v]
+        else:
+            sites = list(state.site_indices(v))
+            if not sites:
+                raise ValueError(
+                    f"route_gap_fill: node {v!r} has no site index to "
+                    f"act on as identity")
+            t = identity_operator_tensor(sites, (), dtype)
+            s_in[v], s_out[v] = sites[0], sites[0].prime()
+        for b_in, b_out in deltas.get(v, ()):
+            t = contract(
+                [t, Tensor((b_in, b_out), np.eye(b_in.dim, dtype=dtype))],
+                check_connected=False)
+        tensors[v] = t
+
+    # resolve per-state-edge bonds: 0 crossings -> dim-1; 1 -> as-is;
+    # >1 -> fuse on both endpoint tensors (same order -> same layout)
+    for a, b in state.graph.edges:
+        k = _edge_key(a, b)
+        bonds = crossing[k]
+        if not bonds:
+            e = Index(1, tags="OpLink")
+            one = Tensor((e,), np.ones(1, dtype=dtype))
+            tensors[a] = contract([tensors[a], one],
+                                  check_connected=False)
+            tensors[b] = contract([tensors[b], one],
+                                  check_connected=False)
+            edge_bond[k] = e
+        elif len(bonds) == 1:
+            edge_bond[k] = bonds[0]
+        else:
+            ta, (fa,) = tensors[a].fuse_indices([list(bonds)])
+            tb, (fb,) = tensors[b].fuse_indices([list(bonds)])
+            tensors[a] = ta
+            tensors[b] = tb.replaceind(fb, fa)
+            edge_bond[k] = fa
+
+    for v in state.node_names:
+        net.add_node(v, tensors[v])
+    for a, b in state.graph.edges:
+        net.graph.add_edge(a, b, bond=edge_bond[_edge_key(a, b)])
+    return TreeOperator(net, s_in, s_out)
+
+
+def mpo_to_treeoperator(mpo, site_indices, nodes=None) -> TreeOperator:
+    """Chain MPO (tt.MPO rank-4 cores) -> TreeOperator.
 
     `site_indices[k]` is the state's site Index at node k; the operator
-    maps it to `site_indices[k].prime()`.
+    maps it to `site_indices[k].prime()`. Node names default to
+    0..L-1; pass `nodes` to bind the chain onto other state nodes
+    (e.g. the x-sites of an interleaved 2-D quantics state — combine
+    with the Steiner-tree `gap_fill`/`apply` for partial application).
     """
     L = len(mpo)
+    names = list(nodes) if nodes is not None else list(range(L))
+    if len(names) != L:
+        raise ValueError("nodes must match the MPO length")
     net = TreeTN()
     bonds = [Index(int(mpo.cores[k].shape[-1]), tags="OpLink")
              for k in range(L - 1)]
@@ -362,8 +463,8 @@ def mpo_to_treeoperator(mpo, site_indices) -> TreeOperator:
             data, inds = W[..., 0], (bonds[k - 1], sp, s)
         else:
             data, inds = W, (bonds[k - 1], sp, s, bonds[k])
-        net.add_node(k, Tensor(inds, data))
-        s_in[k], s_out[k] = s, sp
+        net.add_node(names[k], Tensor(inds, data))
+        s_in[names[k]], s_out[names[k]] = s, sp
     for k in range(L - 1):
-        net.connect(k, k + 1, bonds[k])
+        net.connect(names[k], names[k + 1], bonds[k])
     return TreeOperator(net, s_in, s_out)

@@ -398,3 +398,33 @@ def test_interpolative_nd_and_invert():
     for i in range(8):
         pts = (i + t) / 8
         assert np.abs(vals[2][i] - f1(pts)).max() < 1e-8
+
+
+def test_difference_kernel_from_qtt():
+    """Convolution MPO A[x,x'] = f((x-x') mod N) from a kernel QTT
+    (ref difference_kernel.rs:24), periodic + antiperiodic."""
+    from tensor4all_tpu.quantics import (
+        difference_kernel_mpo_from_qtt, quantics_from_array,
+    )
+
+    R, N = 5, 32
+    z = np.arange(N)
+    fvals = np.exp(2 * (np.cos(2 * np.pi * z / N) - 1))
+    ftt, _ = quantics_from_array(fvals)
+
+    mpo = difference_kernel_mpo_from_qtt(ftt, bc="periodic")
+    M = np.asarray(mpo.to_dense_matrix())
+    want = fvals[(z[:, None] - z[None, :]) % N]
+    assert np.abs(M - want).max() < 1e-12
+    # MPO bonds bounded by 2x the kernel bonds (carry automaton x kernel)
+    assert all(r <= 2 * fr for r, fr in zip(mpo.ranks, ftt.ranks))
+
+    Ma = np.asarray(
+        difference_kernel_mpo_from_qtt(ftt, bc="antiperiodic")
+        .to_dense_matrix())
+    sign = np.where(z[:, None] < z[None, :], -1.0, 1.0)
+    assert np.abs(Ma - want * sign).max() < 1e-12
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        difference_kernel_mpo_from_qtt(ftt, bc="open")
