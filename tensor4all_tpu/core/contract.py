@@ -15,6 +15,7 @@ from __future__ import annotations
 import threading
 from typing import Iterable, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import opt_einsum
 
@@ -153,8 +154,49 @@ def contract(
                 _path_cache[key] = path
                 _stats["misses"] += 1
             optimize = path
+    if _host_fast_case(tensors):
+        # CPU-backend small-tensor fast path: one np.einsum avoids the
+        # per-call XLA dispatch (~0.1 ms) that dominates host-driven
+        # sweeps (treetn DMRG/TDVP/linsolve at chi <= 64). Never taken
+        # under tracing (tracers fail the concrete-array check), so
+        # jit/grad through contract() are untouched.
+        import numpy as _np
+
+        np_args = list(args)
+        for k in range(len(tensors)):
+            np_args[2 * k] = _np.asarray(tensors[k].data)
+        opt = optimize
+        if (isinstance(opt, (list, tuple)) and opt
+                and not isinstance(opt[0], str)):
+            opt = ["einsum_path", *opt]   # numpy's explicit-path form
+        data = _np.einsum(*np_args, optimize=opt)
+        return Tensor(out_inds, data)
     data = jnp.einsum(*args, optimize=optimize)
     return Tensor(out_inds, data)
+
+
+_HOST_FAST_ELEMS = 1 << 16  # 64k elements per operand (~chi 64 cores)
+
+
+def _host_fast_case(tensors) -> bool:
+    import numpy as _np
+
+    try:
+        if jax.default_backend() != "cpu":
+            return False
+    except Exception:  # noqa: BLE001
+        return False
+    for t in tensors:
+        d = t.data
+        if isinstance(d, _np.ndarray):
+            if d.size > _HOST_FAST_ELEMS:
+                return False
+            continue
+        if isinstance(d, jax.core.Tracer) or not isinstance(d, jax.Array):
+            return False  # abstract value: stay on the traceable path
+        if d.size > _HOST_FAST_ELEMS:
+            return False
+    return True
 
 
 def tensordot(a: Tensor, b: Tensor, **kw) -> Tensor:

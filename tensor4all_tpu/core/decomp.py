@@ -207,7 +207,12 @@ def qr(
     dominates: rtol only drops exact-zero tails).
     """
     a, left, right = _split_matrixize(t, left_inds)
-    q, r = jnp.linalg.qr(a, mode="reduced")
+    if (_on_cpu_backend() and not isinstance(a, jax.core.Tracer)
+            and a.size <= 512 * 512):
+        # host LAPACK beats the per-call XLA dispatch at sweep sizes
+        q, r = np.linalg.qr(np.asarray(a), mode="reduced")
+    else:
+        q, r = jnp.linalg.qr(a, mode="reduced")
     if rtol is None:
         rtol = get_default_qr_rtol()
     if rtol > 0 and min(a.shape) > 1:

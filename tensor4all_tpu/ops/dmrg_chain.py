@@ -341,6 +341,8 @@ def dmrg_chain(
     """Convenience driver: pad, jit-run, return (energy, padded MPS)."""
     N = len(h_cores)
     d = h_cores[0].shape[1]
+    # exact rank cap: bond k can never exceed d^min(k, N-k)
+    chi = min(int(chi), int(d) ** (N // 2))
     h = pad_mpo([jnp.asarray(c, dtype) for c in h_cores])
     if init_cores is None:
         from ..tt.tensortrain import TensorTrain

@@ -290,6 +290,11 @@ def tdvp_chain(h_cores, init_cores, t, chi, nsteps=1, order=2,
     orthogonalization sweep is fused into it)."""
     import numpy as np
 
+    # NOTE on chi: unlike dmrg_chain (variational, exact at the
+    # Hilbert rank cap), the two-site splits here measurably benefit
+    # from padding slack — at chi == exact bond rank the trajectory
+    # error is ~1e-6 while chi >= 2x the target rank reaches 1e-14
+    # (empirical, N=6 Heisenberg), so no automatic clamp is applied.
     dtype = jnp.complex128 if sweep_dtype is None else sweep_dtype
     h = pad_mpo([jnp.asarray(np.asarray(c), dtype) for c in h_cores])
     mps0 = pad_mps([jnp.asarray(np.asarray(c), dtype)

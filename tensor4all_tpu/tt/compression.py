@@ -27,6 +27,17 @@ from ..core.decomp import truncated_svd_matrix
 from .tensortrain import TensorTrain
 
 
+def _small_cpu_case(tt: TensorTrain, cap: int = 512) -> bool:
+    """True when every bond factorization fits the host-LAPACK fast
+    path and the default backend is CPU (see `_compress_np`)."""
+    from ..core.decomp import _on_cpu_backend
+
+    if not _on_cpu_backend():
+        return False
+    return all(max(c.shape[0] * c.shape[1], c.shape[1] * c.shape[2],
+                   c.shape[0], c.shape[2]) <= cap for c in tt.cores)
+
+
 def _policy(tol: float, maxdim: Optional[int]) -> SvdTruncationPolicy:
     # TCI-style tolerance: relative value cutoff on singular values,
     # matching rrLU's pivot-error semantics (ref compression.rs tolerance).
@@ -85,6 +96,38 @@ def right_orthogonalize(tt: TensorTrain) -> TensorTrain:
     return TensorTrain(cores)
 
 
+def _compress_np(tt: TensorTrain, tol: float, maxdim: Optional[int],
+                 mindim: int = 1) -> TensorTrain:
+    """Host-numpy compress sweep for small cores on the CPU backend.
+
+    The jitted path pays one dispatch per QR/SVD (~0.1-0.3 ms each on a
+    CPU host); for the latency-bound CPU-class sizes the reference
+    benchmarks (chi <= 64), one LAPACK sweep in numpy is 5-10x faster.
+    Numerically identical selection rule to `truncated_svd_matrix` with
+    the `_policy` (RELATIVE/VALUE) policy used by `compress`.
+    """
+    cores = [np.asarray(c) for c in tt.cores]
+    for k in range(len(cores) - 1):
+        r0, d, r1 = cores[k].shape
+        q, r = np.linalg.qr(cores[k].reshape(r0 * d, r1))
+        cores[k] = q.reshape(r0, d, q.shape[1])
+        cores[k + 1] = np.tensordot(r, cores[k + 1], axes=[[1], [0]])
+    for k in range(len(cores) - 1, 0, -1):
+        r0, d, r1 = cores[k].shape
+        m = cores[k].reshape(r0, d * r1)
+        u, s, vh = np.linalg.svd(m, full_matrices=False)
+        scale = s[0] if s.size and s[0] > 0 else 1.0
+        rk = int(np.sum(s >= tol * scale))
+        rk = max(rk, min(mindim, s.size))
+        if maxdim is not None:
+            rk = min(rk, maxdim)
+        rk = max(rk, 1)
+        cores[k] = vh[:rk].reshape(rk, d, r1)
+        cores[k - 1] = np.tensordot(cores[k - 1], u[:, :rk] * s[:rk],
+                                    axes=[[2], [0]])
+    return TensorTrain(cores)
+
+
 def compress(
     tt: TensorTrain,
     tol: float = 1e-12,
@@ -100,6 +143,8 @@ def compress(
         return tt.copy()
     if method not in ("svd", "lu", "ci"):
         raise ValueError(f"unknown compression method {method!r}")
+    if method == "svd" and _small_cpu_case(tt):
+        return _compress_np(tt, tol, maxdim)
     cores = list(left_orthogonalize(tt).cores)
     pol = _policy(tol, maxdim)
     if method in ("lu", "ci"):

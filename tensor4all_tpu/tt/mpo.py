@@ -277,6 +277,10 @@ class MPO:
         `compose_zipup`; trailing zero bond slots are trimmed on exit."""
         if self.in_dims != other.out_dims:
             raise ValueError("compose: dims mismatch")
+        if _small_cpu_mpo(self) and _small_cpu_mpo(other):
+            # latency-bound CPU-class sizes: one host-LAPACK sweep beats
+            # the jitted scan's fixed dispatch cost (see _compose_zipup_np)
+            return _compose_zipup_np(self, other, tol, maxdim)
         o_dims = set(self.out_dims)
         i_dims = set(other.in_dims)
         m_dims = set(self.in_dims)
@@ -395,3 +399,45 @@ def _compose_zipup_scan(A, B, tol, cap):
     cores = cores.at[-1].set(jnp.zeros_like(cores[-1])
                              .at[:, :, :, 0].set(last))
     return cores, ranks
+
+
+def _small_cpu_mpo(mpo: "MPO", cap: int = 64) -> bool:
+    """True when the composition is latency-bound on the CPU backend:
+    every bond small enough that host LAPACK wins over jit dispatch."""
+    from ..core.decomp import _on_cpu_backend
+
+    if not _on_cpu_backend():
+        return False
+    return all(max(c.shape[0], c.shape[3]) <= cap
+               and c.shape[1] * c.shape[2] <= 16 for c in mpo.cores)
+
+
+def _compose_zipup_np(a: "MPO", b: "MPO", tol: float,
+                      maxdim: Optional[int]) -> "MPO":
+    """Host-numpy zipup composition (same policy/semantics as
+    `MPO.compose_zipup`): one LAPACK sweep, no per-op jit dispatch."""
+    A = [np.asarray(c) for c in a.cores]
+    B = [np.asarray(c) for c in b.cores]
+    L = len(A)
+    dtype = np.result_type(A[0].dtype, B[0].dtype)
+    C = np.ones((1, 1, 1), dtype=dtype)
+    out = []
+    for k in range(L):
+        W, V = A[k], B[k]
+        _, o, _, l1 = W.shape
+        _, _, i, k1 = V.shape
+        theta = np.einsum("xlk,lomd,kmie->xoide", C, W, V,
+                          optimize=True)
+        chi = theta.shape[0]
+        if k == L - 1:
+            out.append(theta.reshape(chi, o, i, l1 * k1))
+            break
+        mm = theta.reshape(chi * o * i, l1 * k1)
+        u, s, vh = np.linalg.svd(mm, full_matrices=False)
+        scale = s[0] if s.size and s[0] > 0 else 1.0
+        r = max(int(np.sum(s >= tol * scale)), 1)
+        if maxdim is not None:
+            r = min(r, maxdim)
+        out.append(u[:, :r].reshape(chi, o, i, r))
+        C = (s[:r, None] * vh[:r]).reshape(r, l1, k1)
+    return MPO(out)

@@ -22,7 +22,12 @@ import numpy as np
 
 
 def _as_core(a) -> jnp.ndarray:
-    a = jnp.asarray(a)
+    # host numpy cores are kept as-is: they convert for free at any jit
+    # boundary, while eager per-core jnp.asarray costs ~0.1 ms dispatch
+    # each — which dominates CPU-class sweep workloads (see
+    # compression._compress_np)
+    if not isinstance(a, np.ndarray):
+        a = jnp.asarray(a)
     if a.ndim != 3:
         raise ValueError(f"TT core must be rank-3, got shape {a.shape}")
     return a
@@ -230,23 +235,32 @@ class TensorTrain:
         L = len(self)
         if L == 1:
             return TensorTrain([self.cores[0] + other.cores[0]])
+        # build the direct sum on the host when everything is concrete:
+        # 3L jnp.concatenate dispatches cost ~15 ms at L=32 on CPU while
+        # the numpy blocks are microseconds (tracers fall through)
+        host = not any(isinstance(c, jax.core.Tracer)
+                       for c in list(self.cores) + list(other.cores))
+        xp = np if host else jnp
         dtype = jnp.result_type(self.dtype, other.dtype)
         out = []
         for k, (a, b) in enumerate(zip(self.cores, other.cores)):
+            if host:
+                a = np.asarray(a)
+                b = np.asarray(b)
             ra0, d, ra1 = a.shape
             rb0, _, rb1 = b.shape
             if k == 0:
-                c = jnp.concatenate([a, b], axis=2).astype(dtype)
+                c = xp.concatenate([a, b], axis=2).astype(dtype)
             elif k == L - 1:
-                c = jnp.concatenate([a, b], axis=0).astype(dtype)
+                c = xp.concatenate([a, b], axis=0).astype(dtype)
             else:
-                top = jnp.concatenate(
-                    [a, jnp.zeros((ra0, d, rb1), dtype)], axis=2
+                top = xp.concatenate(
+                    [a, xp.zeros((ra0, d, rb1), dtype)], axis=2
                 )
-                bot = jnp.concatenate(
-                    [jnp.zeros((rb0, d, ra1), dtype), b], axis=2
+                bot = xp.concatenate(
+                    [xp.zeros((rb0, d, ra1), dtype), b], axis=2
                 )
-                c = jnp.concatenate([top, bot], axis=0)
+                c = xp.concatenate([top, bot], axis=0)
             out.append(c)
         return TensorTrain(out)
 
