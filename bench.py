@@ -68,6 +68,30 @@ def bench_rrlu():
     i = np.arange(n)
     hilbert = jnp.asarray(1.0 / (1.0 + i[:, None] + i[None, :]))
 
+    if jax.default_backend() == "cpu":
+        # CPU hosts use the numpy twin (ops.rrlu._rrlu_np via rrlu());
+        # time the actual consumed path, single calls
+        h_np = np.asarray(hilbert)
+        out = rrlu(h_np, rtol=1e-10)
+        ts = []
+        for r in range(9):
+            t0 = time.perf_counter()
+            rrlu(h_np * (1.0 + 1e-9 * r), rtol=1e-10)
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        t = ts[len(ts) // 2]
+        return {
+            "metric": "rrlu_hilbert_128_ms",
+            "value": t * 1e3,
+            "unit": "ms",
+            "vs_baseline": 0.329 / (t * 1e3),
+            "detail": {
+                "rank": int(out.rank),
+                "last_pivot_error": out.last_pivot_error,
+                "measurement": "host-numpy single calls",
+            },
+        }
+
     K = 8
 
     @jax.jit

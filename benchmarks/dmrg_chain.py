@@ -54,13 +54,28 @@ def run(median_time):
     on_cpu = jax.default_backend() == "cpu"
     sweep_dtype = None if on_cpu else jnp.float32
 
-    def body():
-        e, mps = dmrg_run(h_d, mps_d, n_sweeps=4, lanczos_iters=12,
-                          sweep_dtype=sweep_dtype)
-        # block via host read-back: block_until_ready is unreliable on
-        # the axon remote backend (returns before execution completes)
-        result["energy"] = float(e)
-        return e
+    if on_cpu:
+        # CPU hosts are dispatch-latency-bound at this size: use the
+        # host-numpy adaptive engine (same sweeps, same accuracy;
+        # ops/tdvp_chain_host.py)
+        from tensor4all_tpu.ops.tdvp_chain_host import dmrg_chain_host
+
+        host_h = treeoperator_to_mpo_cores(op, list(range(N)))
+        host_cores = [np.asarray(c) for c in tt.cores]
+
+        def body():
+            e, _ = dmrg_chain_host(host_h, host_cores, chi, n_sweeps=4)
+            result["energy"] = float(e)
+            return e
+    else:
+        def body():
+            e, mps = dmrg_run(h_d, mps_d, n_sweeps=4, lanczos_iters=12,
+                              sweep_dtype=sweep_dtype)
+            # block via host read-back: block_until_ready is unreliable
+            # on the axon remote backend (returns before execution
+            # completes)
+            result["energy"] = float(e)
+            return e
 
     t = median_time(body, warmup=2, reps=5)
     e0 = np.linalg.eigvalsh(dense_heisenberg(g, list(g.nodes)))[0]
@@ -74,5 +89,7 @@ def run(median_time):
             "energy_abs_err": err,
             "device": str(device),
             "sweep_dtype": "float64" if sweep_dtype is None else "float32",
+            "engine": ("host-numpy adaptive" if on_cpu
+                       else "jitted one-program"),
         },
     }

@@ -113,6 +113,31 @@ def bench_tdvp(topology: str, quick=False):
             "vs_baseline": baseline / (t * 1e3)}
 
 
+def bench_tdvp_chain_host(quick=False):
+    """Host-numpy adaptive TDVP chain engine — the CPU-backend engine
+    the library recommends at this latency-bound size
+    (ops/tdvp_chain_host.py)."""
+    import jax
+
+    from tensor4all_tpu.ops.dmrg_chain import treeoperator_to_mpo_cores
+    from tensor4all_tpu.ops.tdvp_chain_host import tdvp_chain_host
+    from tensor4all_tpu.tt.tensortrain import TensorTrain
+
+    g, tn, sites, op = _setup_chain(8, 8)
+    h_cores = treeoperator_to_mpo_cores(op, list(g.nodes))
+    tt = TensorTrain.random(jax.random.PRNGKey(1), [2] * 8, rank=32)
+    cores0 = [np.asarray(c) for c in tt.cores]
+
+    def body():
+        tdvp_chain_host(h_cores, cores0, -1j * 0.08, 32, nsteps=4,
+                        order=2)
+
+    t = _median(body, warmup=1, reps=5)
+    return {"metric": "tdvp_chain_host_N8_chi32", "value": t * 1e3,
+            "unit": "ms", "baseline": 104.6,
+            "vs_baseline": 104.6 / (t * 1e3)}
+
+
 def bench_tdvp_chain_jit(quick=False):
     """Fully-jitted TDVP chain engine (ops.tdvp_chain): the speed-of-
     light path next to the flexible host-driven treetn.tdvp row."""
@@ -248,7 +273,7 @@ def bench_mps_ops(quick=False):
         complex(a.inner(b))
 
     def add():
-        (a + b).cores[-1].block_until_ready()
+        np.asarray((a + b).cores[-1])  # sync (cores may be host numpy)
 
     t_i = _median(inner, warmup=2, reps=5)
     t_a = _median(add, warmup=2, reps=5)
@@ -276,7 +301,7 @@ def bench_mpo_zipup(quick=False):
 
     def body():
         out = a.compose_zipup_fast(b, tol=1e-12, maxdim=chi)
-        out.cores[-1].block_until_ready()
+        np.asarray(out.cores[-1])  # sync (cores may be host numpy)
 
     t = _median(body, warmup=2, reps=5)
     return {"metric": "mpo_zipup_L10_chi8", "value": t * 1e3,
@@ -306,6 +331,7 @@ def main():
         ("dmrg", lambda: bench_dmrg_chain(quick)),
         ("tdvp chain", lambda: bench_tdvp("chain", quick)),
         ("tdvp star", lambda: bench_tdvp("star", quick)),
+        ("tdvp chain host", lambda: bench_tdvp_chain_host(quick)),
         ("tdvp chain jit", lambda: bench_tdvp_chain_jit(quick)),
         ("proj apply 32", lambda: bench_projected_apply(32, quick)),
         ("proj apply 64", lambda: bench_projected_apply(64, quick)),

@@ -34,7 +34,12 @@ class Tensor:
 
     def __init__(self, indices: Sequence[Index], data):
         indices = tuple(indices)
-        data = jnp.asarray(data)
+        # host numpy payloads are kept as-is: they convert for free at
+        # any jit boundary, while an eager jnp.asarray here costs a
+        # dispatch (~0.1 ms) per tensor — the dominant cost of
+        # host-driven sweeps at CPU-class sizes (journal workloads)
+        if not isinstance(data, np.ndarray):
+            data = jnp.asarray(data)
         if data.ndim != len(indices):
             raise ValueError(
                 f"rank mismatch: {len(indices)} indices vs data.ndim={data.ndim}"
@@ -151,7 +156,8 @@ class Tensor:
         if set(new_order) != set(self.indices) or len(new_order) != self.ndim:
             raise ValueError(f"permute: {new_order} is not a permutation of {self.indices}")
         perm = [self.indices.index(i) for i in new_order]
-        return Tensor(new_order, jnp.transpose(self.data, perm))
+        xp = np if isinstance(self.data, np.ndarray) else jnp
+        return Tensor(new_order, xp.transpose(self.data, perm))
 
     def replaceinds(self, old: Sequence[Index], new: Sequence[Index]) -> "Tensor":
         """Rebind index identities (ref tensordynlen `replaceinds`)."""
@@ -248,21 +254,31 @@ class Tensor:
         return Tensor(self.indices, self.data * self._aligned(other).data)
 
     def conj(self) -> "Tensor":
-        return Tensor(self.indices, jnp.conj(self.data))
+        xp = np if isinstance(self.data, np.ndarray) else jnp
+        return Tensor(self.indices, xp.conj(self.data))
 
     def dag(self) -> "Tensor":
         """Conjugate data and flip index conj flags (ref conj state)."""
-        return Tensor(tuple(i.dag() for i in self.indices), jnp.conj(self.data))
+        xp = np if isinstance(self.data, np.ndarray) else jnp
+        return Tensor(tuple(i.dag() for i in self.indices),
+                      xp.conj(self.data))
 
     def inner(self, other: "Tensor") -> jax.Array:
         """<self|other> = sum(conj(self) * other), axes matched by identity."""
         o = self._aligned(other)
+        if (isinstance(self.data, np.ndarray)
+                and isinstance(o.data, np.ndarray)):
+            return np.vdot(self.data.reshape(-1), o.data.reshape(-1))
         return jnp.vdot(self.data.reshape(-1), o.data.reshape(-1))
 
     def norm(self) -> jax.Array:
+        if isinstance(self.data, np.ndarray):
+            return np.linalg.norm(self.data.reshape(-1))
         return jnp.linalg.norm(self.data.reshape(-1))
 
     def sum(self) -> jax.Array:
+        if isinstance(self.data, np.ndarray):
+            return np.sum(self.data)
         return jnp.sum(self.data)
 
     def real(self) -> "Tensor":

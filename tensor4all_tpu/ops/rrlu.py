@@ -144,6 +144,61 @@ def _rrlu_kernel(a: jnp.ndarray, rtol: float, atol: float, max_rank: int,
     return Lb, Ub, meta
 
 
+def _host_small(a, cap: int = 512 * 512) -> bool:
+    """CPU backend + small concrete operand: the numpy loop beats the
+    jitted kernel's per-call dispatch (journal rrlu config)."""
+    if isinstance(a, jax.core.Tracer):
+        return False
+    try:
+        if jax.default_backend() != "cpu":
+            return False
+    except Exception:  # noqa: BLE001
+        return False
+    return a.size <= cap
+
+
+def _rrlu_np(a: np.ndarray, rtol: float, atol: float,
+             max_rank: int) -> RrLUResult:
+    """Host-numpy twin of `_rrlu_kernel` (identical pivot/stop rule)."""
+    A = np.array(a, copy=True)
+    n, m = A.shape
+    dtype = A.dtype
+    L = np.zeros((n, max_rank), dtype)
+    U = np.zeros((max_rank, m), dtype)
+    rows = np.zeros(max_rank, np.int64)
+    cols = np.zeros(max_rank, np.int64)
+    pivs = np.zeros(max_rank)
+    thresh = max(rtol * float(np.max(np.abs(A))), atol)
+    k = 0
+    lastdrop = 0.0
+    while k < max_rank:
+        flat = int(np.argmax(np.abs(A)))
+        i, j = divmod(flat, m)
+        piv = A[i, j]
+        pmag = abs(piv)
+        if pmag <= thresh:
+            lastdrop = float(pmag)
+            break
+        colv = A[:, j] / piv
+        rowv = A[i, :].copy()
+        A -= np.outer(colv, rowv)
+        A[i, :] = 0.0
+        A[:, j] = 0.0
+        L[:, k] = colv
+        U[k, :] = rowv
+        rows[k], cols[k], pivs[k] = i, j, pmag
+        k += 1
+    return RrLUResult(
+        rank=k,
+        row_pivots=rows[:k],
+        col_pivots=cols[:k],
+        L=L[:, :k],
+        U=U[:k, :],
+        pivot_magnitudes=pivs[:k],
+        last_pivot_error=lastdrop,
+    )
+
+
 def rrlu(
     a,
     rtol: float = 1e-12,
@@ -156,7 +211,7 @@ def rrlu(
     the largest |entry| of A (the first pivot); elimination stops when the
     next pivot magnitude drops below ``max(rtol*|A|_max, atol)``.
     """
-    a = jnp.asarray(a)
+    a = jnp.asarray(a) if not isinstance(a, np.ndarray) else a
     n, m = a.shape
     if max_rank is None:
         max_rank = min(n, m)
@@ -166,6 +221,8 @@ def rrlu(
         return RrLUResult(0, np.zeros(0, np.int64), np.zeros(0, np.int64),
                           jnp.zeros((n, 0), a.dtype), jnp.zeros((0, m), a.dtype),
                           np.zeros(0), 0.0)
+    if _host_small(a):
+        return _rrlu_np(np.asarray(a), float(rtol), float(atol), max_rank)
     # bucket the operand shape (zero padding is exact: padded rows/cols
     # have zero residual and are never selected) so data-dependent Pi
     # shapes inside TCI sweeps reuse a handful of compiled kernels
