@@ -64,7 +64,7 @@ def run(median_time):
         host_cores = [np.asarray(c) for c in tt.cores]
 
         def body():
-            e, _ = dmrg_chain_host(host_h, host_cores, chi, n_sweeps=4)
+            e, _, _ = dmrg_chain_host(host_h, host_cores, chi, n_sweeps=4)
             result["energy"] = float(e)
             return e
     else:

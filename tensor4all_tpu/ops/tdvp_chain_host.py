@@ -210,7 +210,7 @@ def dmrg_chain_host(
 ):
     """Host-numpy two-site DMRG sibling (ref dmrg.rs sweep structure):
     adaptive ranks, early-exit Lanczos ground-state solves. Returns
-    ``(energy, cores)``. Use on CPU hosts; `ops.dmrg_chain` is the
+    ``(energy, cores, per_sweep_energies)``. Use on CPU hosts; `ops.dmrg_chain` is the
     one-program device engine."""
     W = [np.asarray(w) for w in h_cores]
     dtype = np.result_type(np.float64,
@@ -221,6 +221,7 @@ def dmrg_chain_host(
     A[0] = A[0] / np.linalg.norm(A[0])
     one = np.ones((1, 1, 1), dtype)
     energy = None
+    energies = []
 
     def _ground(apply_a, v0, maxiter, rtol):
         shape = v0.shape
@@ -287,4 +288,5 @@ def dmrg_chain_host(
             theta /= np.linalg.norm(theta)
             A[k], A[k + 1] = _split(theta, tol, chi, toward_right=False)
             R = _update_right_env(R, A[k + 1], W[k + 1])
-    return float(energy), A
+        energies.append(float(energy))
+    return float(energy), A, energies

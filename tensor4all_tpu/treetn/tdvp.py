@@ -221,6 +221,110 @@ def _tdvp_1site(op, state, root, t, opts):
     return state
 
 
+def _chain_order(state: TreeTN):
+    """Ordered node list when the state graph is a path, else None."""
+    import networkx as nx
+
+    g = state.graph
+    if len(g) < 2 or not nx.is_connected(g):
+        return None
+    degs = dict(g.degree)
+    ends = [v for v, d in degs.items() if d == 1]
+    if len(ends) != 2 or any(d > 2 for d in degs.values()):
+        return None
+    order = [ends[0]]
+    prev = None
+    while len(order) < len(g):
+        nxts = [u for u in g.neighbors(order[-1]) if u != prev]
+        if len(nxts) != 1:
+            return None
+        prev = order[-1]
+        order.append(nxts[0])
+    return order
+
+
+def _try_chain_fast_path(op: TreeOperator, init: TreeTN, t: complex,
+                         opts: TdvpOptions) -> Optional[TreeTN]:
+    """Delegate chain topologies to the host two-site engine
+    (ops.tdvp_chain_host) on CPU backends, where the generic per-node
+    Tensor machinery is dispatch-bound (~10x slower at journal sizes).
+    Same integrator and accuracy; see tests/test_chain_host.py."""
+    import jax
+    import numpy as np
+
+    try:
+        if jax.default_backend() != "cpu":
+            return None
+    except Exception:  # noqa: BLE001
+        return None
+    order = _chain_order(init)
+    if order is None or set(op.node_names) != set(order):
+        return None
+    if any(len(init.site_indices(v)) != 1 for v in order):
+        return None
+    for v in order:
+        if isinstance(init.tensor(v).data, jax.core.Tracer):
+            return None
+    from ..core.tensor import Tensor
+    from ..ops.dmrg_chain import treeoperator_to_mpo_cores
+    from ..ops.tdvp_chain_host import tdvp_chain_host
+
+    try:
+        h_cores = treeoperator_to_mpo_cores(op, order)
+    except Exception:  # noqa: BLE001 — operator not a chain MPO
+        return None
+    sites = {v: init.site_indices(v)[0] for v in order}
+    cores = []
+    for pos, v in enumerate(order):
+        t_v = init.tensor(v)
+        axes = []
+        if pos > 0:
+            axes.append(init.bond(order[pos - 1], v))
+        axes.append(sites[v])
+        if pos < len(order) - 1:
+            axes.append(init.bond(v, order[pos + 1]))
+        arr = np.asarray(t_v.dense(tuple(axes)))
+        if pos == 0:
+            arr = arr[None, ...]
+        if pos == len(order) - 1:
+            arr = arr[..., None]
+        cores.append(arr)
+    n_in = float(np.real(
+        np.sqrt(complex(init.inner(init)))))
+    out_cores = tdvp_chain_host(
+        h_cores, cores, t, opts.maxdim, nsteps=opts.nsteps,
+        order=opts.order, tol=opts.cutoff,
+        krylov_rtol=opts.krylov_rtol,
+        krylov_maxiter=opts.krylov_maxiter)
+    # the host engine normalizes the initial state; restore the input
+    # scale unless the caller asked for normalization
+    if not opts.normalize:
+        out_cores[0] = out_cores[0] * n_in
+    from .network import TreeTN as _TreeTN
+    from ..core.index import Index
+
+    net = _TreeTN()
+    bonds = [Index(int(out_cores[k].shape[2]), tags="Link")
+             for k in range(len(order) - 1)]
+    for pos, v in enumerate(order):
+        c = out_cores[pos]
+        inds = []
+        data = c
+        if pos == 0:
+            data = data[0]
+        else:
+            inds.append(bonds[pos - 1])
+        inds.append(sites[v])
+        if pos == len(order) - 1:
+            data = data[..., 0]
+        else:
+            inds.append(bonds[pos])
+        net.add_node(v, Tensor(tuple(inds), data))
+    for pos in range(len(order) - 1):
+        net.connect(order[pos], order[pos + 1], bonds[pos])
+    return net
+
+
 def tdvp(
     op: TreeOperator,
     init: TreeTN,
@@ -237,6 +341,10 @@ def tdvp(
     opts = options or TdvpOptions()
     if opts.nsite not in (1, 2):
         raise ValueError("nsite must be 1 or 2")
+    if opts.nsite == 2:
+        fast = _try_chain_fast_path(op, init, t, opts)
+        if fast is not None:
+            return fast
     state = init.copy()
     state.validate_tree()
     root = center if center is not None else state.node_names[0]

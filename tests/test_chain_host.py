@@ -85,7 +85,8 @@ def test_tdvp_host_imaginary_time():
 def test_dmrg_host_ground_state():
     N = 8
     h_cores, cores0, H, _ = _setup(N, 32)
-    e, A = dmrg_chain_host(h_cores, cores0, 32, n_sweeps=4)
+    e, A, energies = dmrg_chain_host(h_cores, cores0, 32, n_sweeps=4)
+    assert len(energies) == 4
     e_exact = np.linalg.eigvalsh(H)[0]
     assert abs(e - e_exact) < 1e-10
     v = _densify(A)
