@@ -1760,4 +1760,230 @@ t4a_status_code t4a_qtransform_affine_materialize(
       out);
 }
 
+
+/* ------------------------------------------------------------------ */
+/* Storage-parity surface (ref capi tensor.rs:491-960): dense design — */
+/* diag/structured constructors materialize dense; axis_classes report */
+/* all-dense. Aliases keep name-for-name parity with the reference.    */
+/* ------------------------------------------------------------------ */
+t4a_status_code t4a_tensor_new_dense_f64(const t4a_index *const *indices,
+                                         size_t rank, const double *data,
+                                         size_t len, t4a_tensor **out) {
+  return t4a_tensor_new(indices, rank, data, len, out);
+}
+
+t4a_status_code t4a_tensor_copy_dense_f64(const t4a_tensor *t,
+                                          double *data, size_t len) {
+  return t4a_tensor_data(t, data, len);
+}
+
+t4a_status_code t4a_tensor_copy_dense_c64(const t4a_tensor *t,
+                                          double *interleaved,
+                                          size_t len) {
+  return t4a_tensor_copy_payload_c64(t, interleaved, len);
+}
+
+t4a_status_code t4a_tensor_axis_classes(const t4a_tensor *t, size_t *buf,
+                                        size_t buf_len, size_t *out_len) {
+  if (!t || !out_len) return T4A_INVALID_ARGUMENT;
+  size_t r = 0;
+  t4a_status_code st = t4a_tensor_rank(t, &r);
+  if (st != T4A_OK) return st;
+  *out_len = r;
+  if (!buf) return T4A_OK;
+  if (buf_len < r) return T4A_INVALID_ARGUMENT;
+  for (size_t k = 0; k < r; ++k) buf[k] = 0; /* dense-only storage */
+  return T4A_OK;
+}
+
+t4a_status_code t4a_tensor_contract_retain(const t4a_tensor *a,
+                                           const t4a_tensor *b,
+                                           const t4a_index *const *retain,
+                                           size_t n_retain,
+                                           t4a_tensor **out) {
+  if (!a || !b || !out) return T4A_INVALID_ARGUMENT;
+  const t4a_tensor *ts[2] = {a, b};
+  return t4a_tensor_contract_many_retain(ts, 2, retain, n_retain, out);
+}
+
+static PyObject *double_list(const double *data, size_t len) {
+  PyObject *lst = PyList_New(static_cast<Py_ssize_t>(len));
+  for (size_t k = 0; k < len; ++k)
+    PyList_SetItem(lst, static_cast<Py_ssize_t>(k),
+                   PyFloat_FromDouble(data[k]));
+  return lst;
+}
+
+t4a_status_code t4a_tensor_new_diag_f64(size_t rank,
+                                        const t4a_index *const *indices,
+                                        const double *diag,
+                                        size_t diag_len,
+                                        t4a_tensor **out) {
+  if (!out || (rank && !indices) || (diag_len && !diag))
+    return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *inds = index_list(indices, rank);
+  PyObject *vals = double_list(diag, diag_len);
+  PyObject *obj = call_h("tensor_diag_general", "(OO)", inds, vals);
+  Py_DECREF(inds);
+  Py_DECREF(vals);
+  if (!obj) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *out = new t4a_tensor{obj};
+  return T4A_OK;
+}
+
+t4a_status_code t4a_tensor_new_diag_c64(size_t rank,
+                                        const t4a_index *const *indices,
+                                        const double *diag_re,
+                                        const double *diag_im,
+                                        size_t diag_len,
+                                        t4a_tensor **out) {
+  if (!out || (rank && !indices) || (diag_len && (!diag_re || !diag_im)))
+    return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *inds = index_list(indices, rank);
+  PyObject *vals = PyList_New(static_cast<Py_ssize_t>(diag_len));
+  for (size_t k = 0; k < diag_len; ++k)
+    PyList_SetItem(vals, static_cast<Py_ssize_t>(k),
+                   PyComplex_FromDoubles(diag_re[k], diag_im[k]));
+  PyObject *obj = call_h("tensor_diag_general", "(OO)", inds, vals);
+  Py_DECREF(inds);
+  Py_DECREF(vals);
+  if (!obj) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *out = new t4a_tensor{obj};
+  return T4A_OK;
+}
+
+static t4a_status_code structured_common(
+    size_t rank, const t4a_index *const *indices, PyObject *payload,
+    const size_t *payload_dims, size_t payload_rank,
+    const size_t *axis_classes, size_t axis_classes_len,
+    t4a_tensor **out) {
+  PyObject *inds = index_list(indices, rank);
+  PyObject *cls = PyList_New(static_cast<Py_ssize_t>(axis_classes_len));
+  for (size_t k = 0; k < axis_classes_len; ++k)
+    PyList_SetItem(cls, static_cast<Py_ssize_t>(k),
+                   PyLong_FromSize_t(axis_classes[k]));
+  PyObject *pdims = PyList_New(static_cast<Py_ssize_t>(payload_rank));
+  for (size_t k = 0; k < payload_rank; ++k)
+    PyList_SetItem(pdims, static_cast<Py_ssize_t>(k),
+                   PyLong_FromSize_t(payload_dims[k]));
+  PyObject *obj = call_h("tensor_structured", "(OOOO)", inds, cls,
+                         payload, pdims);
+  Py_DECREF(inds);
+  Py_DECREF(cls);
+  Py_DECREF(pdims);
+  if (!obj) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *out = new t4a_tensor{obj};
+  return T4A_OK;
+}
+
+t4a_status_code t4a_tensor_new_structured_f64(
+    size_t rank, const t4a_index *const *indices, const double *data,
+    size_t data_len, const size_t *payload_dims, size_t payload_rank,
+    const size_t *axis_classes, size_t axis_classes_len,
+    t4a_tensor **out) {
+  if (!out || (rank && !indices) || (data_len && !data))
+    return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *payload = double_list(data, data_len);
+  t4a_status_code st = structured_common(
+      rank, indices, payload, payload_dims, payload_rank, axis_classes,
+      axis_classes_len, out);
+  Py_DECREF(payload);
+  return st;
+}
+
+t4a_status_code t4a_tensor_new_structured_c64(
+    size_t rank, const t4a_index *const *indices, const double *re,
+    const double *im, size_t data_len, const size_t *payload_dims,
+    size_t payload_rank, const size_t *axis_classes,
+    size_t axis_classes_len, t4a_tensor **out) {
+  if (!out || (rank && !indices) || (data_len && (!re || !im)))
+    return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *payload = PyList_New(static_cast<Py_ssize_t>(data_len));
+  for (size_t k = 0; k < data_len; ++k)
+    PyList_SetItem(payload, static_cast<Py_ssize_t>(k),
+                   PyComplex_FromDoubles(re[k], im[k]));
+  t4a_status_code st = structured_common(
+      rank, indices, payload, payload_dims, payload_rank, axis_classes,
+      axis_classes_len, out);
+  Py_DECREF(payload);
+  return st;
+}
+
+t4a_status_code t4a_treetn_partial_contract(
+    const t4a_treetn *a, const t4a_treetn *b, size_t n_contract_pairs,
+    const t4a_index *const *contract_left,
+    const t4a_index *const *contract_right, size_t n_diagonal_pairs,
+    const t4a_index *const *diagonal_left,
+    const t4a_index *const *diagonal_right, t4a_treetn **out) {
+  if (!a || !b || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *cl = index_list(contract_left, n_contract_pairs);
+  PyObject *cr = index_list(contract_right, n_contract_pairs);
+  PyObject *dl = index_list(diagonal_left, n_diagonal_pairs);
+  PyObject *dr = index_list(diagonal_right, n_diagonal_pairs);
+  PyObject *args = Py_BuildValue("(OOOOOO)", a->obj, b->obj, cl, cr,
+                                 dl, dr);
+  Py_DECREF(cl);
+  Py_DECREF(cr);
+  Py_DECREF(dl);
+  Py_DECREF(dr);
+  t4a_status_code st =
+      treetn_from_helper_1("treetn_partial_contract", args, out);
+  Py_DECREF(args);
+  return st;
+}
+
+t4a_status_code t4a_treetn_restructure_to(
+    const t4a_treetn *tn, const char *vertices_nl,
+    const t4a_index *const *site_inds, const size_t *site_lens,
+    size_t n_vertices, const char *edge_sources_nl,
+    const char *edge_targets_nl, double rtol, int64_t maxdim,
+    t4a_treetn **out) {
+  if (!tn || !vertices_nl || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *names = PyUnicode_FromString(vertices_nl);
+  PyObject *name_lst = PyObject_CallMethod(names, "split", "s", "\n");
+  Py_DECREF(names);
+  size_t total = 0;
+  for (size_t k = 0; k < n_vertices; ++k) total += site_lens[k];
+  PyObject *sites = index_list(site_inds, total);
+  PyObject *lens = PyList_New(static_cast<Py_ssize_t>(n_vertices));
+  for (size_t k = 0; k < n_vertices; ++k)
+    PyList_SetItem(lens, static_cast<Py_ssize_t>(k),
+                   PyLong_FromSize_t(site_lens[k]));
+  PyObject *ea = PyUnicode_FromString(edge_sources_nl ? edge_sources_nl
+                                                      : "");
+  PyObject *ea_lst = PyObject_CallMethod(ea, "split", "s", "\n");
+  Py_DECREF(ea);
+  PyObject *eb = PyUnicode_FromString(edge_targets_nl ? edge_targets_nl
+                                                      : "");
+  PyObject *eb_lst = PyObject_CallMethod(eb, "split", "s", "\n");
+  Py_DECREF(eb);
+  PyObject *args = Py_BuildValue("(OOOOOOdL)", tn->obj, name_lst, sites,
+                                 lens, ea_lst, eb_lst, rtol,
+                                 (long long)maxdim);
+  Py_DECREF(name_lst);
+  Py_DECREF(sites);
+  Py_DECREF(lens);
+  Py_DECREF(ea_lst);
+  Py_DECREF(eb_lst);
+  t4a_status_code st =
+      treetn_from_helper_1("treetn_restructure_to", args, out);
+  Py_DECREF(args);
+  return st;
+}
+
 }  // extern "C"

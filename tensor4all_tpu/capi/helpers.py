@@ -463,3 +463,88 @@ def contract_many_retain(tensors, retain):
 
     return contract(list(tensors), retain=tuple(retain),
                     check_connected=False)
+
+
+# ----------------------------------------------------------------------
+# Storage-parity constructors (ref capi tensor.rs:491-960): the dense
+# design materializes diag/structured payloads into dense tensors —
+# same observable semantics, axis_classes report all-dense.
+# ----------------------------------------------------------------------
+def tensor_axis_classes(tensor):
+    return [0] * tensor.ndim
+
+
+def tensor_diag_general(indices, values):
+    import numpy as np
+
+    from ..core.tensor import Tensor
+
+    indices = tuple(indices)
+    dims = [i.dim for i in indices]
+    d = min(dims) if dims else 0
+    vals = np.asarray(values)
+    if vals.shape[0] != d:
+        raise ValueError("diag length must equal the smallest index dim")
+    out = np.zeros(dims, vals.dtype)
+    if d:
+        view = np.lib.stride_tricks.as_strided(
+            out, shape=(d,), strides=(sum(out.strides),))
+        view[:] = vals
+    return Tensor(indices, out)
+
+
+def tensor_structured(indices, axis_classes, payload, payload_dims):
+    """Dense materialization of a structured payload: axes sharing a
+    nonzero class id form a generalized-diagonal group backed by one
+    payload axis (ref tensorbackend structured storage)."""
+    import numpy as np
+
+    from ..core.tensor import Tensor
+
+    indices = tuple(indices)
+    dims = [i.dim for i in indices]
+    payload = np.asarray(payload).reshape(list(payload_dims), order="F")
+    out = np.zeros(dims, payload.dtype)
+    shape, strides, seen = [], [], {}
+    for ax, cls in enumerate(axis_classes):
+        cls = int(cls)
+        if cls and cls in seen:
+            k = seen[cls]
+            strides[k] += out.strides[ax]
+            shape[k] = min(shape[k], dims[ax])
+        else:
+            if cls:
+                seen[cls] = len(shape)
+            shape.append(dims[ax])
+            strides.append(out.strides[ax])
+    if list(shape) != list(payload.shape):
+        raise ValueError(
+            f"payload dims {list(payload.shape)} do not match the "
+            f"axis-class structure {shape}")
+    view = np.lib.stride_tricks.as_strided(out, shape, strides)
+    view[:] = payload
+    return Tensor(indices, out)
+
+
+def treetn_restructure_to(h: CTreeTN, names, sites_flat, sites_lens,
+                          edges_a, edges_b, rtol: float,
+                          maxdim: int) -> CTreeTN:
+    import networkx as nx
+
+    from ..config import SvdTruncationPolicy
+    from ..treetn.restructure import restructure_to
+
+    g = nx.Graph()
+    g.add_nodes_from(names)
+    for a, b in zip(edges_a, edges_b):
+        g.add_edge(a, b)
+    sites = {}
+    pos = 0
+    for n, ln in zip(names, sites_lens):
+        sites[n] = list(sites_flat[pos:pos + int(ln)])
+        pos += int(ln)
+    pol = SvdTruncationPolicy(tol=rtol,
+                              maxdim=(maxdim if maxdim > 0 else None))
+    out = CTreeTN()
+    out._net = restructure_to(h.net(), g, sites, policy=pol)
+    return out

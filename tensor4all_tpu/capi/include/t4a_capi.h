@@ -286,6 +286,72 @@ t4a_status_code t4a_qtransform_affine_materialize(
     int64_t r, int64_t a_num, int64_t a_den, int64_t b_num, int64_t b_den,
     const char *bc, t4a_tt **out);
 
+/* ------------------------------------------------------------------ */
+/* Storage-parity surface (ref capi tensor.rs:491-960). Dense design:  */
+/* diag/structured constructors materialize dense payloads; axis       */
+/* classes report all-dense (0). Aliases keep name-for-name parity.    */
+/* ------------------------------------------------------------------ */
+t4a_status_code t4a_tensor_new_dense_f64(const t4a_index *const *indices,
+                                         size_t rank, const double *data,
+                                         size_t len, t4a_tensor **out);
+t4a_status_code t4a_tensor_copy_dense_f64(const t4a_tensor *t,
+                                          double *data, size_t len);
+t4a_status_code t4a_tensor_copy_dense_c64(const t4a_tensor *t,
+                                          double *interleaved,
+                                          size_t len);
+t4a_status_code t4a_tensor_axis_classes(const t4a_tensor *t, size_t *buf,
+                                        size_t buf_len, size_t *out_len);
+t4a_status_code t4a_tensor_contract_retain(const t4a_tensor *a,
+                                           const t4a_tensor *b,
+                                           const t4a_index *const *retain,
+                                           size_t n_retain,
+                                           t4a_tensor **out);
+/* generalized diagonal: value k at position (k, k, ..., k) */
+t4a_status_code t4a_tensor_new_diag_f64(size_t rank,
+                                        const t4a_index *const *indices,
+                                        const double *diag,
+                                        size_t diag_len, t4a_tensor **out);
+t4a_status_code t4a_tensor_new_diag_c64(size_t rank,
+                                        const t4a_index *const *indices,
+                                        const double *diag_re,
+                                        const double *diag_im,
+                                        size_t diag_len, t4a_tensor **out);
+/* structured payload: axes sharing a nonzero class id form a
+ * generalized-diagonal group backed by one payload axis; payload data
+ * is column-major over payload_dims */
+t4a_status_code t4a_tensor_new_structured_f64(
+    size_t rank, const t4a_index *const *indices, const double *data,
+    size_t data_len, const size_t *payload_dims, size_t payload_rank,
+    const size_t *axis_classes, size_t axis_classes_len,
+    t4a_tensor **out);
+t4a_status_code t4a_tensor_new_structured_c64(
+    size_t rank, const t4a_index *const *indices, const double *re,
+    const double *im, size_t data_len, const size_t *payload_dims,
+    size_t payload_rank, const size_t *axis_classes,
+    size_t axis_classes_len, t4a_tensor **out);
+
+/* partial contraction of two networks: contract_pairs are summed,
+ * diagonal_pairs are pointwise-locked (hadamard-style), everything
+ * else stays external (ref capi treetn.rs:1677) */
+t4a_status_code t4a_treetn_partial_contract(
+    const t4a_treetn *a, const t4a_treetn *b, size_t n_contract_pairs,
+    const t4a_index *const *contract_left,
+    const t4a_index *const *contract_right, size_t n_diagonal_pairs,
+    const t4a_index *const *diagonal_left,
+    const t4a_index *const *diagonal_right, t4a_treetn **out);
+
+/* restructure to a target topology: vertices_nl is a newline-separated
+ * vertex-name list; site_inds holds the concatenated per-vertex site
+ * indices with site_lens giving each vertex's count; edges are given as
+ * parallel newline-separated source/target name lists
+ * (ref capi treetn.rs:1265) */
+t4a_status_code t4a_treetn_restructure_to(
+    const t4a_treetn *tn, const char *vertices_nl,
+    const t4a_index *const *site_inds, const size_t *site_lens,
+    size_t n_vertices, const char *edge_sources_nl,
+    const char *edge_targets_nl, double rtol, int64_t maxdim,
+    t4a_treetn **out);
+
 #ifdef __cplusplus
 }
 #endif

@@ -226,6 +226,47 @@ int main(void) {
     t4a_index_release(b12);
   }
 
+  /* storage-parity surface: diag constructor, axis classes, retain */
+  {
+    t4a_index *d0 = NULL, *d1 = NULL;
+    CHECK(t4a_index_new(3, "d0", &d0));
+    CHECK(t4a_index_new(4, "d1", &d1));
+    const t4a_index *dix[2] = {d0, d1};
+    double dv[3] = {1.0, 2.0, 3.0};
+    t4a_tensor *dt = NULL;
+    CHECK(t4a_tensor_new_diag_f64(2, dix, dv, 3, &dt));
+    double buf[12];
+    CHECK(t4a_tensor_copy_dense_f64(dt, buf, 12));
+    /* column-major (3,4): diag entries at 0, 1+3, 2+6 */
+    if (buf[0] != 1.0 || buf[4] != 2.0 || buf[8] != 3.0 ||
+        buf[1] != 0.0) {
+      fprintf(stderr, "diag payload wrong\n");
+      return 1;
+    }
+    size_t classes[2] = {77, 77}, ncls = 0;
+    CHECK(t4a_tensor_axis_classes(dt, classes, 2, &ncls));
+    if (ncls != 2 || classes[0] != 0 || classes[1] != 0) {
+      fprintf(stderr, "axis classes wrong\n");
+      return 1;
+    }
+    /* contract_retain: keep d1 shared across both operands */
+    t4a_tensor *dt2 = NULL, *ret = NULL;
+    CHECK(t4a_tensor_new_diag_f64(2, dix, dv, 3, &dt2));
+    const t4a_index *keep[1] = {d1};
+    CHECK(t4a_tensor_contract_retain(dt, dt2, keep, 1, &ret));
+    size_t rr = 0;
+    CHECK(t4a_tensor_rank(ret, &rr));
+    if (rr != 1) {
+      fprintf(stderr, "contract_retain rank wrong\n");
+      return 1;
+    }
+    t4a_tensor_release(ret);
+    t4a_tensor_release(dt2);
+    t4a_tensor_release(dt);
+    t4a_index_release(d0);
+    t4a_index_release(d1);
+  }
+
   printf("capi OK\n");
   t4a_index_free(i);
   t4a_index_free(j);

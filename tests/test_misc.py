@@ -227,3 +227,50 @@ def test_mpo_fit_contraction(key):
     assert np.abs(fitc - refc).max() < 1e-9 * np.abs(refc).max()
     capped = W.apply_fit(x, tol=0.0, maxdim=4)
     assert max(capped.ranks) <= 4
+
+
+def test_capi_helpers_restructure_and_structured():
+    """Binding-level helpers behind t4a_treetn_restructure_to and
+    t4a_tensor_new_structured_* (ref capi treetn.rs:1265,
+    tensor.rs:848)."""
+    import jax
+    import networkx as nx
+    import numpy as np
+
+    from tensor4all_tpu.capi import helpers as H
+    from tensor4all_tpu.core.index import Index
+    from tensor4all_tpu.treetn.network import random_treetn
+
+    # structured: two axes sharing class 1 -> generalized diagonal
+    i0, i1, i2 = Index(3), Index(3), Index(2)
+    payload = np.arange(6.0)
+    t = H.tensor_structured([i0, i1, i2], [1, 1, 0], payload, [3, 2])
+    dense = np.asarray(t.dense([i0, i1, i2]))
+    want = np.zeros((3, 3, 2))
+    for a in range(3):
+        for c in range(2):
+            want[a, a, c] = payload.reshape(3, 2, order="F")[a, c]
+    np.testing.assert_allclose(dense, want)
+    assert H.tensor_axis_classes(t) == [0, 0, 0]
+
+    # diag
+    td = H.tensor_diag_general([i0, i1], [5.0, 6.0, 7.0])
+    np.testing.assert_allclose(np.asarray(td.dense([i0, i1])),
+                               np.diag([5.0, 6.0, 7.0]))
+
+    # restructure_to through the binding helper: 4-chain -> 2 nodes
+    g = nx.path_graph(4)
+    tn, si = random_treetn(jax.random.PRNGKey(0), g,
+                           {n: [2] for n in g.nodes}, bond_dim=3)
+    h = H.CTreeTN()
+    h._net = tn
+    names = ["L", "R"]
+    sites_flat = [si[0][0], si[1][0], si[2][0], si[3][0]]
+    out = H.treetn_restructure_to(h, names, sites_flat, [2, 2],
+                                  ["L"], ["R"], 1e-12, 64)
+    net = out.net()
+    assert set(net.node_names) == {"L", "R"}
+    order = [si[n][0] for n in range(4)]
+    a = np.asarray(tn.contract_to_tensor().dense(order))
+    b = np.asarray(net.contract_to_tensor().dense(order))
+    np.testing.assert_allclose(b, a, atol=1e-9 * np.abs(a).max())
