@@ -206,3 +206,28 @@ def load_mps(path: str, name: str):
             raise ValueError(f"site {k} has {len(s)} site indices")
         sites.append(s[0])
     return MPS(tn, sites, llim=llim, rlim=rlim)
+
+
+def append_itensor(path: str, name: str, tensor: Tensor) -> None:
+    """Append into an existing (or new) file; the name must be fresh
+    (ref lib.rs:187)."""
+    h5py = _h5py()
+    import os
+
+    if os.path.exists(path):
+        with h5py.File(path, "r") as f:
+            if name in f:
+                raise ValueError(f"group {name!r} already exists")
+    save_itensor(path, name, tensor, mode="a")
+
+
+def append_mps(path: str, name: str, mps) -> None:
+    """Append an MPS under a fresh name (ref lib.rs:339)."""
+    h5py = _h5py()
+    import os
+
+    if os.path.exists(path):
+        with h5py.File(path, "r") as f:
+            if name in f:
+                raise ValueError(f"group {name!r} already exists")
+    save_mps(path, name, mps, mode="a")

@@ -88,3 +88,32 @@ def test_mps_from_plain_tt(tmp_path, key):
         np.asarray(m2.to_tt().full_tensor()), np.asarray(tt.full_tensor()),
         atol=1e-12,
     )
+
+
+def test_append_refuses_duplicate(tmp_path):
+    import jax
+
+    from tensor4all_tpu.io.hdf5 import append_itensor, append_mps
+    from tensor4all_tpu.core.index import Index
+    from tensor4all_tpu.core.tensor import Tensor
+    from tensor4all_tpu.tt.tensortrain import TensorTrain
+
+    p = str(tmp_path / "app.h5")
+    i = Index(2, tags="i")
+    t = Tensor.random(jax.random.PRNGKey(0), [i])
+    append_itensor(p, "a", t)
+    append_itensor(p, "b", t)          # second name appends fine
+    try:
+        append_itensor(p, "a", t)
+        assert False, "expected duplicate-name error"
+    except ValueError:
+        pass
+    tt = TensorTrain.random(jax.random.PRNGKey(1), [2, 2], rank=2)
+    append_mps(p, "m1", tt)
+    try:
+        append_mps(p, "m1", tt)
+        assert False, "expected duplicate-name error"
+    except ValueError:
+        pass
+    from tensor4all_tpu.io import load_mps
+    assert load_mps(p, "m1").L == 2
