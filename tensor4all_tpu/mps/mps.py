@@ -115,6 +115,87 @@ class MPS:
         tt = PlainTT.random(key, dims, rank=linkdim)
         return MPS.from_tt(tt, sites)
 
+
+    # ------------------------------------------------------------------
+    # itensorlike accessors (ref tensortrain.rs:125-1073)
+    # ------------------------------------------------------------------
+    def siteinds(self) -> List[Index]:
+        return list(self.sites)
+
+    def siteind(self, k: int) -> Index:
+        return self.sites[k]
+
+    def set_tensor(self, k: int, t: Tensor) -> None:
+        """Replace site tensor k (indices must match the chain's)."""
+        self.tn.set_tensor(k, t)
+
+    def haslink(self, k: int) -> bool:
+        return 0 <= k < self.L - 1
+
+    def bond_dim(self, k: int) -> int:
+        return self.linkind(k).dim
+
+    def bond_dims(self) -> List[int]:
+        return self.linkdims
+
+    def norm_squared(self) -> float:
+        return float(abs(self.inner(self)))
+
+    def dense_maxabs(self) -> float:
+        """max |entry| of the represented tensor via power-style local
+        bound: exact by densifying for short chains, else the product
+        bound (ref dense_maxabs)."""
+        import numpy as np
+
+        if self.L <= 20 and max(s.dim for s in self.sites) ** self.L <= 2 ** 20:
+            return float(np.abs(np.asarray(self.to_dense())).max())
+        return float(np.prod([np.abs(np.asarray(self.tensor(k).data)).max()
+                              for k in range(self.L)]))
+
+    def ortho_lims(self):
+        """(llim, rlim) ITensors-style orthogonality window."""
+        return (self.llim, self.rlim)
+
+    def isortho(self) -> bool:
+        return self.rlim - self.llim == 2
+
+    def orthocenter(self) -> int:
+        if not self.isortho():
+            raise ValueError("MPS has no single orthogonality center")
+        return self.llim + 1
+
+    def sim_linkinds(self) -> "MPS":
+        """Fresh link-index identities, same data (ref sim_linkinds)."""
+        from ..core.index import sim
+
+        out = self.copy()
+        for k in range(self.L - 1):
+            old = out.tn.bond(k, k + 1)
+            new = sim(old)
+            out.tn.set_tensor(k, out.tn.tensor(k).replaceind(old, new))
+            out.tn.set_tensor(k + 1,
+                              out.tn.tensor(k + 1).replaceind(old, new))
+            out.tn.set_bond(k, k + 1, new)
+        return out
+
+    def axpby(self, a, x: "MPS", b) -> "MPS":
+        """``a*x + b*self`` (TensorVectorSpace convention)."""
+        return x.scale(a).add(self.scale(b))
+
+    def add_reindexed_like_self(self, other: "MPS") -> "MPS":
+        """Add `other` after re-pointing its site indices onto self's
+        (ref add_reindexed_like_self): dimensions must match sitewise."""
+        o = other.copy()
+        for k in range(self.L):
+            so, sn = o.sites[k], self.sites[k]
+            if so == sn:
+                continue
+            if so.dim != sn.dim:
+                raise ValueError(f"site {k}: dim {so.dim} != {sn.dim}")
+            o.tn.set_tensor(k, o.tn.tensor(k).replaceind(so, sn))
+            o.sites[k] = sn
+        return self.add(o)
+
     def copy(self) -> "MPS":
         return MPS(self.tn.copy(), self.sites, self.llim, self.rlim)
 

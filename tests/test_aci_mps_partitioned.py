@@ -209,3 +209,38 @@ def test_adaptive_interpolative_qtt():
     m = rng.integers(0, 2 ** 10, size=300)
     x = m / 2 ** 10
     assert np.abs(q.evaluate(x) - f(x)).max() < 1e-7
+
+
+def test_mps_itensorlike_accessors():
+    """itensorlike accessor parity (ref tensortrain.rs:125-1073)."""
+    import jax
+    import numpy as np
+
+    from tensor4all_tpu.core.index import Index
+    from tensor4all_tpu.mps.mps import MPS
+
+    sites = [Index(2, tags=f"S{k}") for k in range(4)]
+    m = MPS.random(jax.random.PRNGKey(0), sites, linkdim=3)
+    assert m.siteinds() == sites and m.siteind(2) == sites[2]
+    assert m.bond_dims() == m.linkdims
+    assert m.haslink(0) and not m.haslink(3)
+    assert abs(m.norm_squared() - float(abs(m.inner(m)))) < 1e-12
+    dm = m.dense_maxabs()
+    assert abs(dm - float(np.abs(np.asarray(m.to_dense())).max())) < 1e-12
+
+    # sim_linkinds: fresh identities, identical values
+    m2 = m.sim_linkinds()
+    assert m2.linkind(1) != m.linkind(1)
+    np.testing.assert_allclose(np.asarray(m2.to_dense()),
+                               np.asarray(m.to_dense()), atol=1e-12)
+
+    # axpby + add_reindexed_like_self
+    other_sites = [Index(2, tags=f"T{k}") for k in range(4)]
+    o = MPS.random(jax.random.PRNGKey(1), other_sites, linkdim=2)
+    s = m.add_reindexed_like_self(o)
+    want = (np.asarray(m.to_dense())
+            + np.asarray(o.to_dense()))
+    np.testing.assert_allclose(np.asarray(s.to_dense()), want, atol=1e-10)
+    ax = m.axpby(2.0, m, -1.0)   # 2m - m = m
+    np.testing.assert_allclose(np.asarray(ax.to_dense()),
+                               np.asarray(m.to_dense()), atol=1e-10)
