@@ -50,6 +50,10 @@ class TreeTciOptions:
     max_iter: int = 10
     pivot_search: str = "full"  # "full" | "rook"
     verbosity: int = 0
+    # candidate proposer: callable (tci, a, b) -> List[Assignment] for
+    # the a-side of edge (a, b); None = neighbor-product default
+    # (ref proposer.rs PivotCandidateProposer / DefaultProposer)
+    proposer: Optional[object] = None
 
 
 def _merge(*assignments: Assignment) -> Assignment:
@@ -138,11 +142,31 @@ class TreeTCI2:
         return self._eval_assignments([rows[i] for i in rsel],
                                       [cols[j] for j in csel])
 
+    def add_global_pivots(self, pivots) -> None:
+        """Seed full multi-indices into every edge bipartition
+        (ref state.rs:94 `add_global_pivots`)."""
+        n = len(self.nodes)
+        for pivot in pivots:
+            if len(pivot) != n:
+                raise ValueError(
+                    "each global pivot must contain one index per site")
+            for (u, v) in self.piv:
+                side = self._side(u, v)
+                proj = tuple(sorted(
+                    (self.pos[w], int(pivot[self.pos[w]])) for w in side))
+                if proj not in self.piv[(u, v)]:
+                    self.piv[(u, v)].append(proj)
+        self._materialized = None
+
     def update_edge(self, a: NodeName, b: NodeName,
                     opts: TreeTciOptions) -> None:
         """Two-site pivot update at edge (a, b) (ref optimize.rs:179)."""
-        rows = self._candidates(a, b)
-        cols = self._candidates(b, a)
+        if opts.proposer is not None:
+            rows = opts.proposer(self, a, b)
+            cols = opts.proposer(self, b, a)
+        else:
+            rows = self._candidates(a, b)
+            cols = self._candidates(b, a)
         atol = opts.tol * self.f_max
         if opts.pivot_search == "rook":
             from ..ops.rrlu import luci_rook_from_blocks
@@ -272,11 +296,18 @@ def tree_crossinterpolate2(
     node_order: Optional[Sequence[NodeName]] = None,
     options: Optional[TreeTciOptions] = None,
     dtype=np.float64,
+    initial_pivots: Optional[Sequence[Sequence[int]]] = None,
 ) -> TreeTCI2:
-    """Cross-interpolate f over a tree topology (ref api.rs:77)."""
+    """Cross-interpolate f over a tree topology (ref api.rs:77).
+
+    `initial_pivots` (full multi-indices) seed every edge bipartition
+    via `add_global_pivots` — essential when the zero assignment sits
+    in a separable slice of `f` (the rank-1 local minimum)."""
     opts = options or TreeTciOptions()
     func = CachedFunction(batch_f=batch_f, local_dims=local_dims, dtype=dtype)
     tci = TreeTCI2(func, topology, node_order)
+    if initial_pivots is not None:
+        tci.add_global_pivots(initial_pivots)
     prev_ranks = None
     for it in range(opts.max_iter):
         tci.sweep(opts)
@@ -289,3 +320,51 @@ def tree_crossinterpolate2(
             break
         prev_ranks = ranks
     return tci
+
+
+# ----------------------------------------------------------------------
+# Built-in candidate proposers (ref proposer.rs: DefaultProposer,
+# SimpleProposer, TruncatedDefaultProposer)
+# ----------------------------------------------------------------------
+def default_proposer(tci: TreeTCI2, a: NodeName, b: NodeName):
+    """Neighbor-product candidates — the recommended default."""
+    return tci._candidates(a, b)
+
+
+def simple_proposer(n_candidates: int = 32, seed: int = 0):
+    """Random a-side assignments with a deterministic per-edge seed."""
+
+    def propose(tci: TreeTCI2, a: NodeName, b: NodeName):
+        side = tci._side(a, b)
+        rng = np.random.default_rng(
+            (seed, hash((repr(a), repr(b))) & 0x7FFFFFFF))
+        out = set()
+        for _ in range(n_candidates):
+            out.add(tuple(sorted(
+                (tci.pos[w],
+                 int(rng.integers(tci.func.local_dims[tci.pos[w]])))
+                for w in side)))
+        # always keep existing pivots reachable
+        out.update(tci.piv[(a, b)])
+        return sorted(out)
+
+    return propose
+
+
+def truncated_default_proposer(max_candidates: int = 64, seed: int = 0):
+    """Default candidates, randomly subsampled past `max_candidates` —
+    bounds the Pi block at high degree/local dimension."""
+
+    def propose(tci: TreeTCI2, a: NodeName, b: NodeName):
+        cands = tci._candidates(a, b)
+        if len(cands) <= max_candidates:
+            return cands
+        rng = np.random.default_rng(
+            (seed, hash((repr(a), repr(b))) & 0x7FFFFFFF))
+        keep = set(tuple(p) for p in tci.piv[(a, b)])
+        pool = [c for c in cands if c not in keep]
+        rng.shuffle(pool)
+        out = list(keep) + pool[: max(0, max_candidates - len(keep))]
+        return sorted(out)
+
+    return propose

@@ -47,6 +47,23 @@ class AciOptions:
         )
 
 
+def elementwise(
+    op,
+    tts,
+    options=None,
+    initial_pivots=None,
+    dtype=np.float64,
+) -> "TensorTrain":
+    """Scalar-callback variant of `elementwise_batched`
+    (ref elementwise.rs:40 `elementwise`): `op` receives k floats and
+    returns one float; vectorized internally."""
+    def batched(*cols):
+        return np.array([op(*vals) for vals in zip(*cols)])
+
+    return elementwise_batched(batched, tts, options=options,
+                               initial_pivots=initial_pivots, dtype=dtype)
+
+
 def elementwise_batched(
     op: Callable[..., np.ndarray],
     tts: Sequence[TensorTrain],

@@ -170,3 +170,56 @@ def test_treetci_rook_matches_full():
     # at this small size the memoized materialize pass dominates either
     # way; the rook path must never need MORE evaluations
     assert rook.func.num_evals <= full.func.num_evals
+
+
+def test_treetci_global_pivots_and_proposers():
+    """add_global_pivots + pluggable proposers (ref state.rs:94,
+    proposer.rs)."""
+    import networkx as nx
+
+    from tensor4all_tpu.tci.treetci import (
+        TreeTciOptions, TreeTCI2, simple_proposer,
+        truncated_default_proposer, tree_crossinterpolate2,
+    )
+    from tensor4all_tpu.tci.cached_function import CachedFunction
+
+    g = nx.star_graph(3)          # center 0, leaves 1..3
+    dims = [4, 4, 4, 4]
+
+    def batch_f(idx):
+        x = idx / 4.0
+        return np.exp(-((x[:, 0] - 0.5) ** 2) - x[:, 1] * x[:, 2]
+                      - 0.3 * x[:, 3])
+
+    # the zero assignment sits in a separable slice (x2=0 kills the
+    # x1*x2 coupling): without seeds TCI stalls at rank 1 — global
+    # pivots fix it (the very scenario add_global_pivots exists for)
+    seeds = [[3, 3, 3, 3], [1, 2, 3, 1]]
+    tci = tree_crossinterpolate2(batch_f, g, dims,
+                                 options=TreeTciOptions(tol=1e-10),
+                                 initial_pivots=seeds)
+    pts = np.random.RandomState(0).randint(0, 4, (64, 4))
+    got = tci.evaluate_batch(pts)
+    np.testing.assert_allclose(got, batch_f(pts), atol=1e-8)
+
+    # truncated proposer reaches the same accuracy
+    opts_t = TreeTciOptions(tol=1e-10,
+                            proposer=truncated_default_proposer(48))
+    tci_t = tree_crossinterpolate2(batch_f, g, dims, options=opts_t,
+                                   initial_pivots=seeds)
+    np.testing.assert_allclose(tci_t.evaluate_batch(pts), batch_f(pts),
+                               atol=1e-7)
+
+    # global pivots seed every bipartition
+    func = CachedFunction(batch_f=batch_f, local_dims=dims)
+    t2 = TreeTCI2(func, g)
+    t2.add_global_pivots([[1, 2, 3, 0], [3, 3, 3, 3]])
+    for (u, v), piv in t2.piv.items():
+        assert len(piv) >= 2      # zero-assignment + at least one seed
+    t2.sweep(TreeTciOptions(tol=1e-10))
+
+    # simple (random) proposer runs and stays callable end-to-end
+    opts_s = TreeTciOptions(tol=1e-8, proposer=simple_proposer(64),
+                            max_iter=20)
+    tci_s = tree_crossinterpolate2(batch_f, g, dims, options=opts_s)
+    assert max(tci_s.ranks().values()) >= 1
