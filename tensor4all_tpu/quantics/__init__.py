@@ -7,6 +7,7 @@ from .qtci import (
     quantics_from_array,
     quanticscrossinterpolate,
     quanticscrossinterpolate_discrete,
+    quanticscrossinterpolate_from_arrays,
 )
 from .transforms import (
     affine_operator,
@@ -31,6 +32,7 @@ __all__ = [
     "quantics_from_array",
     "quanticscrossinterpolate",
     "quanticscrossinterpolate_discrete",
+    "quanticscrossinterpolate_from_arrays",
     "affine_operator",
     "apply_quantics_operator",
     "bitflip_operator",

@@ -48,6 +48,21 @@ class QuanticsTensorCI2:
     def n_evals(self) -> int:
         return self.tci.func.num_evals
 
+    def cachedata(self):
+        """Quantics-index -> value memo contents
+        (ref quantics_tci.rs `cachedata`)."""
+        return self.tci.func.cache_items()
+
+    def cachedata_origcoord(self):
+        """Original-coordinate -> value memo contents
+        (ref quantics_tci.rs `cachedata_origcoord`)."""
+        out = []
+        for q, v in self.tci.func.cache_items():
+            x = self.grid.quantics_to_coord(
+                np.asarray([q], dtype=np.int64))[0]
+            out.append((tuple(float(c) for c in x), v))
+        return out
+
 
 def quanticscrossinterpolate(
     f: Callable[[np.ndarray], np.ndarray],
@@ -95,6 +110,50 @@ def quanticscrossinterpolate_discrete(
     cont = DiscretizedGrid(grid.R, (0.0,) * grid.d,
                            (float(2 ** grid.R),) * grid.d, grid.unfolding)
     return QuanticsTensorCI2(tci, tci.to_tensortrain(), cont, ranks, errs)
+
+
+def quanticscrossinterpolate_from_arrays(
+    f: Callable[[np.ndarray], np.ndarray],
+    coords: Sequence[np.ndarray],
+    initial_pivots: Optional[Sequence[Sequence[int]]] = None,
+    options: Optional[TCI2Options] = None,
+    dtype=np.float64,
+    unfolding: UnfoldingScheme = UnfoldingScheme.INTERLEAVED,
+) -> QuanticsTensorCI2:
+    """Grid points given as explicit per-dimension coordinate arrays
+    (ref quantics_tci.rs `quanticscrossinterpolate_from_arrays`): each
+    array's length must be a power of 2; `f` receives the looked-up
+    physical coordinates (B, d)."""
+    coords = [np.asarray(c, dtype=np.float64) for c in coords]
+    Rs = []
+    for c in coords:
+        n = len(c)
+        if n < 2 or (n & (n - 1)) != 0:
+            raise ValueError("each coordinate array length must be a "
+                             "power of 2")
+        Rs.append(int(n).bit_length() - 1)
+    if len(set(Rs)) != 1:
+        raise ValueError("all coordinate arrays must share one length")
+    R, d = Rs[0], len(coords)
+    grid = InherentDiscreteGrid(R, d, unfolding)
+
+    def batch_f(m: np.ndarray) -> np.ndarray:
+        x = np.stack([coords[k][m[:, k]] for k in range(d)], axis=1)
+        return np.asarray(f(x))
+
+    def q_batch(q: np.ndarray) -> np.ndarray:
+        return batch_f(grid.quantics_to_index(q))
+
+    opts = options or TCI2Options(tol=1e-8, max_iter=20)
+    piv = [list(p) for p in initial_pivots] if initial_pivots else None
+    tci, ranks, errs = crossinterpolate2(
+        batch_f=q_batch, local_dims=grid.local_dims,
+        initial_pivots=piv, options=opts, dtype=dtype,
+    )
+    cont = DiscretizedGrid(R, (0.0,) * d, (float(2 ** R),) * d,
+                           unfolding)
+    return QuanticsTensorCI2(tci, tci.to_tensortrain(), cont, ranks,
+                             errs)
 
 
 @dataclasses.dataclass

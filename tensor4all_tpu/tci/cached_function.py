@@ -141,6 +141,20 @@ class CachedFunction:
                     self._cache[keys[b]] = typ(v)
         return out
 
+    def cache_items(self):
+        """Decode the memo into (multi-index tuple, value) pairs
+        (ref quantics_tci.rs `cachedata`)."""
+        out = []
+        with self._lock:
+            items = list(self._cache.items())
+        for key, val in items:
+            idx = []
+            k = int(key)
+            for d, w in zip(self.local_dims, self._weights):
+                idx.append((k // int(w)) % d)
+            out.append((tuple(idx), val))
+        return out
+
     @property
     def cache_size(self) -> int:
         return len(self._cache)

@@ -428,3 +428,35 @@ def test_difference_kernel_from_qtt():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         difference_kernel_mpo_from_qtt(ftt, bc="open")
+
+
+def test_qtci_from_arrays_and_cachedata():
+    """Explicit coordinate arrays + cache introspection
+    (ref quantics_tci.rs from_arrays/cachedata)."""
+    from tensor4all_tpu.quantics import quanticscrossinterpolate_from_arrays
+    from tensor4all_tpu.tci import TCI2Options
+
+    xs = np.linspace(-1.0, 1.0, 16)          # non-[0,1) physical grid
+    ys = np.geomspace(1.0, 4.0, 16)          # non-uniform!
+    f = lambda c: np.exp(-c[:, 0] ** 2) / c[:, 1]
+    q = quanticscrossinterpolate_from_arrays(
+        f, [xs, ys], options=TCI2Options(tol=1e-10))
+
+    # check against direct values on random grid points
+    rs = np.random.RandomState(0)
+    m = rs.randint(0, 16, (40, 2))
+    grid_vals = f(np.stack([xs[m[:, 0]], ys[m[:, 1]]], axis=1))
+    from tensor4all_tpu.quantics import InherentDiscreteGrid
+    ig = InherentDiscreteGrid(4, 2)
+    got = np.asarray(q.tt.evaluate_batch(ig.index_to_quantics(m)))
+    np.testing.assert_allclose(got, grid_vals, atol=1e-8)
+
+    # cachedata decodes the memo; every cached value matches f
+    items = q.cachedata()
+    assert len(items) == q.n_evals
+    qidx = np.array([k for k, _ in items[:16]], dtype=np.int64)
+    vals = np.array([v for _, v in items[:16]])
+    mm = ig.quantics_to_index(qidx)
+    np.testing.assert_allclose(
+        vals, f(np.stack([xs[mm[:, 0]], ys[mm[:, 1]]], axis=1)),
+        atol=1e-12)
