@@ -8,6 +8,7 @@ from .tensorci2 import (
     crossinterpolate2,
     estimate_true_error,
     find_global_pivots,
+    floating_zone,
 )
 from .tensorci1 import TCI1Options, TensorCI1, crossinterpolate1
 from .integration import IntegrationResult, integrate_tci
@@ -22,6 +23,7 @@ __all__ = [
     "crossinterpolate2",
     "estimate_true_error",
     "find_global_pivots",
+    "floating_zone",
     "TCI1Options",
     "TensorCI1",
     "crossinterpolate1",

@@ -435,6 +435,37 @@ def _tt_eval_np(cores: List[np.ndarray], idx: np.ndarray) -> np.ndarray:
     return v[:, 0]
 
 
+def floating_zone(tt, batch_f, local_dims, init_p=None,
+                  early_stop_tol=float("inf")):
+    """Coordinate-ascent search for the worst |f - tt| point
+    (ref globalsearch.rs:142 `floating_zone`): sweep positions, keeping
+    the error monotone, until stable or past `early_stop_tol`.
+    Returns ``(pivot, max_error)``."""
+    n = len(local_dims)
+    pivot = list(init_p) if init_p is not None else [0] * n
+    cores = [np.asarray(c) for c in tt.cores]
+
+    def err_of(idx):
+        fv = np.asarray(batch_f(np.asarray(idx, dtype=np.int64)))
+        tv = _tt_eval_np(cores, np.asarray(idx, dtype=np.int64))
+        return np.abs(fv - tv)
+
+    max_error = float(err_of([pivot])[0])
+    for _ in range(10 * n):
+        prev = max_error
+        for ipos in range(n):
+            d = local_dims[ipos]
+            cand = np.repeat(np.asarray([pivot]), d, axis=0)
+            cand[:, ipos] = np.arange(d)
+            e = err_of(cand)
+            j = int(e.argmax())
+            pivot[ipos] = j
+            max_error = max(max_error, float(e[j]))
+        if max_error == prev or max_error > early_stop_tol:
+            break
+    return tuple(int(v) for v in pivot), max_error
+
+
 def find_global_pivots(
     tci: TensorCI2,
     tt: TensorTrain,

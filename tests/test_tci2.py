@@ -275,3 +275,16 @@ def test_tci2_sweep_strategies():
                                 sweep_strategy=strat))
         err = estimate_true_error(tci.to_tensortrain(), tci.func)
         assert err < 1e-8 * tci.f_max, strat
+
+
+def test_floating_zone():
+    """Coordinate-ascent worst-error search (ref globalsearch.rs:142)."""
+    from tensor4all_tpu.tci import floating_zone
+    from tensor4all_tpu.tt.tensortrain import TensorTrain
+
+    # tt = 0; f(i, j) = i*j -> worst point (3, 3), error 9
+    tt = TensorTrain.zeros([4, 4])
+    bf = lambda idx: (idx[:, 0] * idx[:, 1]).astype(float)
+    pivot, err = floating_zone(tt, bf, [4, 4], init_p=[2, 2])
+    assert pivot == (3, 3)
+    assert abs(err - 9.0) < 1e-10
