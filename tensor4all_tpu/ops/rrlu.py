@@ -168,11 +168,12 @@ def _rrlu_np(a: np.ndarray, rtol: float, atol: float,
     rows = np.zeros(max_rank, np.int64)
     cols = np.zeros(max_rank, np.int64)
     pivs = np.zeros(max_rank)
-    thresh = max(rtol * float(np.max(np.abs(A))), atol)
+    absA = np.abs(A)
+    thresh = max(rtol * float(absA.max()), atol)
     k = 0
     lastdrop = 0.0
     while k < max_rank:
-        flat = int(np.argmax(np.abs(A)))
+        flat = int(absA.argmax())
         i, j = divmod(flat, m)
         piv = A[i, j]
         pmag = abs(piv)
@@ -184,6 +185,10 @@ def _rrlu_np(a: np.ndarray, rtol: float, atol: float,
         A -= np.outer(colv, rowv)
         A[i, :] = 0.0
         A[:, j] = 0.0
+        if np.iscomplexobj(A):
+            absA = np.abs(A)
+        else:
+            np.abs(A, out=absA)
         L[:, k] = colv
         U[k, :] = rowv
         rows[k], cols[k], pivs[k] = i, j, pmag
