@@ -112,6 +112,11 @@ def truncated_svd_matrix(
     """
     if policy is None:
         policy = get_default_svd_truncation_policy()
+    if isinstance(a, jax.core.Tracer):
+        raise TypeError(
+            "truncated_svd_matrix picks a data-dependent rank and "
+            "cannot be traced (jit/grad); factorize outside the traced "
+            "region or use a fixed-rank decomposition")
     if _on_cpu_backend() and a.shape[0] * a.shape[1] <= 512 * 512:
         un, sn, vhn = np.linalg.svd(np.asarray(a), full_matrices=False)
         rank, err = truncation_rank(sn, policy)
