@@ -160,8 +160,10 @@ def bench_mpo_zipup():
     ])
 
     def run():
+        import numpy as np
+
         out = a.compose_zipup_fast(b, tol=1e-12, maxdim=chi)
-        out.cores[-1].block_until_ready()
+        np.asarray(out.cores[-1])  # sync (cores may be host numpy)
         return out
 
     t = _median_time(run, warmup=3, reps=7)

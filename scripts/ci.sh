@@ -20,6 +20,9 @@ python -m compileall -q tensor4all_tpu tests benchmarks tools
 echo "== capi build =="
 make -C tensor4all_tpu/capi >/dev/null
 
+echo "== native kernels build =="
+make -C tensor4all_tpu/native >/dev/null
+
 echo "== tests =="
 python -m pytest tests/ -q
 

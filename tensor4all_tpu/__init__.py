@@ -30,17 +30,25 @@ import jax
 if not os.environ.get("T4A_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
-# Some TPU plugins ignore the JAX_PLATFORMS env var; honor it explicitly
-# (before backend init) so CPU-pinned runs behave as requested. Never
-# override a platform the user already pinned via
-# jax.config.update("jax_platforms", ...) — an explicit config beats the
-# ambient env (which may carry the plugin's own setting, e.g. "axon").
+# Some TPU plugins ignore the JAX_PLATFORMS env var: they pre-set the
+# jax_platforms *config* at import time (e.g. "axon,cpu"), which shadows
+# an explicit `JAX_PLATFORMS=cpu` env pin. Honor the env var here iff it
+# NARROWS the current platform list (every requested platform is already
+# allowed): that restores `JAX_PLATFORMS=cpu` on plugin boxes without
+# letting an ambient `JAX_PLATFORMS=axon` (exported by the plugin's own
+# environment) clobber a user's explicit
+# jax.config.update("jax_platforms", "cpu").
 _plat = os.environ.get("JAX_PLATFORMS", "")
-if _plat and not jax.config.jax_platforms:
-    try:
-        jax.config.update("jax_platforms", _plat)
-    except Exception:
-        pass
+_cur = jax.config.jax_platforms or ""
+if _plat and _cur != _plat:
+    _want = {p.strip() for p in _plat.split(",") if p.strip()}
+    _have = {p.strip() for p in _cur.split(",") if p.strip()}
+    if not _have or _want <= _have:
+        try:
+            jax.config.update("jax_platforms", _plat)
+        except Exception:
+            pass
+del _plat, _cur
 
 from .config import (  # noqa: E402
     SingularValueMeasure,

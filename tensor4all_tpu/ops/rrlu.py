@@ -49,8 +49,18 @@ class RrLUResult:
     def ci_factors(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(A[:,J] @ inv(P), A[I,:]) with interpolation property
         ``left[I,:] = eye`` — computed as ``L @ inv(L[I,:])`` and
-        ``L[I,:] @ U`` via a triangular solve."""
+        ``L[I,:] @ U`` via a triangular solve. Host-resident factors
+        (numpy, from the native/numpy twin) solve on host LAPACK so the
+        CPU-class path never round-trips through a remote device."""
         LI = self.L[self.row_pivots, :]
+        if isinstance(self.L, np.ndarray):
+            import scipy.linalg as sla
+
+            left = sla.solve_triangular(
+                LI.T, self.L.T, lower=False, unit_diagonal=True
+            ).T
+            right = LI @ self.U
+            return left, right
         left = jax.scipy.linalg.solve_triangular(
             LI.T, self.L.T, lower=False, unit_diagonal=True
         ).T
@@ -145,10 +155,15 @@ def _rrlu_kernel(a: jnp.ndarray, rtol: float, atol: float, max_rank: int,
 
 
 def _host_small(a, cap: int = 512 * 512) -> bool:
-    """CPU backend + small concrete operand: the numpy loop beats the
-    jitted kernel's per-call dispatch (journal rrlu config)."""
+    """Small concrete operand that should factorize on the host: the
+    C++/numpy loop beats the jitted kernel's per-call dispatch (a ~30 ms
+    round-trip floor on a remote TPU). Host-resident numpy operands
+    never go to the device for this; jax arrays stay on their backend
+    unless it is the CPU."""
     if isinstance(a, jax.core.Tracer):
         return False
+    if isinstance(a, np.ndarray):
+        return a.size <= cap
     try:
         if jax.default_backend() != "cpu":
             return False
@@ -157,9 +172,56 @@ def _host_small(a, cap: int = 512 * 512) -> bool:
     return a.size <= cap
 
 
+def _rrlu_native(a: np.ndarray, rtol: float, atol: float,
+                 max_rank: int) -> Optional[RrLUResult]:
+    """C++ twin of `_rrlu_np` (native/kernels.cpp); None if the shared
+    library is unavailable or the dtype unsupported."""
+    from ..native import load
+
+    lib = load()
+    if lib is None:
+        return None
+    if a.dtype == np.float64:
+        fn, ctype = lib.t4a_rrlu_f64, np.float64
+    elif a.dtype == np.complex128:
+        fn, ctype = lib.t4a_rrlu_c128, np.complex128
+    else:
+        return None
+    import ctypes
+
+    A = np.ascontiguousarray(a, dtype=ctype)
+    n, m = A.shape
+    L = np.zeros((n, max_rank), ctype)
+    U = np.zeros((max_rank, m), ctype)
+    rows = np.zeros(max_rank, np.int64)
+    cols = np.zeros(max_rank, np.int64)
+    pivs = np.zeros(max_rank, np.float64)
+    lastdrop = np.zeros(1, np.float64)
+
+    def ptr(x):
+        return x.ctypes.data_as(ctypes.c_void_p)
+
+    k = int(fn(ptr(A), n, m, float(rtol), float(atol), int(max_rank),
+               ptr(L), ptr(U), ptr(rows), ptr(cols), ptr(pivs),
+               ptr(lastdrop)))
+    return RrLUResult(
+        rank=k,
+        row_pivots=rows[:k],
+        col_pivots=cols[:k],
+        L=L[:, :k],
+        U=U[:k, :],
+        pivot_magnitudes=pivs[:k],
+        last_pivot_error=float(lastdrop[0]),
+    )
+
+
 def _rrlu_np(a: np.ndarray, rtol: float, atol: float,
              max_rank: int) -> RrLUResult:
-    """Host-numpy twin of `_rrlu_kernel` (identical pivot/stop rule)."""
+    """Host-numpy twin of `_rrlu_kernel` (identical pivot/stop rule).
+    Dispatches to the C++ kernel (native/kernels.cpp) when built."""
+    res = _rrlu_native(a, rtol, atol, max_rank)
+    if res is not None:
+        return res
     A = np.array(a, copy=True)
     n, m = A.shape
     dtype = A.dtype
@@ -332,7 +394,10 @@ def luci_factors_from_matrix(
     RrLUOptions (matrixlu.rs:668): ``rel_tol`` is relative to the largest
     accepted pivot, ``left_orthogonal`` picks which factor interpolates.
     """
-    a = jnp.asarray(a)
+    # numpy operands stay host-side (device_put per Pi matrix costs more
+    # than the whole factorization at TCI bond sizes)
+    if not isinstance(a, np.ndarray):
+        a = jnp.asarray(a)
     n, m = a.shape
     full_rank = min(n, m)
     cap = full_rank if max_rank is None else min(max_rank, full_rank)
@@ -352,7 +417,13 @@ def luci_factors_from_matrix(
             # triangular by the pivot ordering)
             UJ = res.U[:, res.col_pivots]
             left = res.L @ UJ
-            right = jax.scipy.linalg.solve_triangular(UJ, res.U, lower=False)
+            if isinstance(res.U, np.ndarray):
+                import scipy.linalg as sla
+
+                right = sla.solve_triangular(UJ, res.U, lower=False)
+            else:
+                right = jax.scipy.linalg.solve_triangular(UJ, res.U,
+                                                          lower=False)
     return LuciFactors(res.rank, res.row_pivots, res.col_pivots, left, right,
                        errs)
 

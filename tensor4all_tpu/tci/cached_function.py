@@ -119,26 +119,23 @@ class CachedFunction:
             keys = (idx @ self._w64).tolist()
         else:
             keys = [self._key(row) for row in idx]
-        out = np.empty(B, dtype=self.dtype)
-        missing_rows = []
-        missing_pos = []
         with self._lock:
-            cache_get = self._cache.get
-            for b in range(B):
-                v = cache_get(keys[b])
-                if v is None:
-                    missing_rows.append(idx[b])
-                    missing_pos.append(b)
-                else:
-                    self.num_cache_hits += 1
-                    out[b] = v
-        if missing_rows:
-            vals = self._eval_batch_raw(np.stack(missing_rows))
-            typ = self.dtype.type
-            with self._lock:
-                for b, v in zip(missing_pos, vals):
-                    out[b] = v
-                    self._cache[keys[b]] = typ(v)
+            # one C-level pass for the probe (per-element Python loops
+            # dominate the TCI sweep cost otherwise)
+            hit_vals = list(map(self._cache.get, keys))
+            missing_pos = [b for b, v in enumerate(hit_vals) if v is None]
+            n_miss = len(missing_pos)
+            self.num_cache_hits += B - n_miss
+        if not n_miss:
+            return np.asarray(hit_vals, dtype=self.dtype)
+        out = np.asarray([0 if v is None else v for v in hit_vals],
+                         dtype=self.dtype)
+        vals = self._eval_batch_raw(idx[missing_pos])
+        out[missing_pos] = vals
+        typ = self.dtype.type
+        with self._lock:
+            for b, v in zip(missing_pos, vals.tolist()):
+                self._cache[keys[b]] = typ(v)
         return out
 
     def cache_items(self):

@@ -17,11 +17,12 @@ class IndexSet:
         self._items: List[MultiIndex] = []
         self._pos: dict = {}
         for it in items:
-            self.add(tuple(int(i) for i in it))
+            self.add(it)
 
     def add(self, item: Sequence[int]) -> int:
         """Add if absent; return position."""
-        t = tuple(int(i) for i in item)
+        # map(int,...) handles numpy scalars; plain-int tuples pass through
+        t = item if type(item) is tuple else tuple(map(int, item))
         p = self._pos.get(t)
         if p is not None:
             return p
@@ -31,10 +32,12 @@ class IndexSet:
         return p
 
     def position(self, item: Sequence[int]) -> Optional[int]:
-        return self._pos.get(tuple(int(i) for i in item))
+        t = item if type(item) is tuple else tuple(map(int, item))
+        return self._pos.get(t)
 
     def __contains__(self, item) -> bool:
-        return tuple(int(i) for i in item) in self._pos
+        t = item if type(item) is tuple else tuple(map(int, item))
+        return t in self._pos
 
     def __getitem__(self, pos: int) -> MultiIndex:
         return self._items[pos]

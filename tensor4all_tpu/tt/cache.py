@@ -19,6 +19,27 @@ import numpy as np
 from .tensortrain import TensorTrain
 
 
+def _unique_rows(rows: np.ndarray):
+    """(unique_rows, inverse) like np.unique(axis=0) but fast for small
+    integer rows: rows are packed into scalar keys (row-sorting unique
+    costs ~0.3 ms per call at TCI batch sizes). Falls back to the
+    axis=0 path when the packed key would overflow int64."""
+    B, w = rows.shape
+    if w == 0:
+        return rows[:1], np.zeros(B, dtype=np.int64)
+    hi = rows.max(axis=0).astype(np.int64) + 1
+    bits = np.sum(np.ceil(np.log2(np.maximum(hi, 2))))
+    if bits >= 63:
+        u, inv = np.unique(rows, axis=0, return_inverse=True)
+        return u, inv
+    strides = np.ones(w, dtype=np.int64)
+    for t in range(w - 2, -1, -1):
+        strides[t] = strides[t + 1] * hi[t + 1]
+    key = rows @ strides
+    _, first, inv = np.unique(key, return_index=True, return_inverse=True)
+    return rows[first], inv
+
+
 class TTCache:
     """Two-sided environment cache over a fixed TT (ref cache.rs)."""
 
@@ -86,12 +107,10 @@ class TTCache:
         if B > 4096:  # huge batches: fully-batched device path
             return np.asarray(self.tt.evaluate_batch(idx))
         c = self.center
-        uL, invL = np.unique(idx[:, :c], axis=0, return_inverse=True)
-        uR, invR = np.unique(idx[:, c:], axis=0, return_inverse=True)
-        EL = np.stack([self._left_env(tuple(int(v) for v in r))
-                       for r in uL])
-        ER = np.stack([self._right_env(tuple(int(v) for v in r))
-                       for r in uR])
+        uL, invL = _unique_rows(idx[:, :c])
+        uR, invR = _unique_rows(idx[:, c:])
+        EL = np.stack([self._left_env(tuple(r)) for r in uL.tolist()])
+        ER = np.stack([self._right_env(tuple(r)) for r in uR.tolist()])
         return np.einsum("br,br->b", EL[invL], ER[invR])
 
     @property

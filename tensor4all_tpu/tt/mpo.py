@@ -33,7 +33,11 @@ class MPO:
     """Matrix product operator (ref simplett `MPO`)."""
 
     def __init__(self, cores: Sequence[jnp.ndarray]):
-        cores = [jnp.asarray(c) for c in cores]
+        # host-numpy cores are kept as-is (jnp ops accept them; forcing
+        # device_put here costs ~0.2 ms/core of pure dispatch on the
+        # latency-bound host paths)
+        cores = [c if isinstance(c, (np.ndarray, jax.Array))
+                 else jnp.asarray(c) for c in cores]
         for c in cores:
             if c.ndim != 4:
                 raise ValueError(f"MPO core must be rank-4, got {c.shape}")
@@ -401,6 +405,18 @@ def _compose_zipup_scan(A, B, tol, cap):
     return cores, ranks
 
 
+def _svd_np(mm: np.ndarray):
+    """Host SVD tuned for small matrices: scipy skips the finite check
+    and reuses the operand buffer (np.linalg.svd costs ~4x at 32x64)."""
+    try:
+        import scipy.linalg as sla
+
+        return sla.svd(mm, full_matrices=False, overwrite_a=True,
+                       check_finite=False)
+    except Exception:  # noqa: BLE001 — scipy optional
+        return np.linalg.svd(mm, full_matrices=False)
+
+
 def _small_cpu_mpo(mpo: "MPO", cap: int = 64) -> bool:
     """True when the composition is latency-bound on the CPU backend:
     every bond small enough that host LAPACK wins over jit dispatch."""
@@ -426,14 +442,18 @@ def _compose_zipup_np(a: "MPO", b: "MPO", tol: float,
         W, V = A[k], B[k]
         _, o, _, l1 = W.shape
         _, _, i, k1 = V.shape
-        theta = np.einsum("xlk,lomd,kmie->xoide", C, W, V,
-                          optimize=True)
+        # xlk,lomd,kmie->xoide via two BLAS tensordots (np.einsum with
+        # optimize=True re-searches the path every call — measurable at
+        # these latency-bound sizes)
+        t1 = np.tensordot(C, W, axes=([1], [0]))  # x,k,o,m,d
+        theta = np.tensordot(t1, V, axes=([1, 3], [0, 1]))  # x,o,d,i,e
+        theta = theta.transpose(0, 1, 3, 2, 4)  # x,o,i,d,e
         chi = theta.shape[0]
         if k == L - 1:
             out.append(theta.reshape(chi, o, i, l1 * k1))
             break
         mm = theta.reshape(chi * o * i, l1 * k1)
-        u, s, vh = np.linalg.svd(mm, full_matrices=False)
+        u, s, vh = _svd_np(mm)
         scale = s[0] if s.size and s[0] > 0 else 1.0
         r = max(int(np.sum(s >= tol * scale)), 1)
         if maxdim is not None:
