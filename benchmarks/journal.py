@@ -161,7 +161,13 @@ def bench_tdvp_chain_jit(quick=False):
     t = _median(body, warmup=1, reps=3)
     return {"metric": "tdvp_chain_jit_N8_chi32", "value": t * 1e3,
             "unit": "ms", "baseline": 104.6,
-            "vs_baseline": 104.6 / (t * 1e3)}
+            "vs_baseline": 104.6 / (t * 1e3),
+            "detail": {"note": (
+                "static max-chi padded engine designed for TPU batch "
+                "throughput; on the CPU backend it does fixed-shape "
+                "worst-case work by construction — the like-for-like "
+                "CPU row is tdvp_chain_host above (complex dtypes are "
+                "unimplemented on this TPU generation, so no TPU run)")}}
 
 
 def bench_projected_apply(chi: int, quick=False):
@@ -327,19 +333,21 @@ def main():
     quick = "--quick" in sys.argv
     import jax
 
+    # latency-bound micro-rows run FIRST: the heavyweight sweeps leave
+    # warm thread pools/allocator state that inflates sub-ms rows by 2-3x
     rungs = [
+        ("rrlu", lambda: bench_rrlu(quick)),
+        ("mps ops", lambda: bench_mps_ops(quick)),
+        ("mpo zipup", lambda: bench_mpo_zipup(quick)),
+        ("proj apply 32", lambda: bench_projected_apply(32, quick)),
+        ("proj apply 64", lambda: bench_projected_apply(64, quick)),
+        ("aci", lambda: bench_aci_elementwise(8, quick)),
         ("dmrg", lambda: bench_dmrg_chain(quick)),
         ("tdvp chain", lambda: bench_tdvp("chain", quick)),
         ("tdvp star", lambda: bench_tdvp("star", quick)),
         ("tdvp chain host", lambda: bench_tdvp_chain_host(quick)),
         ("tdvp chain jit", lambda: bench_tdvp_chain_jit(quick)),
-        ("proj apply 32", lambda: bench_projected_apply(32, quick)),
-        ("proj apply 64", lambda: bench_projected_apply(64, quick)),
         ("linsolve", lambda: bench_local_linsolve(quick)),
-        ("aci", lambda: bench_aci_elementwise(8, quick)),
-        ("mps ops", lambda: bench_mps_ops(quick)),
-        ("mpo zipup", lambda: bench_mpo_zipup(quick)),
-        ("rrlu", lambda: bench_rrlu(quick)),
     ]
     records = []
     for name, fn in rungs:
