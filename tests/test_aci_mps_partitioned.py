@@ -37,12 +37,39 @@ def test_aci_hadamard_matches_exact(key):
 
 def test_aci_nonlinear_op(key):
     a = TensorTrain.random(key, [2, 2, 2, 2, 2], rank=2)
-    got = elementwise_batched(lambda x: np.exp(x), [a],
+    res = elementwise_batched(lambda x: np.exp(x), [a],
                               AciOptions(tol=1e-10))
     d = np.asarray(a.full_tensor())
     np.testing.assert_allclose(
-        np.asarray(got.full_tensor()), np.exp(d), atol=1e-7
+        np.asarray(res.tt.full_tensor()), np.exp(d), atol=1e-7
     )
+    # AciResult carries the run metadata (ref AciResult)
+    assert len(res.ranks) == len(res.errors) >= 1
+    assert res.n_operator_evals > 0
+    assert res.errors[-1] < 1e-7
+
+
+def test_aci_one_site_and_batch_view():
+    """Ref elementwise.rs one-site path + batch.rs column-major view."""
+    from tensor4all_tpu.tt.aci import ElementwiseBatch
+
+    a = TensorTrain([np.asarray([1.0, 2.0, 3.0])[None, :, None]])
+    res = elementwise_batched(lambda x: x * x, [a])
+    np.testing.assert_allclose(np.asarray(res.tt.full_tensor()),
+                               [1.0, 4.0, 9.0])
+    eb = ElementwiseBatch(np.asarray([1., 10., 2., 20., 3., 30.]), 2, 3)
+    assert eb.get(1, 2) == 30.0
+    rows = eb.input_rows()
+    np.testing.assert_allclose(rows[0], [1., 2., 3.])
+    np.testing.assert_allclose(rows[1], [10., 20., 30.])
+    with pytest.raises(IndexError):
+        eb.get(2, 0)
+    with pytest.raises(ValueError):
+        ElementwiseBatch(np.zeros(5), 2, 3)
+    with pytest.raises(ValueError):
+        AciOptions(min_iters=0)
+    with pytest.raises(ValueError):
+        AciOptions(tol=float("nan"))
 
 
 def test_aci_invert(key):
