@@ -1374,6 +1374,97 @@ t4a_status_code t4a_treetn_scale(t4a_treetn *tn, double re, double im) {
   return T4A_OK;
 }
 
+t4a_status_code t4a_tensor_svd_with_policy(
+    const t4a_tensor *t, size_t n_left,
+    const t4a_svd_truncation_policy *policy, size_t maxdim,
+    t4a_tensor **u, t4a_tensor **s, t4a_tensor **vh) {
+  if (!t || !policy || !u || !s || !vh) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *res = call_h(
+      "svd_with_policy", "(OndiiiL)", t->obj, (Py_ssize_t)n_left,
+      policy->threshold, (int)policy->scale, (int)policy->measure,
+      (int)policy->rule, (long long)maxdim);
+  if (!res) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  PyObject *pu = PyTuple_GetItem(res, 0);
+  PyObject *ps = PyTuple_GetItem(res, 1);
+  PyObject *pv = PyTuple_GetItem(res, 2);
+  Py_INCREF(pu);
+  Py_INCREF(ps);
+  Py_INCREF(pv);
+  Py_DECREF(res);
+  *u = new t4a_tensor{pu};
+  *s = new t4a_tensor{ps};
+  *vh = new t4a_tensor{pv};
+  return T4A_OK;
+}
+
+t4a_status_code t4a_treetn_orthogonalize_form(t4a_treetn *tn,
+                                              const char *center,
+                                              t4a_canonical_form form,
+                                              int force) {
+  if (!tn || !center) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *r = call_h("treetn_orthogonalize_form", "(Osii)", tn->obj,
+                       center, (int)form, force);
+  if (!r) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  Py_DECREF(r);
+  return T4A_OK;
+}
+
+t4a_status_code t4a_treetn_truncate_with_policy(
+    t4a_treetn *tn, const t4a_svd_truncation_policy *policy,
+    size_t maxdim) {
+  if (!tn || !policy) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *r = call_h("treetn_truncate_with_policy", "(OdiiiL)", tn->obj,
+                       policy->threshold, (int)policy->scale,
+                       (int)policy->measure, (int)policy->rule,
+                       (long long)maxdim);
+  if (!r) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  Py_DECREF(r);
+  return T4A_OK;
+}
+
+t4a_status_code t4a_treetn_sim_linkinds(const t4a_treetn *tn,
+                                        t4a_treetn **out) {
+  if (!tn || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *obj = call_h("treetn_sim_linkinds", "(O)", tn->obj);
+  if (!obj) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *out = new t4a_treetn{obj};
+  return T4A_OK;
+}
+
+t4a_status_code t4a_treetn_contract_networks(
+    const t4a_treetn *a, const t4a_treetn *b, t4a_contract_method method,
+    const t4a_svd_truncation_policy *policy, size_t maxdim,
+    t4a_treetn **out) {
+  if (!a || !b || !policy || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *obj = call_h("treetn_contract_networks", "(OOidiiiL)", a->obj,
+                         b->obj, (int)method, policy->threshold,
+                         (int)policy->scale, (int)policy->measure,
+                         (int)policy->rule, (long long)maxdim);
+  if (!obj) {
+    set_error_from_python();
+    return T4A_INTERNAL_ERROR;
+  }
+  *out = new t4a_treetn{obj};
+  return T4A_OK;
+}
+
 t4a_status_code t4a_treetn_add(const t4a_treetn *a, const t4a_treetn *b,
                                t4a_treetn **out) {
   if (!a || !b || !out) return T4A_INVALID_ARGUMENT;

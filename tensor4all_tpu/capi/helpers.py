@@ -22,6 +22,16 @@ def svd_first_n(tensor, n_left: int, rtol: float, maxdim: int):
     return U, S, Vh
 
 
+def svd_with_policy(tensor, n_left: int, threshold: float, scale: int,
+                    measure: int, rule: int, maxdim: int):
+    """SVD with the full typed truncation policy
+    (C API t4a_tensor_svd_with_policy)."""
+    left = tensor.indices[:n_left]
+    pol = policy_from_abi(threshold, scale, measure, rule, maxdim)
+    U, S, Vh, _ = svd(tensor, left, policy=pol)
+    return U, S, Vh
+
+
 def crossinterpolate2_c(batch_f, local_dims, tol: float, maxdim: int,
                         max_iter: int):
     """TCI2 driven by a C callback (C API t4a_crossinterpolate2)."""
@@ -127,6 +137,94 @@ def treetn_truncate(h: CTreeTN, rtol: float, maxdim: int) -> None:
     pol = SvdTruncationPolicy(tol=rtol,
                               maxdim=maxdim if maxdim > 0 else None)
     h.net().truncate(pol)
+
+
+def policy_from_abi(threshold: float, scale: int, measure: int,
+                    rule: int, maxdim: int = 0) -> SvdTruncationPolicy:
+    """Decode the C ABI's t4a_svd_truncation_policy (ref capi
+    options.rs): scale 0=Relative 1=Absolute; rule 0=PerValue
+    1=DiscardedTailSum; measure 0=Value 1=SquaredValue. Our policy
+    folds (measure, rule) into one SingularValueMeasure: tail-sum rules
+    map to the squared-tail measure, per-value rules to the value
+    measure (the reference's Value+PerValue / SquaredValue+
+    DiscardedTailSum combinations, which are the ones its own drivers
+    construct)."""
+    from ..config import SingularValueMeasure, ThresholdScale
+
+    sc = ThresholdScale.ABSOLUTE if scale == 1 else ThresholdScale.RELATIVE
+    ms = (SingularValueMeasure.SQUARED_TAIL if rule == 1
+          else SingularValueMeasure.VALUE)
+    return SvdTruncationPolicy(tol=threshold, scale=sc, measure=ms,
+                               maxdim=maxdim if maxdim > 0 else None)
+
+
+def treetn_truncate_with_policy(h: CTreeTN, threshold: float, scale: int,
+                                measure: int, rule: int,
+                                maxdim: int) -> None:
+    h.net().truncate(policy_from_abi(threshold, scale, measure, rule,
+                                     maxdim))
+
+
+_CANONICAL_FORMS = {0: "qr", 1: "lu", 2: "ci"}  # ref t4a_canonical_form
+
+
+def treetn_orthogonalize_form(h: CTreeTN, center: str, form: int,
+                              force: int) -> None:
+    """Ref t4a_treetn_orthogonalize(vertex, form, force): smart
+    canonicalization — a repeated call with the same center/form is a
+    no-op; changing form without `force` is an error."""
+    from ..core.decomp import FactorizeAlg
+
+    if form not in _CANONICAL_FORMS:
+        raise ValueError(f"unknown canonical form {form}")
+    alg = {0: FactorizeAlg.QR, 1: FactorizeAlg.LU,
+           2: FactorizeAlg.CI}[form]
+    net = h.net()
+    prev = getattr(net, "_capi_canonical_form", None)
+    region = net.canonical_region()
+    if region and set(region) == {_node_key(net, center)}:
+        if prev is not None and prev == form:
+            return  # already canonical at this center with this form
+        if prev is not None and prev != form and not force:
+            raise ValueError(
+                "network already canonicalized with a different form; "
+                "pass force to re-canonicalize")
+    net.canonicalize([_node_key(net, center)], form=alg)
+    net._capi_canonical_form = form
+
+
+def _node_key(net, name: str):
+    for n in net.graph.nodes:
+        if str(n) == name:
+            return n
+    raise KeyError(f"no node named {name!r}")
+
+
+def treetn_sim_linkinds(h: CTreeTN) -> CTreeTN:
+    out = CTreeTN()
+    out._net = h.net().sim_linkinds()
+    return out
+
+
+_CONTRACT_METHODS = {0: "zipup", 1: "fit", 2: "naive"}
+
+
+def treetn_contract_networks(a: CTreeTN, b: CTreeTN, method: int,
+                             threshold: float, scale: int, measure: int,
+                             rule: int, maxdim: int) -> "CTreeTN":
+    """Ref t4a_treetn_contract(a, b, method, policy, maxdim, ...)."""
+    from ..treetn.contraction import contract_networks
+
+    if method not in _CONTRACT_METHODS:
+        raise ValueError(f"unknown contract method {method}")
+    pol = policy_from_abi(threshold, scale, measure, rule, maxdim)
+    res = contract_networks(a.net(), b.net(),
+                            method=_CONTRACT_METHODS[method],
+                            policy=pol,
+                            max_rank=maxdim if maxdim > 0 else None)
+    out = CTreeTN()
+    out._net = res
+    return out
 
 
 def treetn_canonical_region(h: CTreeTN) -> str:

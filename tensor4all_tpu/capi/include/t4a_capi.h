@@ -32,6 +32,76 @@ typedef enum t4a_status_code {
 /* Thread-local message describing the last error on this thread. */
 const char *t4a_last_error_message(void);
 
+/* ------------------------------------------------------------------ */
+/* Typed option enums (ref tensor4all_capi.h: t4a_scalar_kind,         */
+/* t4a_storage_kind, truncation policy family, canonical form,         */
+/* contract method, factorize alg, boundary condition, layout kind).   */
+/* Variant values match the reference ABI exactly.                     */
+/* ------------------------------------------------------------------ */
+typedef enum t4a_scalar_kind {
+  T4A_SCALAR_KIND_F64 = 0,
+  T4A_SCALAR_KIND_C64 = 1,
+} t4a_scalar_kind;
+
+typedef enum t4a_storage_kind {
+  T4A_STORAGE_KIND_DENSE = 0,
+  T4A_STORAGE_KIND_DIAGONAL = 1,
+  T4A_STORAGE_KIND_STRUCTURED = 2,
+} t4a_storage_kind;
+
+typedef enum t4a_threshold_scale {
+  T4A_THRESHOLD_SCALE_RELATIVE = 0,
+  T4A_THRESHOLD_SCALE_ABSOLUTE = 1,
+} t4a_threshold_scale;
+
+typedef enum t4a_singular_value_measure {
+  T4A_SINGULAR_VALUE_MEASURE_VALUE = 0,
+  T4A_SINGULAR_VALUE_MEASURE_SQUARED_VALUE = 1,
+} t4a_singular_value_measure;
+
+typedef enum t4a_truncation_rule {
+  T4A_TRUNCATION_RULE_PER_VALUE = 0,
+  T4A_TRUNCATION_RULE_DISCARDED_TAIL_SUM = 1,
+} t4a_truncation_rule;
+
+/* Full SVD truncation policy (ref t4a_svd_truncation_policy). */
+typedef struct t4a_svd_truncation_policy {
+  double threshold;
+  t4a_threshold_scale scale;
+  t4a_singular_value_measure measure;
+  t4a_truncation_rule rule;
+} t4a_svd_truncation_policy;
+
+typedef enum t4a_canonical_form {
+  T4A_CANONICAL_FORM_UNITARY = 0,
+  T4A_CANONICAL_FORM_LU = 1,
+  T4A_CANONICAL_FORM_CI = 2,
+} t4a_canonical_form;
+
+typedef enum t4a_contract_method {
+  T4A_CONTRACT_METHOD_ZIPUP = 0,
+  T4A_CONTRACT_METHOD_FIT = 1,
+  T4A_CONTRACT_METHOD_NAIVE = 2,
+} t4a_contract_method;
+
+typedef enum t4a_factorize_alg {
+  T4A_FACTORIZE_ALG_SVD = 0,
+  T4A_FACTORIZE_ALG_QR = 1,
+  T4A_FACTORIZE_ALG_LU = 2,
+  T4A_FACTORIZE_ALG_CI = 3,
+} t4a_factorize_alg;
+
+typedef enum t4a_boundary_condition {
+  T4A_BOUNDARY_CONDITION_PERIODIC = 0,
+  T4A_BOUNDARY_CONDITION_OPEN = 1,
+  T4A_BOUNDARY_CONDITION_ANTI_PERIODIC = 2,
+} t4a_boundary_condition;
+
+typedef enum t4a_qtt_layout_kind {
+  T4A_QTT_LAYOUT_KIND_INTERLEAVED = 0,
+  T4A_QTT_LAYOUT_KIND_FUSED = 1,
+} t4a_qtt_layout_kind;
+
 /* Runtime lifecycle: initializes the embedded Python runtime (no-op when
  * already inside a Python process). */
 t4a_status_code t4a_init(void);
@@ -77,6 +147,12 @@ t4a_status_code t4a_tensor_svd(const t4a_tensor *t, size_t n_left,
                                double rtol, int64_t maxdim,
                                t4a_tensor **u, t4a_tensor **s,
                                t4a_tensor **vh);
+/* SVD with the full typed truncation policy (ref t4a_tensor_svd's
+ * policy parameter); maxdim == 0 means unbounded. */
+t4a_status_code t4a_tensor_svd_with_policy(
+    const t4a_tensor *t, size_t n_left,
+    const t4a_svd_truncation_policy *policy, size_t maxdim,
+    t4a_tensor **u, t4a_tensor **s, t4a_tensor **vh);
 void t4a_tensor_free(t4a_tensor *t);
 
 /* ------------------------------------------------------------------ */
@@ -199,8 +275,31 @@ t4a_status_code t4a_treetn_linkind(const t4a_treetn *tn, const char *a,
                                    const char *b, t4a_index **out);
 t4a_status_code t4a_treetn_orthogonalize(t4a_treetn *tn,
                                          const char *center);
+/* Orthogonalize with an explicit canonical form (ref
+ * t4a_treetn_orthogonalize(vertex, form, force) semantics: repeated
+ * same-form calls are no-ops; switching forms requires nonzero force). */
+t4a_status_code t4a_treetn_orthogonalize_form(t4a_treetn *tn,
+                                              const char *center,
+                                              t4a_canonical_form form,
+                                              int force);
 t4a_status_code t4a_treetn_truncate(t4a_treetn *tn, double rtol,
                                     int64_t maxdim);
+/* Truncate with the full typed policy (ref t4a_treetn_truncate). */
+t4a_status_code t4a_treetn_truncate_with_policy(
+    t4a_treetn *tn, const t4a_svd_truncation_policy *policy,
+    size_t maxdim);
+/* Copy with fresh bond-index identities (ref TreeTN::sim_linkinds) —
+ * required before contracting a network with a copy of itself. */
+t4a_status_code t4a_treetn_sim_linkinds(const t4a_treetn *tn,
+                                        t4a_treetn **out);
+/* Two-network contraction A . B with an explicit method (ref
+ * t4a_treetn_contract(a, b, method, policy, maxdim, ...)). The
+ * reference's extra knobs (nfullsweeps, factorize_alg, qr_rtol,
+ * max_dense_elements) take their backend defaults here. */
+t4a_status_code t4a_treetn_contract_networks(
+    const t4a_treetn *a, const t4a_treetn *b, t4a_contract_method method,
+    const t4a_svd_truncation_policy *policy, size_t maxdim,
+    t4a_treetn **out);
 t4a_status_code t4a_treetn_contract(const t4a_treetn *tn,
                                     t4a_tensor **out);
 t4a_status_code t4a_treetn_inner(const t4a_treetn *a, const t4a_treetn *b,

@@ -79,6 +79,18 @@ int main(void) {
   t4a_tensor *u, *s, *vh;
   CHECK(t4a_tensor_svd(tc, 1, 1e-12, 0, &u, &s, &vh));
 
+  /* SVD with the full typed policy */
+  {
+    t4a_svd_truncation_policy sp = {1e-12, T4A_THRESHOLD_SCALE_RELATIVE,
+                                    T4A_SINGULAR_VALUE_MEASURE_SQUARED_VALUE,
+                                    T4A_TRUNCATION_RULE_DISCARDED_TAIL_SUM};
+    t4a_tensor *u2, *s2, *vh2;
+    CHECK(t4a_tensor_svd_with_policy(tc, 1, &sp, 0, &u2, &s2, &vh2));
+    t4a_tensor_free(u2);
+    t4a_tensor_free(s2);
+    t4a_tensor_free(vh2);
+  }
+
   /* TT + TCI of a separable Gaussian over 6 sites of dim 8 */
   int64_t dims[6] = {8, 8, 8, 8, 8, 8};
   t4a_tt *tt;
@@ -166,6 +178,43 @@ int main(void) {
     CHECK(t4a_treetn_to_dense(tn, site_order, 3, dense2, 8));
     for (int q = 0; q < 8; ++q)
       if (fabs(dense2[q] - dense[q]) > 1e-9) return 1;
+    /* typed-policy truncate (ref t4a_svd_truncation_policy) is also
+     * exact at this rank */
+    t4a_svd_truncation_policy pol = {1e-12, T4A_THRESHOLD_SCALE_RELATIVE,
+                                     T4A_SINGULAR_VALUE_MEASURE_VALUE,
+                                     T4A_TRUNCATION_RULE_PER_VALUE};
+    CHECK(t4a_treetn_truncate_with_policy(tn, &pol, 2));
+    CHECK(t4a_treetn_to_dense(tn, site_order, 3, dense2, 8));
+    for (int q = 0; q < 8; ++q)
+      if (fabs(dense2[q] - dense[q]) > 1e-9) return 1;
+    /* orthogonalize with an explicit form; repeated call is a no-op,
+     * switching forms without force fails, with force succeeds */
+    CHECK(t4a_treetn_orthogonalize_form(tn, "v1", T4A_CANONICAL_FORM_UNITARY,
+                                        0));
+    CHECK(t4a_treetn_orthogonalize_form(tn, "v1", T4A_CANONICAL_FORM_UNITARY,
+                                        0));
+    if (t4a_treetn_orthogonalize_form(tn, "v1", T4A_CANONICAL_FORM_LU, 0) ==
+        T4A_OK)
+      return 1;
+    CHECK(t4a_treetn_orthogonalize_form(tn, "v1", T4A_CANONICAL_FORM_LU, 1));
+    CHECK(t4a_treetn_to_dense(tn, site_order, 3, dense2, 8));
+    for (int q = 0; q < 8; ++q)
+      if (fabs(dense2[q] - dense[q]) > 1e-9) return 1;
+    CHECK(t4a_treetn_orthogonalize_form(tn, "v0", T4A_CANONICAL_FORM_UNITARY,
+                                        1));
+    /* two-network zipup contraction: <tn|tn'> over fresh link ids gives
+     * a scalar network equal to norm^2 */
+    t4a_treetn *fresh;
+    CHECK(t4a_treetn_sim_linkinds(tn, &fresh));
+    t4a_treetn *prod;
+    CHECK(t4a_treetn_contract_networks(tn, fresh,
+                                       T4A_CONTRACT_METHOD_ZIPUP, &pol, 0,
+                                       &prod));
+    double nprod = 0.0;
+    CHECK(t4a_treetn_norm(prod, &nprod));
+    if (fabs(nprod - n0 * n0) > 1e-8 * n0 * n0) return 1;
+    t4a_treetn_release(fresh);
+    t4a_treetn_release(prod);
     /* evaluate one entry */
     const t4a_index *einds[3] = {s0, s1, s2};
     int64_t evals_idx[3] = {1, 0, 1};

@@ -133,6 +133,20 @@ class TreeTN:
         tn.ortho_towards = dict(self.ortho_towards)
         return tn
 
+    def sim_linkinds(self) -> "TreeTN":
+        """Copy with fresh bond-index identities (ref treetn/mod.rs
+        `sim_linkinds`): same dims/tags, new ids. Use before contracting
+        a network with (a copy of) itself — with shared bond ids the
+        node-wise contraction would sum over the bonds too."""
+        out = self.copy()
+        for u, v in list(out.graph.edges):
+            old = out.bond(u, v)
+            new = Index(old.dim, tags=old.tags, plev=old.plev)
+            out.set_bond(u, v, new)
+            for n in (u, v):
+                out._tensors[n] = out._tensors[n].replaceind(old, new)
+        return out
+
     @property
     def dtype(self):
         return jnp.result_type(*[t.dtype for t in self._tensors.values()])
