@@ -19,6 +19,7 @@ handed to XLA as rank-4 arrays (tt.MPO).
 
 from __future__ import annotations
 
+import enum
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -134,9 +135,26 @@ def cumsum_operator(R: int, inclusive: bool = False,
     return MPO(cores)
 
 
-def triangle_operator(R: int, dtype=np.float64) -> MPO:
-    """Inclusive cumulative sum (ref cumsum.rs:106)."""
-    return cumsum_operator(R, inclusive=True, dtype=dtype)
+class TriangleType(enum.Enum):
+    """Which strict triangle a triangle_operator realizes
+    (ref cumsum.rs:35 `TriangleType`)."""
+
+    LOWER = "lower"  # M[i,j] = 1 for i > j: prefix sum
+    UPPER = "upper"  # M[i,j] = 1 for i < j: suffix sum
+
+
+def triangle_operator(R: int, triangle: "TriangleType | str" = TriangleType.LOWER,
+                      inclusive: bool = False, dtype=np.float64) -> MPO:
+    """Strict triangular sum operator (ref cumsum.rs:106
+    `triangle_operator`): LOWER gives y_i = sum_{j<i} x_j (== cumsum),
+    UPPER gives y_i = sum_{j>i} x_j. `inclusive=True` adds the j = i
+    term (this package's extension; the reference triangles are strict)."""
+    if isinstance(triangle, str):
+        triangle = TriangleType(triangle)
+    lower = cumsum_operator(R, inclusive=inclusive, dtype=dtype)
+    if triangle is TriangleType.LOWER:
+        return lower
+    return lower.transpose()
 
 
 def _chebyshev_grid(K: int):
@@ -508,6 +526,89 @@ def shift_operator_multivar(R: int, d: int, shifts: Sequence[int],
         m = MPO(cores)
         total = m if total is None else total.compose_zipup(m, tol=1e-13)
     return total
+
+
+def embed_operator_interleaved(base: MPO, d: int, target_var: int,
+                               dtype=None) -> MPO:
+    """Embed a 1-D R-site quantics operator into an interleaved
+    d-variable layout acting on variable `target_var` (identity on the
+    others). Exact: bonds carry the base operator's links between its
+    sites; all other links are trivial. This is the common mechanism
+    behind the reference's `*_operator_multivar` constructors
+    (flip.rs:81, phase_rotation.rs:95, shift.rs:81)."""
+    if not 0 <= target_var < d:
+        raise ValueError("target_var out of range")
+    R = len(base)
+    if dtype is None:
+        dtype = np.result_type(*[np.asarray(c).dtype for c in base.cores])
+    n_sites = R * d
+
+    def link(c: int) -> int:
+        """Link dim between base cores c-1 and c (1 outside the span)."""
+        if c <= 0 or c >= R:
+            return 1
+        return int(base.cores[c].shape[0])
+
+    cores = []
+    for site in range(n_sites):
+        scale, dim = divmod(site, d)
+        # base cores fully placed strictly before this site
+        placed = scale + (1 if dim > target_var else 0)
+        l_dim = 1 if site == 0 else link(placed if dim != target_var
+                                         else scale)
+        if dim == target_var:
+            cores.append(np.asarray(base.cores[scale], dtype))
+        else:
+            r_dim = link(placed)
+            c = np.zeros((l_dim, 2, 2, r_dim), dtype)
+            for t in range(min(l_dim, r_dim)):
+                c[t, 0, 0, t] = 1.0
+                c[t, 1, 1, t] = 1.0
+            cores.append(c)
+    return MPO(cores)
+
+
+def flip_operator_multivar(R: int, d: int, target_var: int,
+                           dtype=np.float64) -> MPO:
+    """Flip x -> (-x) mod 2^R on one variable of an interleaved
+    multivariate quantics operator (ref flip.rs:81)."""
+    return embed_operator_interleaved(flip_operator(R, dtype), d,
+                                      target_var, dtype)
+
+
+def phase_rotation_operator_multivar(R: int, theta: float, d: int,
+                                     target_var: int) -> MPO:
+    """e^{i theta x_k} on one interleaved variable
+    (ref phase_rotation.rs:95)."""
+    return embed_operator_interleaved(phase_rotation_operator(R, theta),
+                                      d, target_var, np.complex128)
+
+
+def cumsum_operator_multivar(R: int, d: int, target_var: int,
+                             inclusive: bool = False,
+                             dtype=np.float64) -> MPO:
+    """Prefix sum over one interleaved variable (ref capi
+    t4a_qtransform_cumsum_materialize's target_var)."""
+    return embed_operator_interleaved(
+        cumsum_operator(R, inclusive=inclusive, dtype=dtype), d,
+        target_var, dtype)
+
+
+def difference_kernel_operator(f, bc: str = "periodic",
+                               site_indices=None):
+    """Convolution-kernel MPO wrapped as a TreeOperator (ref
+    difference_kernel.rs:100 `difference_kernel_operator`): builds
+    `difference_kernel_mpo_from_qtt(f, bc)` and binds it to
+    `site_indices` (one dim-2 Index per site)."""
+    from ..treetn.operator import mpo_to_treeoperator
+
+    mpo = difference_kernel_mpo_from_qtt(f, bc=bc)
+    if site_indices is None:
+        from ..core.index import Index
+
+        site_indices = [Index(2, tags=f"Site,q{k}")
+                        for k in range(len(mpo))]
+    return mpo_to_treeoperator(mpo, list(site_indices))
 
 
 def apply_quantics_operator(op: MPO, tt: TensorTrain, tol: float = 1e-12,

@@ -428,16 +428,29 @@ def random_treetn(
     key,
     topology: nx.Graph,
     site_dims: Dict[NodeName, Sequence[int]],
-    bond_dim: int = 2,
+    bond_dim=2,
     dtype=jnp.float64,
 ) -> TreeTN:
-    """Random TreeTN on the given topology (ref random.rs `random_treetn`)."""
+    """Random TreeTN on the given topology (ref random.rs `random_treetn`).
+
+    `bond_dim` is either a uniform int or a per-edge mapping keyed by
+    ``(a, b)`` node pairs in either order (ref random.rs `LinkSpace::
+    {Uniform, PerEdge}`).
+    """
     import jax
 
     tn = TreeTN()
     bonds: Dict[Tuple[NodeName, NodeName], Index] = {}
-    for a, b in topology.edges:
-        bonds[_edge_key(a, b)] = Index(bond_dim, tags="Link")
+    if isinstance(bond_dim, dict):
+        per_edge = {_edge_key(a, b): int(v) for (a, b), v in bond_dim.items()}
+        for a, b in topology.edges:
+            k = _edge_key(a, b)
+            if k not in per_edge:
+                raise ValueError(f"no bond dim for edge {k}")
+            bonds[k] = Index(per_edge[k], tags="Link")
+    else:
+        for a, b in topology.edges:
+            bonds[_edge_key(a, b)] = Index(int(bond_dim), tags="Link")
     site_inds = {
         n: tuple(Index(d, tags="Site") for d in dims)
         for n, dims in site_dims.items()

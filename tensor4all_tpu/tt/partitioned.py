@@ -80,6 +80,14 @@ class SubDomainTT:
     def sum(self) -> complex:
         return complex(self.tt.sum())
 
+    def project(self, proj: Projector) -> Optional["SubDomainTT"]:
+        """Restrict to the merge of this patch's projector with `proj`
+        (ref subdomain_tt.rs `project`); ``None`` when incompatible."""
+        merged = _merge_compatible(self.projector, proj)
+        if merged is None:
+            return None
+        return _restrict(self, merged)
+
 
 class PartitionedTT:
     """Disjoint patches covering (part of) the domain (ref lib.rs)."""
@@ -127,6 +135,37 @@ class PartitionedTT:
             s = (p.tt + q.tt).compress(tol=tol, maxdim=maxdim)
             out.append(SubDomainTT(p.projector, s, p.local_dims))
         return PartitionedTT(out)
+
+
+def contract(m1: SubDomainTT, m2: SubDomainTT, tol: float = 1e-12,
+             maxdim: Optional[int] = None) -> Optional[SubDomainTT]:
+    """Contract two SubDomainTTs (ref contract.rs:18 `contract`): the
+    result lives on the merged projector, ``None`` when the projectors
+    are incompatible. This package's PartitionedTT carries scalar
+    function patches, so "contract" is the pointwise (Hadamard) product
+    — the role the reference's MPO-valued patches play in contract.rs."""
+    proj = _merge_compatible(m1.projector, m2.projector)
+    if proj is None:
+        return None
+    ra = _restrict(m1, proj)
+    rb = _restrict(m2, proj)
+    tt = ra.tt.hadamard(rb.tt).compress(tol=tol, maxdim=maxdim)
+    return SubDomainTT(proj, tt, m1.local_dims)
+
+
+def proj_contract(m1: SubDomainTT, m2: SubDomainTT, proj: Projector,
+                  tol: float = 1e-12,
+                  maxdim: Optional[int] = None) -> Optional[SubDomainTT]:
+    """Project both operands to `proj` before contracting (ref
+    contract.rs:27 `proj_contract`); ``None`` when either projection or
+    the contraction vanishes."""
+    a = m1.project(proj)
+    if a is None:
+        return None
+    b = m2.project(proj)
+    if b is None:
+        return None
+    return contract(a, b, tol=tol, maxdim=maxdim)
 
 
 def _tt_fix_site(tt: TensorTrain, pos: int, v: int) -> TensorTrain:

@@ -271,3 +271,57 @@ def test_mps_itensorlike_accessors():
     ax = m.axpby(2.0, m, -1.0)   # 2m - m = m
     np.testing.assert_allclose(np.asarray(ax.to_dense()),
                                np.asarray(m.to_dense()), atol=1e-10)
+
+
+def test_subdomain_contract_and_proj_contract(key):
+    """Ref partitionedtt contract.rs:18 `contract` / :27 `proj_contract`."""
+    from tensor4all_tpu.tt.partitioned import (
+        Projector,
+        SubDomainTT,
+        _restrict,
+        contract,
+        proj_contract,
+    )
+
+    dims = [2, 2, 2, 2]
+    t1 = TensorTrain.random(key, dims, rank=2)
+    t2 = TensorTrain.random(jax.random.PRNGKey(9), dims, rank=2)
+    m1 = SubDomainTT(Projector.make({}), t1, dims)
+    m2 = _restrict(SubDomainTT(Projector.make({}), t2, dims),
+                   Projector.make({0: 1}))
+    idx = np.stack(np.meshgrid(*[range(2)] * 4, indexing="ij"),
+                   -1).reshape(-1, 4)
+    want = m1.evaluate_batch(idx) * m2.evaluate_batch(idx)
+    out = contract(m1, m2)
+    np.testing.assert_allclose(out.evaluate_batch(idx), want, atol=1e-10)
+    # incompatible projectors vanish
+    assert proj_contract(m1, m2, Projector.make({0: 0})) is None
+    # compatible proj restricts further
+    pc = proj_contract(m1, m2, Projector.make({1: 1}))
+    want2 = np.where((idx[:, 0] == 1) & (idx[:, 1] == 1), want, 0.0)
+    np.testing.assert_allclose(pc.evaluate_batch(idx), want2, atol=1e-10)
+    # SubDomainTT.project
+    assert m2.project(Projector.make({0: 0})) is None
+    r = m2.project(Projector.make({2: 1}))
+    keep = (idx[:, 0] == 1) & (idx[:, 2] == 1)
+    np.testing.assert_allclose(r.evaluate_batch(idx),
+                               np.where(keep, m2.evaluate_batch(idx), 0.0),
+                               atol=1e-12)
+
+
+def test_random_treetn_per_edge_linkspace(key):
+    """Ref random.rs LinkSpace::PerEdge."""
+    import networkx as nx
+
+    from tensor4all_tpu.treetn.network import random_treetn
+
+    g = nx.path_graph(4)
+    tn, _ = random_treetn(key, g, {n: [2] for n in g.nodes},
+                          bond_dim={(0, 1): 2, (1, 2): 5, (3, 2): 3})
+    assert tn.bond(0, 1).dim == 2
+    assert tn.bond(1, 2).dim == 5
+    assert tn.bond(2, 3).dim == 3
+    tn.validate_tree()
+    with pytest.raises(ValueError):
+        random_treetn(key, g, {n: [2] for n in g.nodes},
+                      bond_dim={(0, 1): 2})

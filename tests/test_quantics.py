@@ -168,13 +168,72 @@ def test_phase_rotation():
 
 
 def test_cumsum_triangle():
+    from tensor4all_tpu.quantics.transforms import TriangleType
+
     R = 4
     N = 16
     O = op_matrix(cumsum_operator(R), R)
     expect = np.tril(np.ones((N, N)), -1)
     np.testing.assert_allclose(O, expect, atol=1e-12)
+    # reference semantics (cumsum.rs:35): triangles are STRICT
     T = op_matrix(triangle_operator(R), R)
-    np.testing.assert_allclose(T, np.tril(np.ones((N, N))), atol=1e-12)
+    np.testing.assert_allclose(T, np.tril(np.ones((N, N)), -1), atol=1e-12)
+    U = op_matrix(triangle_operator(R, TriangleType.UPPER), R)
+    np.testing.assert_allclose(U, np.triu(np.ones((N, N)), 1), atol=1e-12)
+    Ti = op_matrix(triangle_operator(R, "lower", inclusive=True), R)
+    np.testing.assert_allclose(Ti, np.tril(np.ones((N, N))), atol=1e-12)
+
+
+def test_multivar_embeddings():
+    """flip/phase/cumsum on one interleaved variable vs kron oracle
+    (ref flip.rs:81, phase_rotation.rs:95)."""
+    from tensor4all_tpu.quantics.transforms import (
+        cumsum_operator_multivar,
+        embed_operator_interleaved,
+        flip_operator,
+        flip_operator_multivar,
+        phase_rotation_operator_multivar,
+    )
+
+    R, d = 3, 2
+    N = 2 ** R
+
+    def dense_interleaved(mpo):
+        """Dense matrix over interleaved (x0, x1) with x0 bits at even
+        sites: row/col index = sum_b (x0_b, x1_b) interleaved MSB-first."""
+        M = np.asarray(mpo.to_dense_matrix())
+        return M
+
+    def kron_oracle(op1, which):
+        """Interleaved two-variable operator as a dense matrix in the
+        interleaved bit basis."""
+        eye = np.eye(N)
+        full = np.kron(op1, eye) if which == 0 else np.kron(eye, op1)
+        # interleave: basis map from (x0, x1) -> interleaved bits
+        perm = np.zeros(N * N, dtype=int)
+        for x0 in range(N):
+            for x1 in range(N):
+                inter = 0
+                for b in range(R):
+                    inter = (inter << 2) | (((x0 >> (R - 1 - b)) & 1) << 1) \
+                        | ((x1 >> (R - 1 - b)) & 1)
+                perm[inter] = x0 * N + x1
+        return full[np.ix_(perm, perm)]
+
+    F1 = np.asarray(flip_operator(R).to_dense_matrix())
+    for k in (0, 1):
+        got = dense_interleaved(flip_operator_multivar(R, d, k))
+        np.testing.assert_allclose(got, kron_oracle(F1, k), atol=1e-12)
+    theta = 0.37
+    P1 = np.diag(np.exp(1j * theta * np.arange(N)))
+    got = dense_interleaved(phase_rotation_operator_multivar(R, theta, d, 1))
+    np.testing.assert_allclose(got, kron_oracle(P1, 1), atol=1e-12)
+    C1 = np.tril(np.ones((N, N)), -1)
+    got = dense_interleaved(cumsum_operator_multivar(R, d, 0))
+    np.testing.assert_allclose(got, kron_oracle(C1, 0), atol=1e-12)
+    # embedding respects exact bond structure (no rank growth)
+    emb = embed_operator_interleaved(flip_operator(R), d, 0)
+    assert max(emb.ranks) == max(flip_operator(R).ranks)
 
 
 def test_fourier_operator():
