@@ -144,16 +144,23 @@ def policy_from_abi(threshold: float, scale: int, measure: int,
     """Decode the C ABI's t4a_svd_truncation_policy (ref capi
     options.rs): scale 0=Relative 1=Absolute; rule 0=PerValue
     1=DiscardedTailSum; measure 0=Value 1=SquaredValue. Our policy
-    folds (measure, rule) into one SingularValueMeasure: tail-sum rules
-    map to the squared-tail measure, per-value rules to the value
-    measure (the reference's Value+PerValue / SquaredValue+
-    DiscardedTailSum combinations, which are the ones its own drivers
-    construct)."""
+    folds (measure, rule) into one SingularValueMeasure, supporting the
+    two combinations the reference's own drivers construct:
+    Value+PerValue (per-|s| cutoff) and SquaredValue+DiscardedTailSum
+    (ITensors-style squared-tail cutoff). The cross combinations have
+    no equivalent here and are rejected (T4A_INVALID semantics) rather
+    than silently remapped."""
     from ..config import SingularValueMeasure, ThresholdScale
 
     sc = ThresholdScale.ABSOLUTE if scale == 1 else ThresholdScale.RELATIVE
-    ms = (SingularValueMeasure.SQUARED_TAIL if rule == 1
-          else SingularValueMeasure.VALUE)
+    if (measure, rule) == (0, 0):
+        ms = SingularValueMeasure.VALUE
+    elif (measure, rule) == (1, 1):
+        ms = SingularValueMeasure.SQUARED_TAIL
+    else:
+        raise ValueError(
+            f"unsupported (measure={measure}, rule={rule}) combination: "
+            "use Value+PerValue or SquaredValue+DiscardedTailSum")
     return SvdTruncationPolicy(tol=threshold, scale=sc, measure=ms,
                                maxdim=maxdim if maxdim > 0 else None)
 
@@ -172,25 +179,25 @@ def treetn_orthogonalize_form(h: CTreeTN, center: str, form: int,
                               force: int) -> None:
     """Ref t4a_treetn_orthogonalize(vertex, form, force): smart
     canonicalization — a repeated call with the same center/form is a
-    no-op; changing form without `force` is an error."""
+    no-op; changing form without `force` is an error. The current form
+    is tracked by TreeTN.canonical_form (set by every canonicalize,
+    whichever path calls it), so the check never goes stale."""
     from ..core.decomp import FactorizeAlg
 
     if form not in _CANONICAL_FORMS:
         raise ValueError(f"unknown canonical form {form}")
-    alg = {0: FactorizeAlg.QR, 1: FactorizeAlg.LU,
-           2: FactorizeAlg.CI}[form]
+    alg = FactorizeAlg(_CANONICAL_FORMS[form])
     net = h.net()
-    prev = getattr(net, "_capi_canonical_form", None)
+    prev = net.canonical_form
     region = net.canonical_region()
     if region and set(region) == {_node_key(net, center)}:
-        if prev is not None and prev == form:
+        if prev is alg:
             return  # already canonical at this center with this form
-        if prev is not None and prev != form and not force:
+        if prev is not None and prev is not alg and not force:
             raise ValueError(
                 "network already canonicalized with a different form; "
                 "pass force to re-canonicalize")
     net.canonicalize([_node_key(net, center)], form=alg)
-    net._capi_canonical_form = form
 
 
 def _node_key(net, name: str):

@@ -76,8 +76,11 @@ def load() -> Optional[ctypes.CDLL]:
 def jacobi_svd(a):
     """Full SVD (u, s, vh) of a small 2-D float64/complex128 numpy
     matrix via the native one-sided Jacobi kernel; None when the
-    library or dtype is unavailable. High relative accuracy; several
-    times faster than LAPACK gesdd below ~64x64 on this host."""
+    library or dtype is unavailable. High relative accuracy. A
+    LAPACK-free fallback, not the default host SVD (gesdd wins above
+    ~16x32 on the target hosts). Matches np.linalg.svd's contract
+    including rank-deficient inputs (zero singular values get an
+    orthonormal completion of vh/u, not zero rows)."""
     import numpy as np
 
     lib = load()
@@ -100,12 +103,20 @@ def jacobi_svd(a):
     U = np.empty((p, p), a.dtype)
     s = np.empty(p, np.float64)
     Vh = np.empty((p, q), a.dtype)
-    import ctypes
 
     def ptr(x):
         return x.ctypes.data_as(ctypes.c_void_p)
 
     fn(ptr(X), p, q, ptr(U), ptr(s), ptr(Vh))
+    if np.any(s == 0.0):
+        # kernel leaves zero rows in Vh for vanished singular values;
+        # complete them to an orthonormal set (complement columns of a
+        # complete QR), keeping the nonzero rows untouched — U needs no
+        # fix (it comes from the accumulated rotations, always unitary)
+        nz = s > 0.0
+        k = int(nz.sum())
+        qfull, _ = np.linalg.qr(Vh[nz].conj().T, mode="complete")
+        Vh[~nz] = qfull[:, k:p].conj().T
     if flip:
         # a = X^T = (U S Vh)^T = Vh^T S U^T
         return Vh.T, s, U.T

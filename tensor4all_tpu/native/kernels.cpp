@@ -131,9 +131,10 @@ int64_t rrlu_impl(const T* a_in, int64_t n, int64_t m, double rtol,
 // One-sided Jacobi SVD of a p x q row-major matrix X with p <= q:
 // X = U diag(s) Vh with U (p x p), s (p), Vh (p x q). Rows of X are
 // orthogonalized by Givens rotations; high relative accuracy (better
-// than bidiagonalization for graded matrices) and, at the small sizes
-// the host truncation paths use (p <= ~64), several times faster than
-// LAPACK gesdd on this machine. Used by core.decomp's host SVD.
+// than bidiagonalization for graded matrices). Shipped as a
+// LAPACK-free fallback behind native.jacobi_svd — NOT wired into the
+// default host SVD path: on the target hosts OpenBLAS gesdd wins above
+// ~16x32 (measured), so the default stays LAPACK.
 template <typename T>
 void jacobi_svd_impl(const T* x_in, int64_t p, int64_t q, T* U, double* s,
                      T* Vh) {

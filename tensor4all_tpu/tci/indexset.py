@@ -21,8 +21,12 @@ class IndexSet:
 
     def add(self, item: Sequence[int]) -> int:
         """Add if absent; return position."""
-        # map(int,...) handles numpy scalars; plain-int tuples pass through
-        t = item if type(item) is tuple else tuple(map(int, item))
+        # fast path only for tuples that are already plain ints — a tuple
+        # of numpy scalars must still be coerced so stored items stay
+        # canonical (json-serializable, type-stable)
+        t = (item if type(item) is tuple
+             and (not item or type(item[0]) is int)
+             else tuple(map(int, item)))
         p = self._pos.get(t)
         if p is not None:
             return p

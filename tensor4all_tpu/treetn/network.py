@@ -47,6 +47,9 @@ class TreeTN:
         self.graph = nx.Graph()
         self._tensors: Dict[NodeName, Tensor] = {}
         self.ortho_towards: Dict[Tuple[NodeName, NodeName], NodeName] = {}
+        # which factorization produced the current gauge (ref treetn
+        # CanonicalForm tracking); None until the first canonicalize
+        self.canonical_form: Optional[FactorizeAlg] = None
 
     # ------------------------------------------------------------------
     # construction (ref from_tensors :238, connect :401)
@@ -131,6 +134,7 @@ class TreeTN:
         tn.graph = self.graph.copy()
         tn._tensors = dict(self._tensors)
         tn.ortho_towards = dict(self.ortho_towards)
+        tn.canonical_form = self.canonical_form
         return tn
 
     def sim_linkinds(self) -> "TreeTN":
@@ -229,6 +233,7 @@ class TreeTN:
             self._tensors[p] = contract([R, self._tensors[p]])
             self.set_bond(node, p, new_bond)
             self._set_ortho(node, p, p)
+        self.canonical_form = form
         return self
 
     # ------------------------------------------------------------------

@@ -38,7 +38,7 @@ class AciOptions:
     tol: float = 1e-10
     maxbonddim: Optional[int] = None
     max_iter: int = 16
-    min_iters: int = 2
+    min_iters: Optional[int] = None  # default: min(2, max_iter)
     n_global_pivots: int = 2
     global_search_starts: int = 32
     seed: int = 0
@@ -46,6 +46,8 @@ class AciOptions:
     def __post_init__(self):
         if self.max_iter < 1:
             raise ValueError("max_iter must be >= 1")
+        if self.min_iters is None:
+            self.min_iters = min(2, self.max_iter)
         if self.min_iters < 1 or self.min_iters > self.max_iter:
             raise ValueError("need 1 <= min_iters <= max_iter")
         if self.maxbonddim is not None and self.maxbonddim < 1:

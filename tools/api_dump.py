@@ -28,6 +28,8 @@ def dump(package_name: str = "tensor4all_tpu") -> str:
     for m in pkgutil.walk_packages(pkg.__path__, prefix=package_name + "."):
         if ".capi" in m.name and m.name.endswith("helpers"):
             continue
+        if m.name.rsplit(".", 1)[-1].startswith("lib"):
+            continue  # compiled .so artifacts are not Python modules
         mods.append(m.name)
     for name in sorted(set(mods)):
         try:
