@@ -24,7 +24,13 @@ echo "== native kernels build =="
 make -C tensor4all_tpu/native >/dev/null
 
 echo "== tests =="
-python -m pytest tests/ -q
+if [ "${1:-}" = "--coverage" ]; then
+  # reference parity: coverage gate (scripts/coverage-thresholds.json,
+  # ref scripts/check-coverage.py + CI_rs.yml:88-110)
+  python scripts/coverage_gate.py tests/ -q
+else
+  python -m pytest tests/ -q
+fi
 
 echo "== api dump (drift check) =="
 python tools/api_dump.py docs/api.md

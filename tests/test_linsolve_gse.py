@@ -121,3 +121,62 @@ def test_gse_tdvp_beats_plain_tdvp_from_product_state(key):
                        tdvp_options=t_opts)
     err_gse = np.linalg.norm(vec_of(out_gse, sites, order) - expect)
     assert err_gse < 2e-3, err_gse
+
+
+def test_linsolve_on_partitioned_tt(key):
+    """BASELINE config 5: GMRES linsolve with an MPO operator on a
+    partitioned TT — the operator is diagonal in the partitioned site,
+    so patch-wise solves compose exactly (ref partitionedtt +
+    itensorlike linsolve path)."""
+    import numpy as np
+
+    from tensor4all_tpu.mps import MPS, linsolve, mpo_operator
+    from tensor4all_tpu.treetn.linsolve import LinsolveOptions
+    from tensor4all_tpu.tt import MPO, TensorTrain
+    from tensor4all_tpu.tt.partitioned import (
+        PartitionedTT,
+        Projector,
+        SubDomainTT,
+        _restrict,
+    )
+
+    L, d = 4, 2
+    # operator: identity on site 0 (the partitioned site) x random MPO
+    links = [1, 3, 3, 1]
+    ks = jax.random.split(key, L)
+    rest = [np.asarray(jax.random.normal(ks[k], (links[k - 1], d, d,
+                                                 links[k])))
+            for k in range(1, L)]
+    full = MPO([np.eye(d)[None, :, :, None]] + rest)
+    A = np.asarray(full.to_dense_matrix())
+    a0, a1 = 4.0, 0.5
+
+    # rhs as a partitioned TT over site 0
+    b_tt = TensorTrain.random(jax.random.PRNGKey(7), [d] * L, rank=2)
+    whole = SubDomainTT(Projector.make({}), b_tt, [d] * L)
+    patches = [_restrict(whole, Projector.make({0: v})) for v in range(d)]
+    pt = PartitionedTT(patches)
+
+    # patch-wise solve: restrict the MPO to each patch (site 0 fixed)
+    sub_mpo = MPO(rest)
+    xs_patches = {}
+    for patch in pt.patches:
+        v = dict(patch.projector.fixed)[0]
+        b_mps = MPS.from_tt(patch.tt)
+        op = mpo_operator(sub_mpo, b_mps.sites)
+        x0 = MPS.from_tt(TensorTrain.random(jax.random.PRNGKey(11 + v),
+                                            [d] * (L - 1), rank=2),
+                         sites=b_mps.sites)
+        res = linsolve(op, b_mps, x0,
+                       LinsolveOptions(nsweeps=8, maxdim=8, cutoff=1e-24,
+                                       a0=a0, a1=a1, gmres_rtol=1e-12))
+        xs_patches[v] = np.asarray(
+            res.x.contract_to_tensor().dense(tuple(b_mps.sites))
+        ).reshape(-1)
+
+    # dense oracle on the full domain
+    bv = np.asarray(b_tt.full_tensor()).reshape(-1)
+    x_full = np.linalg.solve(a0 * np.eye(d ** L) + a1 * A, bv)
+    got = np.concatenate([xs_patches[0], xs_patches[1]])
+    rel = np.linalg.norm(got - x_full) / np.linalg.norm(x_full)
+    assert rel < 1e-8, rel
