@@ -131,7 +131,14 @@ def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype):
     hi_dtype = mps0.dtype
     st = jnp.dtype(sweep_dtype) if sweep_dtype is not None else hi_dtype
     hs = h.astype(st)
-    mps = mps0.astype(st)
+    # Normalize every core BEFORE the precision cast: scaling cores only
+    # rescales the state (TT multilinearity), and a right-canonical
+    # input concentrates the full state norm in core 0 — random inits
+    # put it at ~1e-19 for N=32, whose f32 sum-of-squares underflows and
+    # silently zeroed the first theta (garbage/NaN ground states).
+    core_norms = jnp.sqrt(jnp.sum(jnp.abs(mps0) ** 2, axis=(1, 2, 3),
+                                  keepdims=True))
+    mps = (mps0 / jnp.where(core_norms > 0, core_norms, 1.0)).astype(st)
     real_st = jnp.finfo(st).dtype
 
     def norm_site(A):
@@ -214,19 +221,25 @@ def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype):
         previous core converge it (the discarded spectrum is ~0 once
         ranks saturate, and DMRG self-corrects earlier).
         """
+        # QR between the two half-applications keeps every intermediate
+        # at dynamic range sigma (not sigma^2): forming mat (mat^H Q)
+        # directly underflows f32 once most kept singular values drop
+        # below sqrt(eps_f32) ~ 2e-4 — at N >= 32, chi >= 128 that is
+        # the bulk of the spectrum, and the sweep silently diverged
+        # (garbage energies on CPU f32, NaN on TPU).
         mat = theta.reshape(chi * d, d * chi)
         if toward_right:
-            Y = mat @ (jnp.conj(mat).T @ Q0)  # (chi d, chi)
-            Q, _ = jnp.linalg.qr(Y)
-            Y = mat @ (jnp.conj(mat).T @ Q)
-            Q, _ = jnp.linalg.qr(Y)
+            Z, _ = jnp.linalg.qr(jnp.conj(mat).T @ Q0)  # (d chi, chi)
+            Q, _ = jnp.linalg.qr(mat @ Z)  # (chi d, chi)
+            Z, _ = jnp.linalg.qr(jnp.conj(mat).T @ Q)
+            Q, _ = jnp.linalg.qr(mat @ Z)
             left = Q.reshape(chi, d, chi)
             right = (jnp.conj(Q).T @ mat).reshape(chi, d, chi)
         else:
-            Y = jnp.conj(mat).T @ (mat @ Q0)  # (d chi, chi)
-            Q, _ = jnp.linalg.qr(Y)
-            Y = jnp.conj(mat).T @ (mat @ Q)
-            Q, _ = jnp.linalg.qr(Y)
+            Z, _ = jnp.linalg.qr(mat @ Q0)  # (chi d, chi)
+            Q, _ = jnp.linalg.qr(jnp.conj(mat).T @ Z)  # (d chi, chi)
+            Z, _ = jnp.linalg.qr(mat @ Q)
+            Q, _ = jnp.linalg.qr(jnp.conj(mat).T @ Z)
             right = jnp.conj(Q).T.reshape(chi, d, chi)
             left = (mat @ Q).reshape(chi, d, chi)
         return left, right

@@ -297,8 +297,17 @@ def tdvp_chain(h_cores, init_cores, t, chi, nsteps=1, order=2,
     # (empirical, N=6 Heisenberg), so no automatic clamp is applied.
     dtype = jnp.complex128 if sweep_dtype is None else sweep_dtype
     h = pad_mpo([jnp.asarray(np.asarray(c), dtype) for c in h_cores])
-    mps0 = pad_mps([jnp.asarray(np.asarray(c), dtype)
-                    for c in init_cores], chi)
+    # Per-core normalization guards low-precision sweeps against the
+    # concentrated-norm underflow (see dmrg_chain._dmrg_sweeps): the
+    # engine's local steps unit-normalize the state, so its output is
+    # UNIT-NORM by convention regardless of input scale, and the
+    # rescaling here is invisible in the result.
+    normed = []
+    for c in init_cores:
+        a = np.asarray(c)
+        n = float(np.linalg.norm(a))
+        normed.append(a / n if n > 0 else a)
+    mps0 = pad_mps([jnp.asarray(c, dtype) for c in normed], chi)
     return tdvp_run(h, mps0, t, nsteps=nsteps, order=order,
                     krylov_m=krylov_m, sweep_dtype=sweep_dtype,
                     orthogonalize=True)

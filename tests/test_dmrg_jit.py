@@ -76,3 +76,40 @@ def test_dmrg_jit_matches_treetn_dmrg():
     h_cores = treeoperator_to_mpo_cores(op, list(g.nodes))
     e, _ = dmrg_chain(h_cores, chi=16, n_sweeps=5, lanczos_iters=16)
     assert abs(float(e) - res.energy) < 1e-11
+
+
+def test_dmrg_f32_large_chain_regression():
+    """N=32, chi=64, f32 sweeps: a right-canonical random init holds the
+    full state norm (~1e-19) in core 0, whose f32 sum-of-squares
+    underflowed and silently zeroed the first theta — garbage energies
+    on CPU, NaN on TPU. The engine now normalizes cores before the
+    precision cast (scale-invariant for DMRG)."""
+    import networkx as nx
+
+    from tensor4all_tpu.models.spin import heisenberg
+    from tensor4all_tpu.ops.dmrg_chain import (
+        dmrg_run,
+        pad_mpo,
+        pad_mps,
+        treeoperator_to_mpo_cores,
+    )
+    from tensor4all_tpu.treetn.network import random_treetn
+    from tensor4all_tpu.tt.compression import right_orthogonalize
+    from tensor4all_tpu.tt.tensortrain import TensorTrain
+
+    N, chi = 32, 64
+    g = nx.path_graph(N)
+    tn, site_inds = random_treetn(jax.random.PRNGKey(0), g,
+                                  {n: [2] for n in g.nodes}, bond_dim=2)
+    sites = {n: site_inds[n][0] for n in g.nodes}
+    op = heisenberg(g, sites)
+    h = pad_mpo([jnp.asarray(c)
+                 for c in treeoperator_to_mpo_cores(op, list(range(N)))])
+    tt = right_orthogonalize(
+        TensorTrain.random(jax.random.PRNGKey(0), [2] * N, rank=chi))
+    mps0 = pad_mps(list(tt.cores), chi)
+    e = float(dmrg_run(h, mps0, n_sweeps=1, lanczos_iters=8,
+                       sweep_dtype=jnp.float32)[0])
+    # one sweep already reaches the right ballpark (-0.4368/site);
+    # the underflow bug produced ~0 or positive energies
+    assert e / N < -0.42, e / N
