@@ -440,6 +440,13 @@ def difference_kernel_mpo(R: int, kind: str = "central",
     (ref difference_kernel.rs:24): central ``(f(x+1) - f(x-1))/2``,
     forward ``f(x+1) - f(x)``, backward ``f(x) - f(x-1)``.
     Multiply by 1/h (grid step) for a derivative estimate.
+
+    Accuracy note: the output magnitude is ~``h |f'|`` while the apply's
+    intermediate bonds carry the un-cancelled ``f`` scale, so a RELATIVE
+    apply tolerance ``tol`` leaves an absolute error ``~tol |f|`` that
+    is ``tol |f| / h`` in the derivative. At large R (tiny h) use an
+    apply tolerance well below ``h``, or ``apply_naive`` (measured at
+    R=30: tol 1e-10 -> 1.2% derivative error, tol 1e-14 -> 2e-7).
     """
     if kind == "central":
         m = shift_operator(R, 1, bc, dtype) + shift_operator(R, -1, bc, dtype).scale(-1.0)

@@ -325,3 +325,20 @@ def test_random_treetn_per_edge_linkspace(key):
     with pytest.raises(ValueError):
         random_treetn(key, g, {n: [2] for n in g.nodes},
                       bond_dim={(0, 1): 2})
+
+
+def test_aci_three_inputs_mixed_op(key):
+    """k=3 inputs at chi=12 with a nonlinear mixed op (production-shape
+    probe: the 2-input toy configs masked nothing here, kept as guard)."""
+    L = 8
+    a = TensorTrain.random(key, [2] * L, rank=12)
+    b = TensorTrain.random(jax.random.PRNGKey(21), [2] * L, rank=12)
+    c = TensorTrain.random(jax.random.PRNGKey(22), [2] * L, rank=12)
+    res = elementwise_batched(lambda x, y, z: x * y + np.tanh(z),
+                              [a, b, c],
+                              AciOptions(tol=1e-9, max_iter=12,
+                                         maxbonddim=96))
+    da, db, dc = [np.asarray(t.full_tensor()).ravel() for t in (a, b, c)]
+    want = da * db + np.tanh(dc)
+    got = np.asarray(res.tt.full_tensor()).ravel()
+    assert np.abs(got - want).max() < 1e-6
