@@ -47,6 +47,9 @@ def bench_dmrg():
         m = mxu_run(chi=512, dtype_name="bfloat16", k_applies=512, reps=3)
         result["detail"]["mxu_chi512_bf16_tflops"] = round(m["tflops"], 2)
         result["detail"]["mxu_chi512_mfu"] = round(m["mfu_vs_bf16_peak"], 4)
+        m = mxu_run(chi=1024, dtype_name="bfloat16", k_applies=256, reps=3)
+        result["detail"]["mxu_chi1024_bf16_tflops"] = round(m["tflops"], 2)
+        result["detail"]["mxu_chi1024_mfu"] = round(m["mfu_vs_bf16_peak"], 4)
     except Exception as e:  # noqa: BLE001
         result["detail"]["mxu_error"] = f"{type(e).__name__}: {e}"
     return result
