@@ -84,10 +84,20 @@ class TensorTrain:
         """Random TT with (clamped) uniform internal rank."""
         L = len(local_dims)
         ranks = [1] + [rank] * (L - 1) + [1]
-        # clamp ranks to representable sizes
+        # clamp ranks to representable sizes; the dim products are
+        # capped at `rank` DURING accumulation (np.prod int64 silently
+        # overflows past ~60 binary sites, producing negative shapes)
+        def _capped_prod(dims, cap):
+            p = 1
+            for d in dims:
+                p *= int(d)
+                if p >= cap:
+                    return cap
+            return p
+
         for k in range(1, L):
-            left = int(np.prod(local_dims[:k], dtype=np.int64))
-            right = int(np.prod(local_dims[k:], dtype=np.int64))
+            left = _capped_prod(local_dims[:k], ranks[k])
+            right = _capped_prod(local_dims[k:], ranks[k])
             ranks[k] = min(ranks[k], left, right)
         keys = jax.random.split(key, L)
         cores = []

@@ -303,3 +303,18 @@ def test_tci1_aca_lazy():
                               n_samples=3000)
     assert err < 1e-7 * tci.f_max
     assert tci.func.num_evals < 6 ** 6 // 2
+
+
+def test_tt_random_long_chain_no_overflow(key):
+    """L=200 binary chain: the rank clamp used to compute d^k in int64,
+    silently overflowing past ~60 sites into negative core shapes (ref
+    bug_norm_oom_large_tt class). log_norm stays finite/exact where the
+    plain norm underflows f64."""
+    tt = TensorTrain.random(key, [2] * 200, rank=30)
+    assert all(r >= 1 for r in tt.ranks)
+    n = float(tt.norm())
+    assert np.isfinite(n)
+    ln = float(tt.log_norm())
+    assert np.isfinite(ln)
+    # scaling by c shifts log_norm by exactly log(c)
+    assert abs(float(tt.scale(1e8).log_norm()) - ln - np.log(1e8)) < 1e-8
