@@ -46,6 +46,8 @@ class InherentDiscreteGrid:
     # ------------------------------------------------------------------
     def index_to_quantics(self, m: np.ndarray) -> np.ndarray:
         """(B, d) integer coords -> (B, n_sites) quantics digits."""
+        if self.R > 62:
+            return self._index_to_quantics_bigint(m)
         m = np.asarray(m, dtype=np.int64)
         if m.ndim == 1:
             m = m[:, None]
@@ -63,8 +65,37 @@ class InherentDiscreteGrid:
         weights = (1 << np.arange(self.d, dtype=np.int64))
         return (bits * weights[None, None, :]).sum(axis=2)
 
+    def _index_to_quantics_bigint(self, m) -> np.ndarray:
+        """Arbitrary-R path via Python big ints (the reference's
+        quanticsgrids uses u64->bigint widening; int64 shifts silently
+        overflow past R = 62). Digits stay an int64 array — each digit
+        is tiny — only the coordinate integers are unbounded."""
+        rows = m if isinstance(m, (list, tuple)) else np.asarray(m, object)
+        if getattr(rows, "ndim", 2) == 1:
+            rows = rows[:, None]
+        B = len(rows)
+        top = 1 << self.R
+        out = np.zeros((B, self.n_sites), dtype=np.int64)
+        for bi in range(B):
+            vals = [int(v) for v in rows[bi]]
+            if len(vals) != self.d:
+                raise ValueError(f"expected {self.d} coords")
+            for v in vals:
+                if not 0 <= v < top:
+                    raise ValueError("coordinate out of range")
+            for b in range(self.R):
+                sh = self.R - 1 - b
+                if self.unfolding is UnfoldingScheme.INTERLEAVED:
+                    for k, v in enumerate(vals):
+                        out[bi, b * self.d + k] = (v >> sh) & 1
+                else:
+                    out[bi, b] = sum(((v >> sh) & 1) << k
+                                     for k, v in enumerate(vals))
+        return out
+
     def quantics_to_index(self, q: np.ndarray) -> np.ndarray:
-        """(B, n_sites) quantics digits -> (B, d) integer coords."""
+        """(B, n_sites) quantics digits -> (B, d) integer coords
+        (object-dtype Python ints when R > 62)."""
         q = np.asarray(q, dtype=np.int64)
         B = q.shape[0]
         if q.shape[1] != self.n_sites:
@@ -74,6 +105,15 @@ class InherentDiscreteGrid:
         else:
             weights = np.arange(self.d, dtype=np.int64)
             bits = (q[:, :, None] >> weights[None, None, :]) & 1
+        if self.R > 62:
+            out = np.empty((B, self.d), dtype=object)
+            for bi in range(B):
+                for k in range(self.d):
+                    v = 0
+                    for b in range(self.R):
+                        v = (v << 1) | int(bits[bi, b, k])
+                    out[bi, k] = v
+            return out
         shifts = (1 << np.arange(self.R - 1, -1, -1, dtype=np.int64))
         return (bits * shifts[None, :, None]).sum(axis=1)
 
@@ -126,18 +166,35 @@ class DiscretizedGrid:
         return float(np.prod(self.step))
 
     def index_to_coord(self, m: np.ndarray) -> np.ndarray:
-        m = np.asarray(m, dtype=np.int64)
-        if m.ndim == 1:
-            m = m[:, None]
+        if self.R > 62:
+            m = np.asarray(m, dtype=object)
+            if m.ndim == 1:
+                m = m[:, None]
+            m = m.astype(np.float64)  # coords are float64 anyway
+        else:
+            m = np.asarray(m, dtype=np.int64)
+            if m.ndim == 1:
+                m = m[:, None]
         return np.asarray(self.lower)[None, :] + m * self.step[None, :]
 
     def coord_to_index(self, x: np.ndarray) -> np.ndarray:
         x = np.asarray(x, dtype=np.float64)
         if x.ndim == 1:
             x = x[:, None]
-        m = np.floor(
+        scaled = np.floor(
             (x - np.asarray(self.lower)[None, :]) / self.step[None, :] + 0.5
-        ).astype(np.int64)
+        )
+        if self.R > 62:
+            # float64 resolves ~2^53 distinct coordinates; the bit index
+            # beyond that is exact for the float value itself (the
+            # precision limit is inherent to float coordinates, as in
+            # the reference's f64-based quanticsgrids)
+            top = (1 << self.R) - 1
+            out = np.empty(scaled.shape, dtype=object)
+            for pos, v in np.ndenumerate(scaled):
+                out[pos] = min(max(int(v), 0), top)
+            return out
+        m = scaled.astype(np.int64)
         return np.clip(m, 0, 2 ** self.R - 1)
 
     def quantics_to_coord(self, q: np.ndarray) -> np.ndarray:

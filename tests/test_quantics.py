@@ -519,3 +519,54 @@ def test_qtci_from_arrays_and_cachedata():
     np.testing.assert_allclose(
         vals, f(np.stack([xs[mm[:, 0]], ys[mm[:, 1]]], axis=1)),
         atol=1e-12)
+
+
+def test_grids_beyond_int64():
+    """R >= 63 grids: int64 shifts/casts silently overflowed (the
+    reference's quanticsgrids widens to big ints). Integer roundtrips
+    must be exact at R=100; the continuous pipeline works at R=80."""
+    from tensor4all_tpu.quantics.grids import (
+        DiscretizedGrid,
+        InherentDiscreteGrid,
+        UnfoldingScheme,
+    )
+
+    ig = InherentDiscreteGrid(100, d=2)
+    m = np.asarray([[(1 << 99) + 12345, 987654321],
+                    [0, (1 << 100) - 1]], dtype=object)
+    back = ig.quantics_to_index(ig.index_to_quantics(m))
+    assert all(int(back[i, j]) == int(m[i, j])
+               for i in range(2) for j in range(2))
+    igf = InherentDiscreteGrid(70, d=2, unfolding=UnfoldingScheme.FUSED)
+    m2 = np.asarray([[(1 << 69) + 7, (1 << 68) + 3]], dtype=object)
+    q2 = igf.index_to_quantics(m2)
+    assert int(igf.quantics_to_index(q2)[0, 0]) == int(m2[0, 0])
+    g = DiscretizedGrid.create(80, 0.0, 1.0)
+    x = np.asarray([0.3, 0.725])
+    back_x = np.asarray(g.quantics_to_coord(g.coord_to_quantics(x)),
+                        float).reshape(-1)
+    np.testing.assert_allclose(back_x, x, atol=1e-15)
+
+
+def test_qtci_at_r80():
+    """Continuous QTT interpolation over 80 sites exercises the
+    CachedFunction big-int key fallback end to end."""
+    from tensor4all_tpu.quantics import (
+        DiscretizedGrid,
+        quanticscrossinterpolate,
+    )
+    from tensor4all_tpu.tci.tensorci2 import TCI2Options
+
+    g = DiscretizedGrid.create(80, 0.0, 1.0)
+
+    def f(x):
+        x = np.asarray(x, float).reshape(-1)
+        return 1.0 / (1.1 + np.cos(7 * x))
+
+    qtt = quanticscrossinterpolate(f, g,
+                                   options=TCI2Options(tol=1e-10,
+                                                       max_iter=8))
+    xs = np.linspace(0.05, 0.95, 13)
+    got = np.asarray([float(np.asarray(qtt.evaluate(float(x))).reshape(()))
+                      for x in xs])
+    assert np.abs(got - f(xs)).max() < 1e-8
