@@ -117,3 +117,48 @@ def test_append_refuses_duplicate(tmp_path):
         pass
     from tensor4all_tpu.io import load_mps
     assert load_mps(p, "m1").L == 2
+
+
+def test_mps_complex_roundtrip(tmp_path, key):
+    """complex128 MPS through the ITensorMPS.jl schema."""
+    import numpy as np
+
+    from tensor4all_tpu.io.hdf5 import load_mps, save_mps
+    from tensor4all_tpu.tt.tensortrain import TensorTrain
+
+    tt = TensorTrain.random(key, [3] * 6, rank=4, dtype=np.complex128)
+    p = str(tmp_path / "m.h5")
+    save_mps(p, "psi", tt)
+    back = load_mps(p, "psi")
+    d0 = np.asarray(tt.full_tensor()).ravel()
+    d1 = np.asarray(back.to_dense()).ravel()
+    assert np.abs(d0 - d1).max() < 1e-12
+
+
+def test_tci2_checkpoint_restore_evaluates_identically(tmp_path):
+    """Pivot-state checkpoint restores a TCI2 whose interpolant matches
+    bit-for-bit (ref conversion.rs resume path + io/checkpoint)."""
+    import numpy as np
+
+    from tensor4all_tpu.io.checkpoint import load_tci2, save_tci2
+    from tensor4all_tpu.tci.tensorci2 import TCI2Options, crossinterpolate2
+
+    L, d = 6, 8
+    grid = np.linspace(0, 1, d)
+
+    def bf(ix):
+        x = grid[ix]
+        return 1.0 / (1.0 + np.sum((x * np.linspace(0.5, 1.5, L)) ** 2,
+                                   axis=1))
+
+    tci1, _, _ = crossinterpolate2(batch_f=bf, local_dims=[d] * L,
+                                   options=TCI2Options(tol=1e-4, seed=0,
+                                                       max_iter=2))
+    p = str(tmp_path / "ck")
+    save_tci2(p, tci1)
+    tci2 = load_tci2(p, batch_f=bf)
+    rng = np.random.default_rng(0)
+    pts = rng.integers(0, d, (300, L))
+    v1 = np.asarray(tci1.to_tensortrain().evaluate_batch(pts))
+    v2 = np.asarray(tci2.to_tensortrain().evaluate_batch(pts))
+    assert np.abs(v1 - v2).max() < 1e-12
