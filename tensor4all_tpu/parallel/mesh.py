@@ -56,9 +56,15 @@ def shard_batch_eval(
     jf = jax.jit(jax_batch_f)
 
     def batch_f(idx: np.ndarray) -> np.ndarray:
+        from ..tci.cached_function import _bucket_batch
+
         idx = np.asarray(idx)
         B = idx.shape[0]
-        pad = (-B) % n
+        # bucket to a power of two that is also a mesh multiple: one
+        # XLA compile per distinct batch shape costs seconds on real
+        # chips, and TCI emits a new B at every bond update
+        target = _bucket_batch(max(B, n))
+        pad = target - B if target % n == 0 else ((-B) % n)
         if pad:
             idx = np.concatenate([idx, np.repeat(idx[-1:], pad, axis=0)])
         idx_dev = jax.device_put(
