@@ -166,7 +166,23 @@ class TensorTrain:
         idx = jnp.asarray(idx)
         if idx.ndim != 2 or idx.shape[1] != len(self):
             raise ValueError(f"index batch must be (B, {len(self)})")
-        return _eval_batch_impl(tuple(self.cores), idx.astype(jnp.int32))
+        B = idx.shape[0]
+        try:
+            on_cpu = jax.default_backend() == "cpu"
+        except Exception:  # noqa: BLE001
+            on_cpu = True
+        if not on_cpu and B > 0:
+            # bucket the batch axis: each distinct shape is an XLA
+            # compile (tens of seconds on a remote TPU); padded index 0
+            # rows are valid and sliced off after
+            from ..tci.cached_function import _bucket_batch
+
+            Bp = _bucket_batch(B)
+            if Bp != B:
+                idx = jnp.concatenate(
+                    [idx, jnp.zeros((Bp - B, idx.shape[1]), idx.dtype)])
+        out = _eval_batch_impl(tuple(self.cores), idx.astype(jnp.int32))
+        return out[:B]
 
     def full_tensor(self) -> jnp.ndarray:
         """Dense tensor (test oracle; exponential — small sizes only)."""
