@@ -13,6 +13,37 @@ import networkx as nx
 import numpy as np
 
 
+def _setup(N, chi, bond_dim=2, init_rank=None):
+    """Build (graph, op, padded MPO, padded MPS) for a Heisenberg chain."""
+    import jax
+    import jax.numpy as jnp
+
+    from tensor4all_tpu.models.spin import heisenberg
+    from tensor4all_tpu.ops.dmrg_chain import (
+        pad_mpo,
+        pad_mps,
+        treeoperator_to_mpo_cores,
+    )
+    from tensor4all_tpu.treetn.network import random_treetn
+    from tensor4all_tpu.tt.compression import right_orthogonalize
+    from tensor4all_tpu.tt.tensortrain import TensorTrain
+
+    g = nx.path_graph(N)
+    tn, site_inds = random_treetn(
+        jax.random.PRNGKey(0), g, {n: [2] for n in g.nodes},
+        bond_dim=bond_dim
+    )
+    sites = {n: site_inds[n][0] for n in g.nodes}
+    op = heisenberg(g, sites)
+    h = pad_mpo([jnp.asarray(c)
+                 for c in treeoperator_to_mpo_cores(op, list(range(N)))])
+    tt = right_orthogonalize(TensorTrain.random(
+        jax.random.PRNGKey(0), [2] * N, rank=init_rank or chi))
+    mps0 = pad_mps(list(tt.cores), chi)
+    host_cores = [np.asarray(c) for c in tt.cores]
+    return g, op, h, mps0, host_cores
+
+
 def run(median_time):
     import jax
     import jax.numpy as jnp
@@ -29,20 +60,7 @@ def run(median_time):
     from tensor4all_tpu.tt.tensortrain import TensorTrain
 
     N, chi = 8, 32
-    g = nx.Graph()
-    for i in range(N - 1):
-        g.add_edge(i, i + 1)
-    tn, site_inds = random_treetn(
-        jax.random.PRNGKey(0), g, {n: [2] for n in g.nodes}, bond_dim=2
-    )
-    sites = {n: site_inds[n][0] for n in g.nodes}
-    op = heisenberg(g, sites)
-    h = pad_mpo([jnp.asarray(c)
-                 for c in treeoperator_to_mpo_cores(op, list(range(N)))])
-    tt = right_orthogonalize(
-        TensorTrain.random(jax.random.PRNGKey(0), [2] * N, rank=chi)
-    )
-    mps0 = pad_mps(list(tt.cores), chi)
+    g, op, h, mps0, host_cores = _setup(N, chi)
 
     result = {}
     device = jax.devices()[0]
@@ -61,7 +79,6 @@ def run(median_time):
         from tensor4all_tpu.ops.tdvp_chain_host import dmrg_chain_host
 
         host_h = treeoperator_to_mpo_cores(op, list(range(N)))
-        host_cores = [np.asarray(c) for c in tt.cores]
 
         def body():
             e, _, _ = dmrg_chain_host(host_h, host_cores, chi, n_sweeps=4)
@@ -87,17 +104,9 @@ def run(median_time):
         # beyond the latency-bound toy config
         try:
             Np, chip = 32, 256
-            gp = nx.path_graph(Np)
-            tnp_, sip = random_treetn(jax.random.PRNGKey(0), gp,
-                                      {n: [2] for n in gp.nodes},
-                                      bond_dim=2)
-            opp = heisenberg(gp, {n: sip[n][0] for n in gp.nodes})
-            hp = pad_mpo([jnp.asarray(c) for c in
-                          treeoperator_to_mpo_cores(opp, list(gp.nodes))])
-            ttp = right_orthogonalize(TensorTrain.random(
-                jax.random.PRNGKey(0), [2] * Np, rank=chip))
-            mpsp = jax.device_put(pad_mps(list(ttp.cores), chip), device)
+            _, _, hp, mpsp, _ = _setup(Np, chip)
             hp = jax.device_put(hp, device)
+            mpsp = jax.device_put(mpsp, device)
 
             def big():
                 e, _ = dmrg_run(hp, mpsp, n_sweeps=6, lanczos_iters=16,

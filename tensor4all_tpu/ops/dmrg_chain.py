@@ -136,9 +136,16 @@ def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype):
     # input concentrates the full state norm in core 0 — random inits
     # put it at ~1e-19 for N=32, whose f32 sum-of-squares underflows and
     # silently zeroed the first theta (garbage/NaN ground states).
-    core_norms = jnp.sqrt(jnp.sum(jnp.abs(mps0) ** 2, axis=(1, 2, 3),
+    # Two-stage scaling so the guard itself cannot underflow even when
+    # mps0 is ALREADY f32 with ~1e-19 entries: max-abs first (exact, no
+    # sum-of-squares), then the 2-norm of the O(1)-rescaled core so
+    # every core ends at unit norm (a bare max-abs rescale leaves core
+    # norms ~sqrt(size), whose product overflows f32 at N = 32).
+    core_scale = jnp.max(jnp.abs(mps0), axis=(1, 2, 3), keepdims=True)
+    mps_o1 = mps0 / jnp.where(core_scale > 0, core_scale, 1.0)
+    core_norms = jnp.sqrt(jnp.sum(jnp.abs(mps_o1) ** 2, axis=(1, 2, 3),
                                   keepdims=True))
-    mps = (mps0 / jnp.where(core_norms > 0, core_norms, 1.0)).astype(st)
+    mps = (mps_o1 / jnp.where(core_norms > 0, core_norms, 1.0)).astype(st)
     real_st = jnp.finfo(st).dtype
 
     def norm_site(A):

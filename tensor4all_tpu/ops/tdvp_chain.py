@@ -305,8 +305,14 @@ def tdvp_chain(h_cores, init_cores, t, chi, nsteps=1, order=2,
     normed = []
     for c in init_cores:
         a = np.asarray(c)
-        n = float(np.linalg.norm(a))
-        normed.append(a / n if n > 0 else a)
+        # two-stage: max-abs first (cannot underflow even for f32 cores
+        # whose sum-of-squares would flush to zero), then unit 2-norm of
+        # the O(1)-rescaled core
+        m = float(np.abs(a).max()) if a.size else 0.0
+        if m > 0:
+            a = a / m
+            a = a / float(np.linalg.norm(a.astype(np.float64)))
+        normed.append(a)
     mps0 = pad_mps([jnp.asarray(c, dtype) for c in normed], chi)
     return tdvp_run(h, mps0, t, nsteps=nsteps, order=order,
                     krylov_m=krylov_m, sweep_dtype=sweep_dtype,

@@ -60,11 +60,13 @@ def shard_batch_eval(
 
         idx = np.asarray(idx)
         B = idx.shape[0]
-        # bucket to a power of two that is also a mesh multiple: one
+        # bucket to a power of two rounded up to a mesh multiple: one
         # XLA compile per distinct batch shape costs seconds on real
-        # chips, and TCI emits a new B at every bond update
+        # chips, and TCI emits a new B at every bond update (for
+        # power-of-two meshes the round-up is a no-op)
         target = _bucket_batch(max(B, n))
-        pad = target - B if target % n == 0 else ((-B) % n)
+        target = ((target + n - 1) // n) * n
+        pad = target - B
         if pad:
             idx = np.concatenate([idx, np.repeat(idx[-1:], pad, axis=0)])
         idx_dev = jax.device_put(

@@ -70,8 +70,8 @@ class InherentDiscreteGrid:
         quanticsgrids uses u64->bigint widening; int64 shifts silently
         overflow past R = 62). Digits stay an int64 array — each digit
         is tiny — only the coordinate integers are unbounded."""
-        rows = m if isinstance(m, (list, tuple)) else np.asarray(m, object)
-        if getattr(rows, "ndim", 2) == 1:
+        rows = np.asarray(m, dtype=object)
+        if rows.ndim == 1:
             rows = rows[:, None]
         B = len(rows)
         top = 1 << self.R

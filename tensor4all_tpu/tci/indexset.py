@@ -21,11 +21,11 @@ class IndexSet:
 
     def add(self, item: Sequence[int]) -> int:
         """Add if absent; return position."""
-        # fast path only for tuples that are already plain ints — a tuple
-        # of numpy scalars must still be coerced so stored items stay
-        # canonical (json-serializable, type-stable)
+        # fast path only for tuples that are entirely plain ints — any
+        # numpy scalar must be coerced so stored items stay canonical
+        # (json-serializable, type-stable)
         t = (item if type(item) is tuple
-             and (not item or type(item[0]) is int)
+             and all(type(v) is int for v in item)
              else tuple(map(int, item)))
         p = self._pos.get(t)
         if p is not None:

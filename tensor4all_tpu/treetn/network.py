@@ -104,6 +104,13 @@ class TreeTN:
         if name not in self._tensors:
             raise KeyError(name)
         self._tensors[name] = t
+        # replacing a tensor voids any isometry claim the OLD tensor
+        # made (edges where `name` is oriented toward a neighbor);
+        # claims about neighbors pointing toward `name` still hold
+        for nb in self.graph.neighbors(name):
+            k = _edge_key(name, nb)
+            if self.ortho_towards.get(k) == nb:
+                del self.ortho_towards[k]
 
     @property
     def node_names(self) -> List[NodeName]:

@@ -570,3 +570,16 @@ def test_qtci_at_r80():
     got = np.asarray([float(np.asarray(qtt.evaluate(float(x))).reshape(()))
                       for x in xs])
     assert np.abs(got - f(xs)).max() < 1e-8
+
+
+def test_bigint_grid_flat_list_input():
+    """d=1 grids accept flat lists on both sides of the R=62 threshold
+    (code-review regression: the big-int path crashed on them)."""
+    from tensor4all_tpu.quantics.grids import InherentDiscreteGrid
+
+    for R in (62, 63, 100):
+        g = InherentDiscreteGrid(R, d=1)
+        vals = [3, 5, (1 << (R - 1)) + 17]
+        q = g.index_to_quantics(vals if R > 62 else np.asarray(vals))
+        back = g.quantics_to_index(q)
+        assert [int(v) for v in np.asarray(back)[:, 0]] == vals

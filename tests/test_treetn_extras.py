@@ -211,3 +211,24 @@ def test_restructure_to_fuse_only(key):
     a = np.asarray(tn.contract_to_tensor().dense(order))
     b = np.asarray(out.contract_to_tensor().dense(order))
     np.testing.assert_allclose(b, a, atol=1e-10 * np.abs(a).max())
+
+
+def test_set_tensor_invalidates_isometry_claims(key):
+    """Replacing a tensor voids the edges where IT was the isometric
+    side (code-review regression: the capi smart-canonicalization no-op
+    fired on stale gauge state after set_tensor)."""
+    import networkx as nx
+
+    from tensor4all_tpu.treetn.network import random_treetn
+
+    g = nx.path_graph(3)
+    tn, _ = random_treetn(key, g, {n: [2] for n in g.nodes}, bond_dim=2)
+    tn.canonicalize([1])
+    assert set(tn.canonical_region()) == {1}
+    tn.set_tensor(0, tn.tensor(0) * 2.0)
+    region = tn.canonical_region()
+    assert not region or 0 not in region and set(region) != {1} \
+        or region is None
+    # re-canonicalizing restores a verifiable gauge
+    tn.canonicalize([1])
+    tn.verify_canonical()
