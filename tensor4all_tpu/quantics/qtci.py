@@ -240,6 +240,8 @@ def quanticscrossinterpolate_batched(
     pivots serves all components with ONE call to `f` (the reference's
     Arc<Mutex<HashMap>> cache) — this is also the natural
     embarrassingly-parallel DCN decomposition (SURVEY.md §5.8)."""
+    if isinstance(output_dims, (int, np.integer)):
+        output_dims = [int(output_dims)]
     ncomp = int(np.prod(list(output_dims)))
     if ncomp <= 0:
         raise ValueError("output_dims must have positive product")
