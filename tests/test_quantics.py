@@ -583,3 +583,30 @@ def test_bigint_grid_flat_list_input():
         q = g.index_to_quantics(vals if R > 62 else np.asarray(vals))
         back = g.quantics_to_index(q)
         assert [int(v) for v in np.asarray(back)[:, 0]] == vals
+
+
+def test_batched_qtci_int_output_dims():
+    """quanticscrossinterpolate_batched accepts a bare component count
+    (and the shared point cache serves all components)."""
+    from tensor4all_tpu.quantics.qtci import quanticscrossinterpolate_batched
+
+    g = DiscretizedGrid.create(12, 0.0, 1.0)
+    K = 3
+
+    def f(x, k):
+        x = np.asarray(x).reshape(-1)
+        return np.sin((k + 1) * 3.0 * x) * np.exp(-x)
+
+    def batched(x):
+        x = np.asarray(x).reshape(-1)
+        return np.stack([f(x, k) for k in range(K)], axis=1)
+
+    res = quanticscrossinterpolate_batched(
+        batched, g, K, options=TCI2Options(tol=1e-9, max_iter=10))
+    xs = np.linspace(0.05, 0.95, 11)
+    m = g.coord_to_index(xs)
+    xg = np.asarray(g.index_to_coord(m)).reshape(-1)
+    for k in range(K):
+        got = res.evaluate(xg[:, None], [k]).reshape(-1)
+        assert np.abs(got - f(xg, k)).max() < 1e-7
+    assert res.n_evals > 0
