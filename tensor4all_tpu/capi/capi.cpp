@@ -26,7 +26,12 @@ thread_local std::string g_last_error;
 
 void set_error(const std::string &msg) { g_last_error = msg; }
 
-void set_error_from_python() {
+// Fetch the pending Python exception into thread-local error storage
+// and map it to an ABI status: validation failures raised by the helper
+// layer (ValueError/KeyError/TypeError) become T4A_INVALID_ARGUMENT to
+// match the reference's status semantics (ref capi/src/lib.rs:49);
+// everything else is T4A_INTERNAL_ERROR.
+t4a_status_code set_error_from_python() {
   PyObject *type = nullptr, *value = nullptr, *tb = nullptr;
   PyErr_Fetch(&type, &value, &tb);
   PyErr_NormalizeException(&type, &value, &tb);
@@ -39,10 +44,17 @@ void set_error_from_python() {
       Py_DECREF(s);
     }
   }
+  t4a_status_code code = T4A_INTERNAL_ERROR;
+  if (type &&
+      (PyErr_GivenExceptionMatches(type, PyExc_ValueError) ||
+       PyErr_GivenExceptionMatches(type, PyExc_KeyError) ||
+       PyErr_GivenExceptionMatches(type, PyExc_TypeError)))
+    code = T4A_INVALID_ARGUMENT;
   Py_XDECREF(type);
   Py_XDECREF(value);
   Py_XDECREF(tb);
   set_error(msg);
+  return code;
 }
 
 struct GilGuard {
@@ -151,8 +163,7 @@ t4a_status_code t4a_init(void) {
   }
   GilGuard gil;
   if (!t4a_module()) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   return T4A_OK;
 }
@@ -173,14 +184,12 @@ t4a_status_code t4a_index_new(int64_t dim, const char *tags,
   GilGuard gil;
   PyObject *mod = t4a_module();
   if (!mod) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   PyObject *obj = PyObject_CallMethod(mod, "Index", "Ls", (long long)dim,
                                       tags ? tags : "");
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_index{obj};
   return T4A_OK;
@@ -192,14 +201,12 @@ static t4a_status_code index_int_attr(const t4a_index *idx,
   GilGuard gil;
   PyObject *v = PyObject_GetAttrString(idx->obj, name);
   if (!v) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = PyLong_AsLongLong(v);
   Py_DECREF(v);
   if (PyErr_Occurred()) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   return T4A_OK;
 }
@@ -226,8 +233,7 @@ t4a_status_code t4a_index_prime(const t4a_index *idx, int64_t inc,
   PyObject *obj = PyObject_CallMethod(idx->obj, "prime", "L",
                                       (long long)inc);
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_index{obj};
   return T4A_OK;
@@ -239,8 +245,7 @@ t4a_status_code t4a_index_equal(const t4a_index *a, const t4a_index *b,
   GilGuard gil;
   int r = PyObject_RichCompareBool(a->obj, b->obj, Py_EQ);
   if (r < 0) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = r;
   return T4A_OK;
@@ -265,8 +270,7 @@ t4a_status_code t4a_tensor_new(const t4a_index *const *indices,
   GilGuard gil;
   PyObject *mod = t4a_module();
   if (!mod) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   std::vector<int64_t> dims(rank);
   size_t expect = 1;
@@ -287,15 +291,13 @@ t4a_status_code t4a_tensor_new(const t4a_index *const *indices,
   PyObject *arr = array_from_buffer(data, len, dims.data(), rank);
   if (!arr) {
     Py_DECREF(inds);
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   PyObject *obj = PyObject_CallMethod(mod, "Tensor", "OO", inds, arr);
   Py_DECREF(inds);
   Py_DECREF(arr);
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_tensor{obj};
   return T4A_OK;
@@ -306,8 +308,7 @@ t4a_status_code t4a_tensor_rank(const t4a_tensor *t, size_t *out) {
   GilGuard gil;
   PyObject *v = PyObject_GetAttrString(t->obj, "ndim");
   if (!v) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = static_cast<size_t>(PyLong_AsLongLong(v));
   Py_DECREF(v);
@@ -320,8 +321,7 @@ t4a_status_code t4a_tensor_dims(const t4a_tensor *t, int64_t *dims,
   GilGuard gil;
   PyObject *shape = PyObject_GetAttrString(t->obj, "shape");
   if (!shape) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   Py_ssize_t n = PyTuple_Size(shape);
   if (static_cast<size_t>(n) > cap) {
@@ -340,8 +340,7 @@ t4a_status_code t4a_tensor_data(const t4a_tensor *t, double *data,
   if (!t || !data) return T4A_INVALID_ARGUMENT;
   GilGuard gil;
   if (!payload_to_buffer(t->obj, data, len)) {
-    if (PyErr_Occurred()) set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    if (PyErr_Occurred()) return set_error_from_python();
   }
   return T4A_OK;
 }
@@ -351,14 +350,12 @@ t4a_status_code t4a_tensor_norm(const t4a_tensor *t, double *out) {
   GilGuard gil;
   PyObject *v = PyObject_CallMethod(t->obj, "norm", nullptr);
   if (!v) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   PyObject *f = PyNumber_Float(v);
   Py_DECREF(v);
   if (!f) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = PyFloat_AsDouble(f);
   Py_DECREF(f);
@@ -378,8 +375,7 @@ t4a_status_code t4a_tensor_contract(const t4a_tensor *const *tensors,
   PyObject *obj = PyObject_CallMethod(mod, "contract", "O", list);
   Py_DECREF(list);
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_tensor{obj};
   return T4A_OK;
@@ -394,16 +390,14 @@ t4a_status_code t4a_tensor_svd(const t4a_tensor *t, size_t n_left,
   PyObject *mod = t4a_module();
   PyObject *helpers = PyImport_ImportModule("tensor4all_tpu.capi.helpers");
   if (!helpers) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   PyObject *res = PyObject_CallMethod(
       helpers, "svd_first_n", "OndL", t->obj, (Py_ssize_t)n_left, rtol,
       (long long)maxdim);
   Py_DECREF(helpers);
   if (!res) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   PyObject *pu = PyTuple_GetItem(res, 0);
   PyObject *ps = PyTuple_GetItem(res, 1);
@@ -433,8 +427,7 @@ t4a_status_code t4a_tt_constant(const int64_t *local_dims, size_t n,
   GilGuard gil;
   PyObject *ttmod = PyImport_ImportModule("tensor4all_tpu.tt");
   if (!ttmod) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   PyObject *cls = PyObject_GetAttrString(ttmod, "TensorTrain");
   Py_DECREF(ttmod);
@@ -446,8 +439,7 @@ t4a_status_code t4a_tt_constant(const int64_t *local_dims, size_t n,
   Py_DECREF(cls);
   Py_DECREF(dims);
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_tt{obj};
   return T4A_OK;
@@ -458,8 +450,7 @@ t4a_status_code t4a_tt_len(const t4a_tt *tt, size_t *out) {
   GilGuard gil;
   Py_ssize_t n = PyObject_Length(tt->obj);
   if (n < 0) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = static_cast<size_t>(n);
   return T4A_OK;
@@ -471,8 +462,7 @@ t4a_status_code t4a_tt_ranks(const t4a_tt *tt, int64_t *ranks,
   GilGuard gil;
   PyObject *r = PyObject_GetAttrString(tt->obj, "ranks");
   if (!r) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   Py_ssize_t n = PyList_Size(r);
   if (static_cast<size_t>(n) > cap) {
@@ -491,14 +481,12 @@ t4a_status_code t4a_tt_sum(const t4a_tt *tt, double *out) {
   GilGuard gil;
   PyObject *v = PyObject_CallMethod(tt->obj, "sum", nullptr);
   if (!v) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   PyObject *f = PyNumber_Float(v);
   Py_DECREF(v);
   if (!f) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = PyFloat_AsDouble(f);
   Py_DECREF(f);
@@ -516,14 +504,12 @@ t4a_status_code t4a_tt_evaluate(const t4a_tt *tt, const int64_t *idx,
   PyObject *v = PyObject_CallMethod(tt->obj, "evaluate", "O", lst);
   Py_DECREF(lst);
   if (!v) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   PyObject *f = PyNumber_Float(v);
   Py_DECREF(v);
   if (!f) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = PyFloat_AsDouble(f);
   Py_DECREF(f);
@@ -540,8 +526,7 @@ t4a_status_code t4a_tt_compress(const t4a_tt *tt, double tol,
       PyObject_CallMethod(tt->obj, "compress", "dO", tol, md);
   Py_DECREF(md);
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_tt{obj};
   return T4A_OK;
@@ -603,8 +588,7 @@ t4a_status_code t4a_crossinterpolate2(t4a_batch_fn f, void *user_data,
   GilGuard gil;
   PyObject *helpers = PyImport_ImportModule("tensor4all_tpu.capi.helpers");
   if (!helpers) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   CallbackBox *box = new CallbackBox{f, user_data};
   PyObject *cap = PyCapsule_New(box, "t4a.cb", capsule_destructor);
@@ -621,8 +605,7 @@ t4a_status_code t4a_crossinterpolate2(t4a_batch_fn f, void *user_data,
   Py_DECREF(dims);
   Py_DECREF(helpers);
   if (!res) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_tt{res};
   return T4A_OK;
@@ -689,8 +672,7 @@ PyObject *call_h(const char *name, const char *fmt, ...) {
 t4a_status_code copy_string_out(PyObject *str, char *buf, size_t cap) {
   const char *c = PyUnicode_AsUTF8(str);
   if (!c) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   size_t n = std::strlen(c);
   if (n + 1 > cap) {
@@ -734,8 +716,7 @@ t4a_status_code t4a_index_noprime(const t4a_index *idx, t4a_index **out) {
   GilGuard gil;
   PyObject *obj = PyObject_CallMethod(idx->obj, "noprime", nullptr);
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_index{obj};
   return T4A_OK;
@@ -748,8 +729,7 @@ t4a_status_code t4a_index_set_plev(const t4a_index *idx, int64_t plev,
   PyObject *obj = PyObject_CallMethod(idx->obj, "set_plev", "L",
                                       (long long)plev);
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_index{obj};
   return T4A_OK;
@@ -761,14 +741,12 @@ t4a_status_code t4a_index_tags(const t4a_index *idx, char *buf,
   GilGuard gil;
   PyObject *tags = PyObject_GetAttrString(idx->obj, "tags");
   if (!tags) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   PyObject *s = PyObject_Str(tags);
   Py_DECREF(tags);
   if (!s) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   t4a_status_code st = copy_string_out(s, buf, cap);
   Py_DECREF(s);
@@ -781,14 +759,12 @@ t4a_status_code t4a_index_has_tag(const t4a_index *idx, const char *tag,
   GilGuard gil;
   PyObject *tags = PyObject_GetAttrString(idx->obj, "tags");
   if (!tags) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   PyObject *s = PyObject_Str(tags);
   Py_DECREF(tags);
   if (!s) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   const char *c = PyUnicode_AsUTF8(s);
   *out = (c && std::strstr(c, tag)) ? 1 : 0;
@@ -801,8 +777,7 @@ t4a_status_code t4a_index_hash(const t4a_index *idx, uint64_t *out) {
   GilGuard gil;
   Py_hash_t h = PyObject_Hash(idx->obj);
   if (h == -1 && PyErr_Occurred()) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = static_cast<uint64_t>(h);
   return T4A_OK;
@@ -815,13 +790,11 @@ t4a_status_code t4a_index_new_with_id(int64_t dim, const char *tags,
   GilGuard gil;
   PyObject *mod = t4a_module();
   if (!mod) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   PyObject *cls = PyObject_GetAttrString(mod, "Index");
   if (!cls) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   PyObject *args = Py_BuildValue("(Ls)", (long long)dim,
                                  tags ? tags : "");
@@ -833,8 +806,7 @@ t4a_status_code t4a_index_new_with_id(int64_t dim, const char *tags,
   Py_DECREF(args);
   Py_DECREF(kw);
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_index{obj};
   return T4A_OK;
@@ -861,8 +833,7 @@ t4a_status_code t4a_tensor_conj(const t4a_tensor *t, t4a_tensor **out) {
   GilGuard gil;
   PyObject *obj = PyObject_CallMethod(t->obj, "conj", nullptr);
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_tensor{obj};
   return T4A_OK;
@@ -874,8 +845,7 @@ t4a_status_code t4a_tensor_add(const t4a_tensor *a, const t4a_tensor *b,
   GilGuard gil;
   PyObject *obj = call_h("tensor_add", "(OO)", a->obj, b->obj);
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_tensor{obj};
   return T4A_OK;
@@ -887,8 +857,7 @@ t4a_status_code t4a_tensor_scale(const t4a_tensor *t, double re,
   GilGuard gil;
   PyObject *obj = call_h("tensor_scale", "(Odd)", t->obj, re, im);
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_tensor{obj};
   return T4A_OK;
@@ -901,8 +870,7 @@ t4a_status_code t4a_tensor_qr(const t4a_tensor *t, size_t n_left,
   PyObject *res = call_h("tensor_qr", "(On)", t->obj,
                          (Py_ssize_t)n_left);
   if (!res) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   PyObject *pq = PyTuple_GetItem(res, 0);
   PyObject *pr = PyTuple_GetItem(res, 1);
@@ -920,8 +888,7 @@ t4a_status_code t4a_tensor_indices(const t4a_tensor *t,
   GilGuard gil;
   PyObject *inds = PyObject_GetAttrString(t->obj, "indices");
   if (!inds) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   Py_ssize_t n = PySequence_Size(inds);
   if (static_cast<size_t>(n) > cap) {
@@ -946,8 +913,7 @@ t4a_status_code t4a_tensor_select_indices(const t4a_tensor *t,
   PyObject *obj = call_h("tensor_select", "(OOL)", t->obj, idx->obj,
                          (long long)value);
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_tensor{obj};
   return T4A_OK;
@@ -966,8 +932,7 @@ t4a_status_code t4a_tensor_scalar_kind(const t4a_tensor *t, int *out) {
   GilGuard gil;
   PyObject *data = PyObject_GetAttrString(t->obj, "data");
   if (!data) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   PyObject *dt = PyObject_GetAttrString(data, "dtype");
   Py_DECREF(data);
@@ -995,14 +960,12 @@ t4a_status_code t4a_tensor_payload_len(const t4a_tensor *t,
   GilGuard gil;
   PyObject *data = PyObject_GetAttrString(t->obj, "data");
   if (!data) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   PyObject *sz = PyObject_GetAttrString(data, "size");
   Py_DECREF(data);
   if (!sz) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = static_cast<size_t>(PyLong_AsLongLong(sz));
   Py_DECREF(sz);
@@ -1066,8 +1029,7 @@ t4a_status_code t4a_tensor_new_dense_c64(const t4a_index *const *indices,
   Py_DECREF(inds);
   Py_DECREF(dim_list);
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_tensor{obj};
   return T4A_OK;
@@ -1081,14 +1043,12 @@ t4a_status_code t4a_tensor_copy_payload_c64(const t4a_tensor *t,
   GilGuard gil;
   PyObject *arr = call_h("tensor_payload_c64", "(O)", t->obj);
   if (!arr) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   PyObject *bytes = PyObject_CallMethod(arr, "tobytes", nullptr);
   Py_DECREF(arr);
   if (!bytes) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   char *buf = nullptr;
   Py_ssize_t n = 0;
@@ -1118,8 +1078,7 @@ t4a_status_code t4a_tensor_contract_many_retain(
   Py_DECREF(ts);
   Py_DECREF(ret);
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_tensor{obj};
   return T4A_OK;
@@ -1144,8 +1103,7 @@ t4a_status_code t4a_treetn_new(t4a_treetn **out) {
   GilGuard gil;
   PyObject *obj = call_h("treetn_new", "()");
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_treetn{obj};
   return T4A_OK;
@@ -1167,8 +1125,7 @@ t4a_status_code t4a_treetn_clone(const t4a_treetn *tn, t4a_treetn **out) {
   GilGuard gil;
   PyObject *obj = PyObject_CallMethod(tn->obj, "clone", nullptr);
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_treetn{obj};
   return T4A_OK;
@@ -1181,8 +1138,7 @@ t4a_status_code t4a_treetn_set_tensor(t4a_treetn *tn, const char *vertex,
   PyObject *r = call_h("treetn_set_tensor", "(OsO)", tn->obj, vertex,
                        t->obj);
   if (!r) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   Py_DECREF(r);
   return T4A_OK;
@@ -1194,8 +1150,7 @@ t4a_status_code t4a_treetn_tensor(const t4a_treetn *tn,
   GilGuard gil;
   PyObject *obj = call_h("treetn_tensor", "(Os)", tn->obj, vertex);
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_tensor{obj};
   return T4A_OK;
@@ -1207,8 +1162,7 @@ t4a_status_code t4a_treetn_num_vertices(const t4a_treetn *tn,
   GilGuard gil;
   PyObject *v = call_h("treetn_num_vertices", "(O)", tn->obj);
   if (!v) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = static_cast<size_t>(PyLong_AsLongLong(v));
   Py_DECREF(v);
@@ -1224,8 +1178,7 @@ static t4a_status_code treetn_string_query(const t4a_treetn *tn,
   PyObject *s = arg ? call_h(helper, "(Os)", tn->obj, arg)
                     : call_h(helper, "(O)", tn->obj);
   if (!s) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   t4a_status_code st = copy_string_out(s, buf, cap);
   Py_DECREF(s);
@@ -1257,8 +1210,7 @@ t4a_status_code t4a_treetn_siteinds(const t4a_treetn *tn,
   GilGuard gil;
   PyObject *lst = call_h("treetn_siteinds", "(Os)", tn->obj, vertex);
   if (!lst) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   Py_ssize_t n = PySequence_Size(lst);
   if (static_cast<size_t>(n) > cap) {
@@ -1281,8 +1233,7 @@ t4a_status_code t4a_treetn_linkind(const t4a_treetn *tn, const char *a,
   GilGuard gil;
   PyObject *obj = call_h("treetn_linkind", "(Oss)", tn->obj, a, b);
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_index{obj};
   return T4A_OK;
@@ -1294,8 +1245,7 @@ t4a_status_code t4a_treetn_orthogonalize(t4a_treetn *tn,
   GilGuard gil;
   PyObject *r = call_h("treetn_orthogonalize", "(Os)", tn->obj, center);
   if (!r) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   Py_DECREF(r);
   return T4A_OK;
@@ -1308,8 +1258,7 @@ t4a_status_code t4a_treetn_truncate(t4a_treetn *tn, double rtol,
   PyObject *r = call_h("treetn_truncate", "(OdL)", tn->obj, rtol,
                        (long long)maxdim);
   if (!r) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   Py_DECREF(r);
   return T4A_OK;
@@ -1321,8 +1270,7 @@ t4a_status_code t4a_treetn_contract(const t4a_treetn *tn,
   GilGuard gil;
   PyObject *obj = call_h("treetn_contract", "(O)", tn->obj);
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_tensor{obj};
   return T4A_OK;
@@ -1335,14 +1283,12 @@ t4a_status_code t4a_treetn_inner(const t4a_treetn *a,
   GilGuard gil;
   PyObject *v = call_h("treetn_inner", "(OO)", a->obj, b->obj);
   if (!v) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   Py_complex c = PyComplex_AsCComplex(v);
   Py_DECREF(v);
   if (PyErr_Occurred()) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *re = c.real;
   *im = c.imag;
@@ -1354,8 +1300,7 @@ t4a_status_code t4a_treetn_norm(const t4a_treetn *tn, double *out) {
   GilGuard gil;
   PyObject *v = call_h("treetn_norm", "(O)", tn->obj);
   if (!v) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = PyFloat_AsDouble(v);
   Py_DECREF(v);
@@ -1367,8 +1312,7 @@ t4a_status_code t4a_treetn_scale(t4a_treetn *tn, double re, double im) {
   GilGuard gil;
   PyObject *r = call_h("treetn_scale", "(Odd)", tn->obj, re, im);
   if (!r) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   Py_DECREF(r);
   return T4A_OK;
@@ -1385,8 +1329,7 @@ t4a_status_code t4a_tensor_svd_with_policy(
       policy->threshold, (int)policy->scale, (int)policy->measure,
       (int)policy->rule, (long long)maxdim);
   if (!res) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   PyObject *pu = PyTuple_GetItem(res, 0);
   PyObject *ps = PyTuple_GetItem(res, 1);
@@ -1410,8 +1353,7 @@ t4a_status_code t4a_treetn_orthogonalize_form(t4a_treetn *tn,
   PyObject *r = call_h("treetn_orthogonalize_form", "(Osii)", tn->obj,
                        center, (int)form, force);
   if (!r) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   Py_DECREF(r);
   return T4A_OK;
@@ -1427,8 +1369,7 @@ t4a_status_code t4a_treetn_truncate_with_policy(
                        (int)policy->measure, (int)policy->rule,
                        (long long)maxdim);
   if (!r) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   Py_DECREF(r);
   return T4A_OK;
@@ -1440,8 +1381,7 @@ t4a_status_code t4a_treetn_sim_linkinds(const t4a_treetn *tn,
   GilGuard gil;
   PyObject *obj = call_h("treetn_sim_linkinds", "(O)", tn->obj);
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_treetn{obj};
   return T4A_OK;
@@ -1458,8 +1398,7 @@ t4a_status_code t4a_treetn_contract_networks(
                          (int)policy->scale, (int)policy->measure,
                          (int)policy->rule, (long long)maxdim);
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_treetn{obj};
   return T4A_OK;
@@ -1471,8 +1410,7 @@ t4a_status_code t4a_treetn_add(const t4a_treetn *a, const t4a_treetn *b,
   GilGuard gil;
   PyObject *obj = call_h("treetn_add", "(OO)", a->obj, b->obj);
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_treetn{obj};
   return T4A_OK;
@@ -1494,8 +1432,7 @@ t4a_status_code t4a_treetn_evaluate(const t4a_treetn *tn,
   Py_DECREF(inds);
   Py_DECREF(vals);
   if (!v) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   Py_complex c = PyComplex_AsCComplex(v);
   Py_DECREF(v);
@@ -1509,19 +1446,16 @@ static t4a_status_code treetn_from_helper_1(const char *helper,
                                             t4a_treetn **out) {
   PyObject *helpers = helpers_module();
   if (!helpers) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   PyObject *fn = PyObject_GetAttrString(helpers, helper);
   if (!fn) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   PyObject *obj = PyObject_CallObject(fn, args);
   Py_DECREF(fn);
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_treetn{obj};
   return T4A_OK;
@@ -1608,8 +1542,7 @@ t4a_status_code t4a_treetn_linsolve(const t4a_treetn *b, const t4a_tt *mpo,
                                  (long long)maxdim, (long long)nsweeps);
   Py_DECREF(lst);
   if (!args) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   t4a_status_code st = treetn_from_helper_1("treetn_linsolve", args, out);
   Py_DECREF(args);
@@ -1625,8 +1558,7 @@ t4a_status_code t4a_treetn_to_dense(const t4a_treetn *tn,
   PyObject *arr = call_h("treetn_to_dense", "(OO)", tn->obj, inds);
   Py_DECREF(inds);
   if (!arr) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   PyObject *flat = PyObject_CallMethod(arr, "flatten", "s", "F");
   Py_DECREF(arr);
@@ -1634,8 +1566,7 @@ t4a_status_code t4a_treetn_to_dense(const t4a_treetn *tn,
       flat ? PyObject_CallMethod(flat, "tobytes", nullptr) : nullptr;
   Py_XDECREF(flat);
   if (!bytes) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   char *buf = nullptr;
   Py_ssize_t nb = 0;
@@ -1662,8 +1593,7 @@ t4a_status_code t4a_treetn_evaluator_new(const t4a_treetn *tn,
   PyObject *obj = call_h("treetn_evaluator_new", "(OO)", tn->obj, inds);
   Py_DECREF(inds);
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_treetn_evaluator{obj};
   return T4A_OK;
@@ -1699,8 +1629,7 @@ t4a_status_code t4a_treetn_evaluator_evaluate(
                                        "int64");
   Py_DECREF(mv);
   if (!flat) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   PyObject *shape = Py_BuildValue("(nn)", (Py_ssize_t)batch,
                                   (Py_ssize_t)n_sites);
@@ -1709,15 +1638,13 @@ t4a_status_code t4a_treetn_evaluator_evaluate(
   Py_DECREF(shape);
   (void)dims;
   if (!mat) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   PyObject *res = call_h("treetn_evaluator_evaluate", "(OO)", ev->obj,
                          mat);
   Py_DECREF(mat);
   if (!res) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   PyObject *bytes = PyObject_CallMethod(res, "tobytes", nullptr);
   Py_DECREF(res);
@@ -1751,8 +1678,7 @@ t4a_status_code t4a_qtt_layout_new(int64_t r, int64_t d,
   PyObject *obj = call_h("qtt_layout_new", "(LLs)", (long long)r,
                          (long long)d, unfolding);
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_qtt_layout{obj};
   return T4A_OK;
@@ -1784,8 +1710,7 @@ void t4a_qtt_layout_release(t4a_qtt_layout *l) {
 
 static t4a_status_code qtransform_out(PyObject *obj, t4a_tt **out) {
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_tt{obj};
   return T4A_OK;
@@ -1919,8 +1844,7 @@ t4a_status_code t4a_tensor_new_diag_f64(size_t rank,
   Py_DECREF(inds);
   Py_DECREF(vals);
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_tensor{obj};
   return T4A_OK;
@@ -1944,8 +1868,7 @@ t4a_status_code t4a_tensor_new_diag_c64(size_t rank,
   Py_DECREF(inds);
   Py_DECREF(vals);
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_tensor{obj};
   return T4A_OK;
@@ -1971,8 +1894,7 @@ static t4a_status_code structured_common(
   Py_DECREF(cls);
   Py_DECREF(pdims);
   if (!obj) {
-    set_error_from_python();
-    return T4A_INTERNAL_ERROR;
+    return set_error_from_python();
   }
   *out = new t4a_tensor{obj};
   return T4A_OK;

@@ -189,14 +189,17 @@ def treetn_orthogonalize_form(h: CTreeTN, center: str, form: int,
     alg = FactorizeAlg(_CANONICAL_FORMS[form])
     net = h.net()
     prev = net.canonical_form
+    # Ref treetn/canonicalize.rs:70-82 (capi treetn.rs:1104-1107): ANY
+    # form change without force is an error, regardless of whether the
+    # center also moves.
+    if prev is not None and prev is not alg and not force:
+        raise ValueError(
+            "network already canonicalized with a different form; "
+            "pass force to re-canonicalize")
     region = net.canonical_region()
-    if region and set(region) == {_node_key(net, center)}:
-        if prev is alg:
-            return  # already canonical at this center with this form
-        if prev is not None and prev is not alg and not force:
-            raise ValueError(
-                "network already canonicalized with a different form; "
-                "pass force to re-canonicalize")
+    if (region and set(region) == {_node_key(net, center)}
+            and prev is alg):
+        return  # already canonical at this center with this form
     net.canonicalize([_node_key(net, center)], form=alg)
 
 

@@ -78,9 +78,11 @@ def jacobi_svd(a):
     matrix via the native one-sided Jacobi kernel; None when the
     library or dtype is unavailable. High relative accuracy. A
     LAPACK-free fallback, not the default host SVD (gesdd wins above
-    ~16x32 on the target hosts). Matches np.linalg.svd's contract
-    including rank-deficient inputs (zero singular values get an
-    orthonormal completion of vh/u, not zero rows)."""
+    ~16x32 on the target hosts). Matches np.linalg.svd(...,
+    full_matrices=False): reduced shapes U (r,k), Vh (k,c) with
+    k=min(r,c); exactly-zero singular values get an orthonormal
+    completion of vh/u rather than zero rows (near-zero values keep
+    whatever the Jacobi rotation produced)."""
     import numpy as np
 
     lib = load()

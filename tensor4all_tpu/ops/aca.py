@@ -1,8 +1,12 @@
 """Adaptive Cross Approximation (ACA) of matrices.
 
 TPU-native rebuild of tensor4all-tcicore/src/matrixaca.rs:80 `MatrixACA`
-(the legacy TCI1 pivot engine): rank-1 residual updates with rook-style
-pivot selection. Runs as host-driven jnp ops on the full matrix (the
+(the legacy TCI1 pivot engine): rank-1 residual updates with full-pivot
+selection — each pivot is the argmax over the entire current residual
+(stronger than the reference's rook walk, at the cost of touching the
+full matrix, which its small-cross-matrix use sites afford). The lazy
+rook walk that matches the reference's cost profile lives in
+ops.rrlu.luci_rook_from_blocks. Runs as host-driven jnp ops on the
 reference's use sites are small cross matrices); the fully-jitted variant
 is ops.rrlu which subsumes it for production paths.
 """

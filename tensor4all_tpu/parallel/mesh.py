@@ -60,6 +60,8 @@ def shard_batch_eval(
 
         idx = np.asarray(idx)
         B = idx.shape[0]
+        if B == 0:
+            return np.zeros((0,), dtype=np.float64)
         # bucket to a power of two rounded up to a mesh multiple: one
         # XLA compile per distinct batch shape costs seconds on real
         # chips, and TCI emits a new B at every bond update (for

@@ -50,14 +50,10 @@ class TensorCI1(TensorCI2):
         d_p, d_q = self.local_dims[p], self.local_dims[p + 1]
         I_cand = [i + (s,) for i in self.Iset[p] for s in range(d_p)]
         J_cand = [(s,) + j for s in range(d_q) for j in self.Jset[p + 1]]
-        cur_rows = []
-        cur_cols = []
-        for piv in self.Iset[p + 1]:
-            if piv in I_cand:
-                cur_rows.append(I_cand.index(piv))
-        for piv in self.Jset[p]:
-            if piv in J_cand:
-                cur_cols.append(J_cand.index(piv))
+        I_pos = {piv: k for k, piv in enumerate(I_cand)}
+        J_pos = {piv: k for k, piv in enumerate(J_cand)}
+        cur_rows = [I_pos[piv] for piv in self.Iset[p + 1] if piv in I_pos]
+        cur_cols = [J_pos[piv] for piv in self.Jset[p] if piv in J_pos]
         r = min(len(cur_rows), len(cur_cols))
         cur_rows, cur_cols = cur_rows[:r], cur_cols[:r]
         if opts.maxbonddim is not None and r >= opts.maxbonddim:

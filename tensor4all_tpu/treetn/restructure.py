@@ -176,23 +176,36 @@ def restructure_to(
         if target_graph.number_of_nodes() > 1 else {}
     post = list(nx.dfs_postorder_nodes(target_graph, t_root))
 
+    loc: dict = {}  # index -> last known node (verified before use)
+
     def node_of(idx: Index) -> NodeName:
         # never pick a finalized (carved) node: routing through one would
         # corrupt its target payload
+        v = loc.get(idx)
+        if (v is not None and v not in final_names
+                and work.graph.has_node(v) and work.tensor(v).hasindex(idx)):
+            return v
         for v in work.node_names:
             if v in final_names:
                 continue
             if work.tensor(v).hasindex(idx):
+                loc[idx] = v
                 return v
         raise KeyError(f"index {idx!r} not found")
 
     def route(idx: Index, dest: NodeName) -> None:
         nonlocal work
         src = node_of(idx)
-        while src != dest:
-            nxt = nx.shortest_path(work.graph, src, dest)[1]
+        if src == dest:
+            return
+        # the tree topology is invariant under move_indices (only node
+        # payloads change), so one shortest-path query serves every hop
+        # (ref batches moves into scheduled swap plans, swap.rs)
+        path = nx.shortest_path(work.graph, src, dest)
+        for nxt in path[1:]:
             work = move_indices(work, src, nxt, [idx], policy)
             src = nxt
+        loc[idx] = dest
 
     carved_bond: dict = {}  # target name -> bond Index linking to remainder
     final_names: dict = {}  # work node -> target name

@@ -27,6 +27,8 @@ def _unique_rows(rows: np.ndarray):
     B, w = rows.shape
     if w == 0:
         return rows[:1], np.zeros(B, dtype=np.int64)
+    if B == 0:
+        return rows, np.zeros(0, dtype=np.int64)
     hi = rows.max(axis=0).astype(np.int64) + 1
     bits = np.sum(np.ceil(np.log2(np.maximum(hi, 2))))
     if bits >= 63:
@@ -104,6 +106,8 @@ class TTCache:
         contraction."""
         idx = np.asarray(idx, dtype=np.int64)
         B = idx.shape[0]
+        if B == 0:
+            return np.zeros((0,), dtype=self._cores[0].dtype)
         if B > 4096:  # huge batches: fully-batched device path
             return np.asarray(self.tt.evaluate_batch(idx))
         c = self.center

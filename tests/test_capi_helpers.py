@@ -53,6 +53,11 @@ def test_orthogonalize_form_smart(key):
         H.treetn_orthogonalize_form(h, "v0", 2, 0)
     with pytest.raises(ValueError):
         H.treetn_orthogonalize_form(h, "v0", 7, 1)  # unknown form
+    # form change is rejected even when the CENTER also moves (ref
+    # canonicalize.rs:70-82: any form change without force errors,
+    # independent of center)
+    with pytest.raises(ValueError):
+        H.treetn_orthogonalize_form(h, "v2", 2, 0)
 
 
 def test_policy_roundtrip_and_truncate(key):

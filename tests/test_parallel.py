@@ -35,6 +35,8 @@ def test_shard_batch_eval_matches(key):
     got = f(idx)
     expect = np.asarray(jf(jnp.asarray(idx)))
     np.testing.assert_allclose(got, expect, atol=1e-12)
+    # empty batch short-circuits before padding (advisor r1)
+    assert f(np.zeros((0, 5), dtype=np.int64)).shape == (0,)
 
 
 def test_sharded_tt_eval(key):

@@ -248,6 +248,8 @@ def test_ttcache_two_sided(key):
     # interning: far fewer env contractions than rows evaluated
     assert c.misses < idx.shape[0]
     assert len(c._right) > 1  # right side populated too
+    # empty batch is a no-op, not a crash (advisor r1)
+    assert c.evaluate_batch(np.zeros((0, 5), dtype=np.int64)).shape == (0,)
 
 
 def test_partitioned_adaptive_ops(key):
