@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+from functools import partial
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -99,6 +100,95 @@ def _on_cpu_backend() -> bool:
         return False
 
 
+def _svd_adjoint(u, s, vh, du, ds, dvh):
+    """Adjoint of ``a -> svd(a, full_matrices=False)`` under the
+    ``Re tr(A^H B)`` pairing — the transpose of XLA's SVD JVP rule with
+    degenerate-pair broadening so exactly-tied (e.g. exactly-zero)
+    singular values yield a finite subgradient instead of NaN.
+
+    All factors are FULL-width (k = min(m, n)); truncation enters only
+    through zero cotangent blocks, which makes this the exact VJP of
+    truncated SVD viewed as full-SVD-then-slice.
+    """
+    v = vh.conj().T
+    dv = dvh.conj().T
+    smax = jnp.max(s, initial=0.0)
+    # |F| capped near 1/(2e-12 smax^2): degenerate KEPT pairs get a
+    # finite subgradient; well-separated pairs are unaffected (the
+    # regularizer is ~1e-24 smax^4 against E^2)
+    eps = jnp.square(1e-12 * smax * smax) + jnp.finfo(s.dtype).tiny
+    E = s[None, :] ** 2 - s[:, None] ** 2  # E_ij = s_j^2 - s_i^2
+    F = E / (E * E + eps)
+    # under jit XLA fuses the difference of squares with FMA, leaving
+    # O(ulp) residue on the diagonal that would make F_ii ~ ulp/eps
+    # instead of 0 — mask it explicitly
+    F = jnp.where(jnp.eye(s.shape[0], dtype=bool), 0.0, F)
+    Gu = u.conj().T @ du
+    Gv = v.conj().T @ dv
+    Xu = F * Gu
+    Xv = F * Gv
+    s_zeros = (s == 0).astype(s.dtype)
+    s_inv = 1.0 / (s + s_zeros) - s_zeros
+    cS = (jnp.diag(ds.real.astype(s.dtype))
+          + (Xu + Xu.conj().T) * s[None, :].astype(u.dtype)
+          + s[:, None].astype(u.dtype) * (Xv + Xv.conj().T))
+    if jnp.iscomplexobj(u):
+        gd = jnp.diagonal(Gu)
+        cS = cS + jnp.diag(0.5 * (gd - gd.conj()) * s_inv)
+    dA = u @ cS @ vh
+    m, n = u.shape[0], v.shape[0]
+    if m > n:
+        dA = dA + (du - u @ Gu) * s_inv[None, :] @ vh
+    if n > m:
+        dA = dA + u @ (s_inv[:, None] * (dv - v @ Gv).conj().T)
+    return dA
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def svd_truncated_fixed_rank(a, rank: int):
+    """Differentiable truncated SVD with STATIC rank (ref AD-through-svd,
+    tensor4all-core/tests/ad_integration.rs:15-31 — the reference's eager
+    tape differentiates through `svd`; under XLA the shape must be static,
+    so the rank is a Python int and `jax.grad`/`jit` flow through this).
+
+    Returns ``(u[:, :rank], s[:rank], vh[:rank, :])``. The custom VJP is
+    mask-aware: cotangents of the discarded block are zero, and the
+    degenerate-pair broadening in `_svd_adjoint` keeps gradients finite
+    when the discarded tail contains repeated/zero singular values (where
+    the builtin rule produces NaN).
+    """
+    u, s, vh = jnp.linalg.svd(a, full_matrices=False)
+    return u[:, :rank], s[:rank], vh[:rank, :]
+
+
+def _svd_trunc_fwd(a, rank: int):
+    u, s, vh = jnp.linalg.svd(a, full_matrices=False)
+    return (u[:, :rank], s[:rank], vh[:rank, :]), (u, s, vh)
+
+
+def _svd_trunc_bwd(rank: int, res, cots):
+    u, s, vh = res
+    du_t, ds_t, dvh_t = cots
+    k = s.shape[0]
+    du = jnp.zeros_like(u).at[:, :rank].set(du_t.conj())
+    ds = jnp.zeros_like(s).at[:rank].set(ds_t.real.astype(s.dtype))
+    dvh = jnp.zeros_like(vh).at[:rank, :].set(dvh_t.conj())
+    dA = _svd_adjoint(u, s, vh, du, ds, dvh)
+    return (dA.conj(),)
+
+
+svd_truncated_fixed_rank.defvjp(_svd_trunc_fwd, _svd_trunc_bwd)
+
+
+def _static_rank_from_policy(policy: SvdTruncationPolicy,
+                             k: int) -> Optional[int]:
+    """A policy is shape-static iff it cannot discard by tolerance: only
+    then can traced code know the rank without looking at the data."""
+    if policy.tol == 0 and policy.maxdim is not None:
+        return min(policy.maxdim, k)
+    return None
+
+
 def truncated_svd_matrix(
     a: jnp.ndarray,
     policy: Optional[SvdTruncationPolicy] = None,
@@ -113,10 +203,21 @@ def truncated_svd_matrix(
     if policy is None:
         policy = get_default_svd_truncation_policy()
     if isinstance(a, jax.core.Tracer):
-        raise TypeError(
-            "truncated_svd_matrix picks a data-dependent rank and "
-            "cannot be traced (jit/grad); factorize outside the traced "
-            "region or use a fixed-rank decomposition")
+        # Traced (jit/grad) path: legal only when the policy fixes the
+        # rank statically (tol=0 + maxdim). Gradients flow through the
+        # mask-aware custom VJP (ref differentiates through svd,
+        # tensor4all-core/tests/ad_integration.rs:15-31).
+        rank = _static_rank_from_policy(policy, min(a.shape))
+        if rank is None:
+            raise TypeError(
+                "truncated_svd_matrix picks a data-dependent rank and "
+                "cannot be traced (jit/grad) with a tolerance-based "
+                "policy; use a tol=0 + maxdim policy (static rank) or "
+                "factorize outside the traced region")
+        u, s, vh = svd_truncated_fixed_rank(a, rank)
+        spec = TruncationSpec(rank=rank, error=float("nan"),
+                              singular_values=None)
+        return u, s, vh, spec
     if _on_cpu_backend() and a.shape[0] * a.shape[1] <= 512 * 512:
         un, sn, vhn = np.linalg.svd(np.asarray(a), full_matrices=False)
         rank, err = truncation_rank(sn, policy)
@@ -220,7 +321,9 @@ def qr(
         q, r = jnp.linalg.qr(a, mode="reduced")
     if rtol is None:
         rtol = get_default_qr_rtol()
-    if rtol > 0 and min(a.shape) > 1:
+    if rtol > 0 and min(a.shape) > 1 and not isinstance(a, jax.core.Tracer):
+        # rank trimming is data-dependent; traced QR keeps full rank and
+        # differentiates through jnp.linalg.qr's builtin rule
         # drop only rows of R that are negligible in FULL row norm —
         # unlike a diag(R) criterion this is sound without column
         # pivoting (error bounded by the dropped row norms)
