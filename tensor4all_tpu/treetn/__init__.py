@@ -12,7 +12,14 @@ from .linsolve import (
     LinsolveVerifyReport,
     square_linsolve,
 )
-from .gse import GseOptions, gse_expand, gse_tdvp
+from .gse import (
+    GseOptions,
+    GseResult,
+    global_subspace_expand,
+    global_subspace_expand_with_references,
+    gse_expand,
+    gse_tdvp,
+)
 
 __all__ = [
     "TreeTN",
@@ -31,6 +38,9 @@ __all__ = [
     "LinsolveVerifyReport",
     "square_linsolve",
     "GseOptions",
+    "GseResult",
+    "global_subspace_expand",
+    "global_subspace_expand_with_references",
     "gse_expand",
     "gse_tdvp",
 ]
