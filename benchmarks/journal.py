@@ -253,27 +253,70 @@ def bench_local_linsolve(quick=False):
             "vs_baseline": (6.89 / 2) / t}
 
 
-def bench_aci_elementwise(chi: int = 8, quick=False):
-    """ACI elementwise product (ref 2026-05-21-aci-elementwise.md)."""
-    import jax
+def _aci_deterministic_tt(input_index: int, n_sites: int, d: int, chi: int):
+    """The reference benchmark's deterministic closed-form TT fixture
+    (tensor4all-aci/benches/elementwise_scaling.rs:25-97 `core_value` /
+    `deterministic_tt`): values depend on physical AND bond coordinates
+    so the fixture has genuine (not merely structural) bond content."""
+    import numpy as np
 
-    from tensor4all_tpu.tt.aci import AciOptions, elementwise_batched
     from tensor4all_tpu.tt.tensortrain import TensorTrain
 
-    L, d = 10, 2
-    a = TensorTrain.random(jax.random.PRNGKey(0), [d] * L, rank=chi)
-    b = TensorTrain.random(jax.random.PRNGKey(1), [d] * L, rank=chi)
+    links = [min(d ** min(s + 1, n_sites - s - 1), chi)
+             for s in range(n_sites - 1)]
+    cores = []
+    for s in range(n_sites):
+        dl = 1 if s == 0 else links[s - 1]
+        dr = 1 if s == n_sites - 1 else links[s]
+        left = np.arange(1, dl + 1)[:, None, None]
+        phys = np.arange(1, d + 1)[None, :, None]
+        right = np.arange(1, dr + 1)[None, None, :]
+        inp, site = input_index + 1.0, s + 1.0
+        phase = (0.173 * inp * site + 0.193 * phys + 0.071 * left * right
+                 + 0.109 * inp * left + 0.131 * site * right)
+        bond_mix = (0.29 * np.sin(phase)
+                    + 0.23 * np.cos(0.157 * inp * phys * right
+                                    + 0.211 * site * left)
+                    + 0.17 * (left / (dl + 1.0) - right / (dr + 1.0)) * phys)
+        cores.append((0.31 + bond_mix) / (dl * dr) ** 0.25)
+    return TensorTrain(cores)
+
+
+def bench_aci_elementwise(chi: int = 8, quick=False):
+    """ACI elementwise product, reference benchmark config mirrored
+    (elementwise_scaling.rs: N=12 d=2, deterministic fixture, tol 1e-10,
+    no bond cap, deterministic initial guess; ref results
+    2026-05-21-aci-elementwise.md)."""
+    import numpy as np
+
+    from tensor4all_tpu.tt.aci import AciOptions, elementwise_batched
+
+    L, d = 12, 2
+    a = _aci_deterministic_tt(0, L, d, chi)
+    b = _aci_deterministic_tt(1, L, d, chi)
+    guess = _aci_deterministic_tt(2, L, d, chi)
+    opts = AciOptions(tol=1e-10, max_iter=20, initial_guess=guess)
+
+    out = {}
 
     def body():
-        elementwise_batched(lambda x, y: x * y, [a, b],
-                            AciOptions(tol=1e-10, max_iter=8,
-                                       maxbonddim=chi * chi))
+        out["res"] = elementwise_batched(lambda x, y: x * y, [a, b], opts)
 
     t = _median(body, warmup=1, reps=2 if quick else 3)
-    baseline = 84.3 if chi == 8 else 25.6
+    # accuracy contract of the reference bench: sampled err < 1e-8
+    rng = np.random.default_rng(64 + chi)
+    idx = rng.integers(0, d, size=(64, L))
+    err = float(np.max(np.abs(
+        np.asarray(out["res"].evaluate_batch(idx))
+        - np.asarray(a.evaluate_batch(idx))
+        * np.asarray(b.evaluate_batch(idx)))))
+    baseline = 84.297 if chi == 8 else 25.551
     return {"metric": f"aci_elementwise_chi{chi}", "value": t * 1e3,
             "unit": "ms", "baseline": baseline,
-            "vs_baseline": baseline / (t * 1e3)}
+            "vs_baseline": baseline / (t * 1e3),
+            "detail": {"sampled_max_abs_err": err,
+                       "output_max_chi": out["res"].tt.max_rank,
+                       "sweeps": len(out["res"].ranks)}}
 
 
 def bench_mps_ops(quick=False):
@@ -355,7 +398,8 @@ def main():
         ("mpo zipup", lambda: bench_mpo_zipup(quick)),
         ("proj apply 32", lambda: bench_projected_apply(32, quick)),
         ("proj apply 64", lambda: bench_projected_apply(64, quick)),
-        ("aci", lambda: bench_aci_elementwise(8, quick)),
+        ("aci chi4", lambda: bench_aci_elementwise(4, quick)),
+        ("aci chi8", lambda: bench_aci_elementwise(8, quick)),
         ("dmrg", lambda: bench_dmrg_chain(quick)),
         ("tdvp chain", lambda: bench_tdvp("chain", quick)),
         ("tdvp star", lambda: bench_tdvp("star", quick)),
