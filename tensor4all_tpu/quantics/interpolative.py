@@ -205,6 +205,126 @@ def interpolative_qtt_nd(
     return InterpolativeQttNd(tt, R, K, lower, upper)
 
 
+def angular_local_lagrange(nodes: np.ndarray,
+                           window_radius: int) -> np.ndarray:
+    """Sparse angular local-Lagrange interpolation core (ref basis.rs:437
+    `angular_local_lagrange`).
+
+    Replaces the dense core ``P[a, s, b] = L_a((s + t_b)/2)`` by a LOCAL
+    Lagrange interpolation in the Chebyshev angle ``theta = acos(1-2x)``:
+    for each target point only the ``2*window_radius + 1`` angularly
+    nearest nodes contribute (Chebyshev nodes are uniform in theta, so
+    the local stencil is well-conditioned); all other entries are exact
+    zeros. The zeros make the core compress to much smaller bonds at
+    high degree, at a controlled local-interpolation error.
+    """
+    nodes = np.asarray(nodes, dtype=np.float64)
+    K = nodes.shape[0]
+    degree = K - 1
+    w = int(window_radius)
+    if degree < 2 * w:
+        raise ValueError(
+            f"need degree >= 2 * window_radius, got degree {degree} and "
+            f"window_radius {w}")
+    theta_nodes = np.arccos(np.clip(1.0 - 2.0 * nodes, -1.0, 1.0))
+    core = np.zeros((K, 2, K))
+    for s in (0, 1):
+        x = (s + nodes) / 2.0
+        theta = np.arccos(np.clip(1.0 - 2.0 * x, -1.0, 1.0))
+        for b in range(K):
+            nearest = int(np.argmin(np.abs(theta_nodes - theta[b])))
+            lo = min(max(nearest - w, 0), degree - 2 * w)
+            hi = lo + 2 * w
+            win = np.arange(lo, hi + 1)
+            tw = theta_nodes[win]
+            # local barycentric-free Lagrange product in theta
+            for a_pos, a in enumerate(win):
+                num = theta[b] - np.delete(tw, a_pos)
+                den = tw[a_pos] - np.delete(tw, a_pos)
+                core[a, s, b] = np.prod(num / den)
+    return core
+
+
+def interpolative_qtt_sparse(
+    f: Callable[[np.ndarray], np.ndarray],
+    R: int,
+    K: int = 16,
+    window_radius: int = 2,
+    lower: float = 0.0,
+    upper: float = 1.0,
+) -> InterpolativeQtt:
+    """Sparse single-scale interpolative QTT (ref interpolation.rs:409
+    `interpolate_single_scale_sparse`): the dense middle interpolation
+    core is replaced by the angular local-Lagrange core. Bond dimension
+    stays K but each column has only ``2*window_radius + 1`` nonzeros,
+    so SVD compression finds far smaller effective ranks at large K."""
+    if R < 2:
+        raise ValueError("R must be >= 2")
+    t = chebyshev_nodes(K)
+    width = upper - lower
+    first = np.empty((1, 2, K))
+    for s in (0, 1):
+        pts = lower + width * (s + t) / 2.0
+        first[0, s, :] = np.asarray(f(pts))
+    mid = angular_local_lagrange(t, window_radius)
+    last = np.empty((K, 2, 1))
+    for s in (0, 1):
+        last[:, s, 0] = lagrange_basis(t, np.asarray([s / 2.0]))[:, 0]
+    cores = [first] + [mid.copy() for _ in range(R - 2)] + [last]
+    return InterpolativeQtt(TensorTrain(cores), R, K, lower, upper)
+
+
+def interpolative_qtt_sparse_nd(
+    f: Callable[[np.ndarray], np.ndarray],
+    lower: Sequence[float],
+    upper: Sequence[float],
+    R: int,
+    K: int = 12,
+    window_radius: int = 2,
+    compress_tol: Optional[float] = 1e-12,
+    maxdim: Optional[int] = None,
+) -> InterpolativeQttNd:
+    """Fused D-dimensional sparse single-scale interpolative QTT (ref
+    interpolation.rs:466 `interpolate_single_scale_sparse_nd`): the
+    middle core is the direct product of per-dimension angular
+    local-Lagrange cores."""
+    lower = np.asarray(lower, dtype=np.float64)
+    upper = np.asarray(upper, dtype=np.float64)
+    D = len(lower)
+    if R < 2:
+        raise ValueError("R must be >= 2")
+    t = chebyshev_nodes(K)
+    width = upper - lower
+    grids = np.meshgrid(*([t] * D), indexing="ij")
+    T = np.stack([g.reshape(-1, order="F") for g in grids], axis=1)
+    S = np.stack([(np.arange(1 << D) >> d) & 1 for d in range(D)], axis=1)
+    first = np.empty((1, 1 << D, K ** D))
+    for si in range(1 << D):
+        pts = lower[None, :] + width[None, :] * (S[si][None, :] + T) / 2.0
+        first[0, si, :] = np.asarray(f(pts))
+    M1 = angular_local_lagrange(t, window_radius)
+    L1 = np.empty((K, 2))
+    for s in (0, 1):
+        L1[:, s] = lagrange_basis(t, np.asarray([s / 2.0]))[:, 0]
+    mid = np.ones((K ** D, 1 << D, K ** D))
+    idx = np.arange(K ** D)
+    for d in range(D):
+        a_d = (idx // K ** d) % K
+        b_d = (idx // K ** d) % K
+        block = M1[a_d[:, None, None], S[None, :, d, None],
+                   b_d[None, None, :]]
+        mid = mid * block
+    last = np.ones((K ** D, 1 << D, 1))
+    for d in range(D):
+        a_d = (idx // K ** d) % K
+        last[:, :, 0] = last[:, :, 0] * L1[a_d[:, None], S[None, :, d]]
+    cores = [first] + [mid.copy() for _ in range(R - 2)] + [last]
+    tt = TensorTrain(cores)
+    if compress_tol is not None:
+        tt = tt.compress(tol=compress_tol, maxdim=maxdim, method="svd")
+    return InterpolativeQttNd(tt, R, K, lower, upper)
+
+
 def invert_qtt(iq: InterpolativeQtt, max_level: Optional[int] = None):
     """Recover the per-interval Chebyshev node values from an
     interpolative QTT (ref interpolation.rs:524 invert_qtt): level ``l``
