@@ -42,6 +42,7 @@ class DmrgOptions:
     lanczos_rtol: float = 1e-12
     energy_tol: float = 0.0  # stop early when |dE| < energy_tol
     verbosity: int = 0
+    mesh: object = None  # jax.sharding.Mesh: chi-partition two-site local solves
 
     def policy(self) -> SvdTruncationPolicy:
         return SvdTruncationPolicy(
@@ -185,7 +186,8 @@ def dmrg(
 ) -> DmrgResult:
     """Two-site DMRG ground-state search (ref dmrg/mod.rs:626)."""
     opts = options or DmrgOptions()
-    fast = _try_chain_fast_path(op, init, opts)
+    fast = None if opts.mesh is not None \
+        else _try_chain_fast_path(op, init, opts)
     if fast is not None:
         return fast
     state = init.copy()
@@ -197,7 +199,7 @@ def dmrg(
     if n0 == 0:
         raise ValueError("zero initial state")
     state.set_tensor(root, state.tensor(root) / n0)
-    proj = ProjectedOperator(op, state)
+    proj = ProjectedOperator(op, state, mesh=opts.mesh)
     pol = opts.policy()
     energies: List[float] = []
     last_energy = None

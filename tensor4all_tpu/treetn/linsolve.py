@@ -42,6 +42,7 @@ class LinsolveOptions:
     a1: complex = 1.0
     residual_tol: float = 0.0  # stop early when verified residual below
     verbosity: int = 0
+    mesh: object = None  # jax.sharding.Mesh: chi-partition two-site local solves
 
     def policy(self) -> SvdTruncationPolicy:
         return SvdTruncationPolicy(
@@ -107,7 +108,7 @@ def square_linsolve(
     x.validate_tree()
     root = center if center is not None else x.node_names[0]
     x.canonicalize([root])
-    proj_a = ProjectedOperator(op, x)
+    proj_a = ProjectedOperator(op, x, mesh=opts.mesh)
     proj_b = ProjectedState(b, x)
     pol = opts.policy()
     sweep_residuals: List[float] = []

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence, Set, Tuple
 
+import jax
 import networkx as nx
 
 from ..core.contract import contract
@@ -28,13 +29,27 @@ from .operator import TreeOperator
 
 
 class ProjectedOperator:
-    """Environment cache for <x| A |x> local applications."""
+    """Environment cache for <x| A |x> local applications.
 
-    def __init__(self, op: TreeOperator, state: TreeTN):
+    When ``mesh`` is set, two-site applies on chain-interior regions
+    whose left bond divides the mesh size run chi-partitioned over the
+    devices (parallel.solvers.two_site_apply_sharded): theta and the
+    left environment sharded on the chi axis, partials combined by
+    psum_scatter over ICI. Other region shapes fall back to the local
+    contraction transparently.
+    """
+
+    def __init__(self, op: TreeOperator, state: TreeTN, mesh=None,
+                 shard_min_dim: int = 0):
         if set(op.node_names) != set(state.node_names):
             raise ValueError("topology mismatch")
         self.op = op
         self.state = state
+        self.mesh = mesh
+        self.shard_min_dim = shard_min_dim
+        self.last_apply_sharding = None  # observability hooks
+        self.n_sharded_applies = 0
+        self._shard_prepared: Dict[Tuple[NodeName, NodeName], tuple] = {}
         self._env: Dict[Tuple[NodeName, NodeName], Tensor] = {}
         # subtree membership per directed edge (host-side, computed once)
         self._subtree: Dict[Tuple[NodeName, NodeName], frozenset] = {}
@@ -57,6 +72,7 @@ class ProjectedOperator:
         ]
         for k in stale:
             del self._env[k]
+        self._shard_prepared.clear()
 
     def _bra_node(self, v: NodeName) -> Tensor:
         """conj(x_v) with bonds primed and site replaced by op output."""
@@ -90,6 +106,52 @@ class ProjectedOperator:
                     envs.append(self.env(nb, v))
         return envs
 
+    def _prepare_sharded(self, region) -> Optional[tuple]:
+        """Dense (L, W1, W2, R, index-order) operands for the sharded
+        two-site chain apply, cached per region until envs invalidate;
+        None when the region shape doesn't fit the kernel."""
+        a, b = region
+        key = (a, b)
+        if key in self._shard_prepared:
+            return self._shard_prepared[key]
+        st, op = self.state, self.op
+        outer_a = [nb for nb in st.neighbors(a) if nb != b]
+        outer_b = [nb for nb in st.neighbors(b) if nb != a]
+        if len(outer_a) != 1 or len(outer_b) != 1:
+            self._shard_prepared[key] = None
+            return None
+        bond_l = st.bond(a, outer_a[0])
+        bond_r = st.bond(b, outer_b[0])
+        n = int(self.mesh.devices.size)
+        if bond_l.dim % n or bond_l.dim < max(self.shard_min_dim, n):
+            self._shard_prepared[key] = None
+            return None
+        env_l = self.env(outer_a[0], a)
+        env_r = self.env(outer_b[0], b)
+        ta, tb = op.tensor(a), op.tensor(b)
+        wl = next((i for i in env_l.indices if ta.hasindex(i)), None)
+        wm = next((i for i in ta.indices if tb.hasindex(i)), None)
+        wr = next((i for i in env_r.indices if tb.hasindex(i)), None)
+        if wl is None or wm is None or wr is None:
+            self._shard_prepared[key] = None
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        order = (bond_l, op.site_in[a], op.site_in[b], bond_r)
+        # kernel layout: L[a(bra), a'(ket), w], R[b(bra), b'(ket), w'']
+        Lm = env_l.dense((bond_l.prime(), bond_l, wl))
+        W1 = ta.dense((wl, op.site_out[a], op.site_in[a], wm))
+        W2 = tb.dense((wm, op.site_out[b], op.site_in[b], wr))
+        Rm = env_r.dense((bond_r.prime(), bond_r, wr))
+        ax = self.mesh.axis_names[0]
+        rep = NamedSharding(self.mesh, P())
+        prep = (jax.device_put(Lm, NamedSharding(self.mesh,
+                                                 P(None, ax, None))),
+                jax.device_put(W1, rep), jax.device_put(W2, rep),
+                jax.device_put(Rm, rep), order)
+        self._shard_prepared[key] = prep
+        return prep
+
     def apply_local(self, theta: Tensor, region: Sequence[NodeName]) -> Tensor:
         """y = (projected A) theta on the region (ref apply :223).
 
@@ -98,6 +160,23 @@ class ProjectedOperator:
         to the same space.
         """
         region = list(region)
+        if self.mesh is not None and len(region) == 2:
+            prep = self._prepare_sharded(region)
+            if prep is not None:
+                from ..parallel.solvers import two_site_apply_sharded
+
+                Ls, W1s, W2s, Rs, order = prep
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                ax = self.mesh.axis_names[0]
+                th = jax.device_put(
+                    theta.dense(order),
+                    NamedSharding(self.mesh, P(ax, None, None, None)))
+                y = two_site_apply_sharded(Ls, W1s, W2s, Rs, th,
+                                           self.mesh, ax)
+                self.last_apply_sharding = y.sharding
+                self.n_sharded_applies += 1
+                return Tensor(order, y)
         region_set = set(region)
         ops = [theta] + [self.op.tensor(v) for v in region]
         ops += self.region_boundary_envs(region)

@@ -126,3 +126,191 @@ def test_sharded_gmres_matches_dense():
     res = gmres(lambda v: A @ v, b, vs=vs, rtol=1e-12, maxiter=60)
     x_dense = np.linalg.solve(np.asarray(A), b_host)
     np.testing.assert_allclose(np.asarray(res.x), x_dense, atol=1e-8)
+
+
+# ----------------------------------------------------------------------
+# sharded solvers on real network states (VERDICT r1 #4)
+# ----------------------------------------------------------------------
+def _chain_setup(key, N=6, chi=8):
+    import networkx as nx
+
+    from tensor4all_tpu.models.spin import heisenberg
+    from tensor4all_tpu.treetn.network import random_treetn
+
+    g = nx.Graph()
+    for i in range(N - 1):
+        g.add_edge(i, i + 1)
+    dims = {n: [2] for n in g.nodes}
+    tn, site_inds = random_treetn(key, g, dims, bond_dim=chi)
+    sites = {n: site_inds[n][0] for n in g.nodes}
+    op = heisenberg(g, sites)
+    return g, tn, sites, op
+
+
+def test_sharded_two_site_apply_matches_local(key):
+    """The chi-partitioned projected apply must equal the plain local
+    contraction bit-for-bit (same einsum, partitioned), and its output
+    must actually BE sharded over the mesh."""
+    from tensor4all_tpu.core.contract import contract
+    from tensor4all_tpu.treetn.projected import ProjectedOperator
+
+    g, tn, sites, op = _chain_setup(key, N=6, chi=8)
+    tn.canonicalize([3])
+    mesh = default_mesh(8, axis="x")
+    proj_ref = ProjectedOperator(op, tn)
+    proj_sh = ProjectedOperator(op, tn, mesh=mesh)
+    # region (3,4): left bond = bond(2,3) has dim 8 (divisible by the
+    # mesh); end-adjacent regions fall back transparently
+    region = (3, 4)
+    theta = contract([tn.tensor(3), tn.tensor(4)])
+    y_ref = proj_ref.apply_local(theta, region)
+    y_sh = proj_sh.apply_local(theta, region)
+    assert proj_sh.last_apply_sharding is not None
+    assert not proj_sh.last_apply_sharding.is_fully_replicated
+    np.testing.assert_allclose(
+        np.asarray(y_sh.dense(y_ref.indices)),
+        np.asarray(y_ref.dense(y_ref.indices)), atol=1e-12)
+
+
+def test_sharded_dmrg_matches_single_device(key, monkeypatch):
+    """DMRG with a mesh produces the same ground-state energy as the
+    single-device path, with sharded local-solve intermediates
+    (VERDICT r1 #4 'done' criterion)."""
+    import importlib
+
+    # treetn/__init__ re-exports the dmrg FUNCTION as the `.dmrg`
+    # attribute, shadowing the submodule for plain `import ... as`
+    dmrg_mod = importlib.import_module("tensor4all_tpu.treetn.dmrg")
+    from tensor4all_tpu.models.spin import dense_heisenberg
+    from tensor4all_tpu.treetn.dmrg import DmrgOptions, dmrg
+    from tensor4all_tpu.treetn.projected import ProjectedOperator
+
+    captured = {}
+
+    class Spy(ProjectedOperator):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            captured["proj"] = self
+
+    monkeypatch.setattr(dmrg_mod, "ProjectedOperator", Spy)
+    g, tn, sites, op = _chain_setup(key, N=6, chi=8)
+    mesh = default_mesh(8, axis="x")
+    res_plain = dmrg(op, tn.copy(), options=DmrgOptions(
+        nsweeps=6, maxdim=8))
+    res_shard = dmrg(op, tn.copy(), options=DmrgOptions(
+        nsweeps=6, maxdim=8, mesh=mesh))
+    proj = captured["proj"]
+    assert proj.n_sharded_applies > 0  # chi-partitioned solves happened
+    assert proj.last_apply_sharding is not None
+    assert not proj.last_apply_sharding.is_fully_replicated
+    H = dense_heisenberg(g, list(g.nodes))
+    e_exact = float(np.linalg.eigvalsh(H)[0])
+    assert abs(res_shard.energy - e_exact) < 1e-9
+    assert abs(res_shard.energy - res_plain.energy) < 1e-9
+
+
+def test_sharded_linsolve_matches_dense(key):
+    """square_linsolve with a mesh: chi-partitioned local GMRES applies,
+    result matches the dense oracle."""
+    import networkx as nx
+
+    from tensor4all_tpu.models.spin import dense_heisenberg
+    from tensor4all_tpu.treetn.linsolve import (
+        LinsolveOptions,
+        square_linsolve,
+    )
+
+    g, x0, sites, op = _chain_setup(key, N=5, chi=8)
+    # rhs sharing the state's sites
+    _, b, _, _ = _chain_setup(jax.random.PRNGKey(5), N=5, chi=8)
+    for n in g.nodes:
+        old = b.site_indices(n)[0]
+        b.set_tensor(n, b.tensor(n).replaceind(old, sites[n]))
+    mesh = default_mesh(8, axis="x")
+    a0, a1 = 4.0, 1.0
+    opts = LinsolveOptions(nsweeps=6, maxdim=16, a0=a0, a1=a1,
+                           cutoff=1e-24, gmres_rtol=1e-12,
+                           residual_tol=5e-8, mesh=mesh)
+    res = square_linsolve(op, b, x0, options=opts)
+    assert res.converged, res.sweep_residuals
+    order = list(g.nodes)
+    H = dense_heisenberg(g, order)
+
+    def vec(tn):
+        return np.asarray(tn.contract_to_tensor().dense(
+            [sites[n] for n in order])).reshape(-1)
+
+    expect = np.linalg.solve(a0 * np.eye(2 ** len(order)) + a1 * H, vec(b))
+    rel = np.linalg.norm(vec(res.x) - expect) / np.linalg.norm(expect)
+    assert rel < 1e-9, rel
+
+
+def test_sharded_tt_inner_matches(key):
+    """TT inner product with bond-sharded cores (GSPMD-partitioned
+    transfer chain) matches the replicated result."""
+    from tensor4all_tpu.parallel.solvers import sharded_tt_inner
+
+    tt_a = TensorTrain.random(key, [2] * 6, rank=8)
+    tt_b = TensorTrain.random(jax.random.PRNGKey(3), [2] * 6, rank=8)
+    mesh = default_mesh(8, axis="x")
+    val, mid_sharding = sharded_tt_inner(tt_a.cores, tt_b.cores, mesh)
+    assert not mid_sharding.is_fully_replicated  # cores really sharded
+    expect = complex(tt_a.inner(tt_b))
+    assert abs(complex(val) - expect) < 1e-9 * max(1.0, abs(expect))
+
+
+def test_sharded_theta_vs_lanczos(key):
+    """ShardedThetaVS + two_site_apply_sharded run Lanczos with vectors
+    that live sharded; the lowest eigenvalue matches the dense solve."""
+    from tensor4all_tpu.core.krylov import (
+        hermitian_lanczos_lowest_eigenpair,
+    )
+    from tensor4all_tpu.parallel.solvers import (
+        ShardedThetaVS,
+        place_two_site_operands,
+        two_site_apply_sharded,
+    )
+
+    rng = np.random.default_rng(0)
+    A, d, w = 8, 2, 3
+    # symmetric operands make the full local operator Hermitian
+    L = rng.standard_normal((A, A, w))
+    L = 0.5 * (L + L.transpose(1, 0, 2))
+    R = rng.standard_normal((A, A, w))
+    R = 0.5 * (R + R.transpose(1, 0, 2))
+    W1 = rng.standard_normal((w, d, d, w))
+    W1 = 0.5 * (W1 + W1.transpose(0, 2, 1, 3))
+    W2 = rng.standard_normal((w, d, d, w))
+    W2 = 0.5 * (W2 + W2.transpose(0, 2, 1, 3))
+    M = np.einsum("aXw,wzsv,vutq,bBq->azubXstB", L, W1, W2, R)
+    M = M.reshape(A * d * d * A, A * d * d * A)
+    # the middle op-bond pairing breaks exact symmetry in general;
+    # symmetrize the oracle AND the operands consistently by averaging
+    # with the adjoint action below
+    sym = np.allclose(M, M.T, atol=1e-12)
+
+    mesh = default_mesh(8, axis="x")
+    vs = ShardedThetaVS(mesh)
+    th0 = vs.place(rng.standard_normal((A, d, d, A)))
+    Ls, W1s, W2s, Rs, th0 = place_two_site_operands(L, W1, W2, R,
+                                                    np.asarray(th0), mesh)
+
+    if sym:
+        def apply_h(th):
+            return two_site_apply_sharded(Ls, W1s, W2s, Rs, th, mesh, "x")
+
+        w_exact = np.linalg.eigvalsh(M)[0]
+    else:
+        Msym = 0.5 * (M + M.T)
+        w_exact = np.linalg.eigvalsh(Msym)[0]
+        MT = jnp.asarray(M.T)
+
+        def apply_h(th):
+            y = two_site_apply_sharded(Ls, W1s, W2s, Rs, th, mesh, "x")
+            yt = (MT @ th.reshape(-1)).reshape(A, d, d, A)
+            return 0.5 * (y + yt)
+
+    ev, vec = hermitian_lanczos_lowest_eigenpair(
+        apply_h, th0, vs=vs, maxiter=80, rtol=1e-12)
+    assert abs(ev - w_exact) < 1e-7 * max(1.0, abs(w_exact))
+    assert not vec.sharding.is_fully_replicated
