@@ -96,6 +96,38 @@ def _check_connected(tensors) -> None:
         )
 
 
+_compiled_cache: dict = {}
+
+
+def _contract_compiled(args, out_inds, tensors):
+    """One jitted XLA einsum per (subscripts, shapes, dtypes) signature.
+
+    For contraction signatures that recur many times with identical
+    shapes (env refresh / local-operator builds in tree sweeps), a
+    compiled program beats both eager jnp (per-op dispatch) and numpy
+    (tensordot's transpose copies dominate at 5^k-sized intermediates):
+    XLA fuses the transposes into the GEMMs. The compile cost (~100 ms)
+    amortizes after a handful of calls; callers opt in via
+    ``contract(..., compile=True)`` only on such hot recurring paths.
+    """
+    n = len(tensors)
+    subs_in = []
+    for k in range(n):
+        subs_in.append("".join(opt_einsum.get_symbol(l)
+                               for l in args[2 * k + 1]))
+    subs_out = "".join(opt_einsum.get_symbol(l) for l in args[-1])
+    expr = ",".join(subs_in) + "->" + subs_out
+    ops = [t.data for t in tensors]
+    key = (expr, tuple(tuple(o.shape) for o in ops),
+           tuple(str(jnp.asarray(o).dtype) if not hasattr(o, "dtype")
+                 else str(o.dtype) for o in ops))
+    fn = _compiled_cache.get(key)
+    if fn is None:
+        fn = jax.jit(lambda *xs: jnp.einsum(expr, *xs, optimize="optimal"))
+        _compiled_cache[key] = fn
+    return Tensor(out_inds, fn(*ops))
+
+
 def contract(
     tensors: Sequence[Tensor],
     *,
@@ -103,6 +135,7 @@ def contract(
     conj: Optional[Sequence[bool]] = None,
     check_connected: bool = True,
     optimize: Optional[object] = None,
+    compile: bool = False,
 ) -> Tensor:
     """Contract a connected network of tensors over all shared indices.
 
@@ -128,6 +161,9 @@ def contract(
     if check_connected:
         _check_connected(tensors)
     args, out_inds = _einsum_args(tensors, retain)
+    if compile and not any(isinstance(t.data, jax.core.Tracer)
+                           for t in tensors):
+        return _contract_compiled(args, out_inds, tensors)
     if optimize is None:
         # cached path lookup: labels + shapes fully determine the plan
         key = tuple(
@@ -175,7 +211,9 @@ def contract(
     return Tensor(out_inds, data)
 
 
-_HOST_FAST_ELEMS = 1 << 16  # 64k elements per operand (~chi 64 cores)
+_HOST_FAST_ELEMS = 1 << 20  # 1M elements per operand: covers chi<=64 cores
+# AND high-degree tree-operator centers (star Heisenberg: 5^7*4 = 312k);
+# above this XLA:CPU wins on raw GEMM throughput
 
 
 def _host_fast_case(tensors) -> bool:

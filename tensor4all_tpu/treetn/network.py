@@ -363,7 +363,10 @@ class TreeTN:
         return msgs[root].scalar()
 
     def norm(self) -> jnp.ndarray:
-        return jnp.sqrt(jnp.real(self.inner(self)))
+        # <x|x> can come out a hair negative for near-zero networks
+        # built by cancelling direct sums (the linsolve verify metric's
+        # f64 cancellation floor); clamp so norm is 0, not NaN
+        return jnp.sqrt(jnp.maximum(jnp.real(self.inner(self)), 0.0))
 
     def scale(self, s) -> "TreeTN":
         out = self.copy()

@@ -177,6 +177,14 @@ class ProjectedOperator:
                 self.last_apply_sharding = y.sharding
                 self.n_sharded_applies += 1
                 return Tensor(order, y)
+        mat = self._local_matrix(tuple(region))
+        if mat is not None:
+            M, in_order, out_order = mat
+            import numpy as np
+
+            th = np.asarray(theta.dense(in_order)).reshape(-1)
+            y = (M @ th).reshape([i.dim for i in in_order])
+            return Tensor(in_order, y)
         region_set = set(region)
         ops = [theta] + [self.op.tensor(v) for v in region]
         ops += self.region_boundary_envs(region)
@@ -192,6 +200,50 @@ class ProjectedOperator:
                     old.append(bond.prime())
                     new.append(bond)
         return y.replaceinds(old, new)
+
+    # dim(theta) up to which the projected operator is materialized as a
+    # dense matrix: one region contraction + cheap GEMVs beats one full
+    # network contraction PER Krylov iteration. 1024 -> M is at most
+    # 1024^2 (8 MB f64); above that the per-iteration contraction wins
+    # (chain chi>=32 two-site regions stay on the contraction path).
+    local_matrix_max_dim = 1024
+
+    def _local_matrix(self, region) -> Optional[tuple]:
+        """Dense projected operator on a SMALL region, cached per region
+        until envs invalidate (big win for high-degree tree nodes, e.g.
+        the star center, where each apply would otherwise re-contract
+        the operator's full center core per Lanczos iteration)."""
+        key = ("locmat", region)
+        if key in self._shard_prepared:
+            return self._shard_prepared[key]
+        region_set = set(region)
+        in_order = []
+        for v in region:
+            in_order.append(self.op.site_in[v])
+            for nb in self.state.neighbors(v):
+                if nb not in region_set:
+                    in_order.append(self.state.bond(v, nb))
+        import numpy as np
+
+        dim = int(np.prod([i.dim for i in in_order], dtype=np.int64))
+        if dim > self.local_matrix_max_dim:
+            self._shard_prepared[key] = None
+            return None
+        ops = [self.op.tensor(v) for v in region]
+        ops += self.region_boundary_envs(region)
+        # compiled: this signature recurs every step of every sweep
+        block = contract(ops, check_connected=False, compile=True)
+        out_order = []
+        for v in region:
+            out_order.append(self.op.site_out[v])
+            for nb in self.state.neighbors(v):
+                if nb not in region_set:
+                    out_order.append(self.state.bond(v, nb).prime())
+        M = np.asarray(block.dense(tuple(out_order) + tuple(in_order)))
+        M = M.reshape(dim, dim)
+        prep = (M, tuple(in_order), tuple(out_order))
+        self._shard_prepared[key] = prep
+        return prep
 
     def expectation(self, theta: Tensor, region: Sequence[NodeName]):
         """<theta| A_proj |theta> (assumes canonical center on region)."""
