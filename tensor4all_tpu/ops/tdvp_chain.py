@@ -284,6 +284,46 @@ def _tdvp_sweeps(h, mps0, t, nsteps, order, krylov_m, sweep_dtype,
     return mps
 
 
+def tdvp_sweep_flops(N: int, chi: int, d: int, w: int, krylov_m: int,
+                     nsteps: int, order: int = 2,
+                     complex_dtype: bool = False) -> float:
+    """Analytic FLOP count of ``tdvp_run``'s sweep loop (same cost model
+    as ops.dmrg_chain.dmrg_sweep_flops; complex arithmetic counts 4x
+    the real-valued multiplies)."""
+    import numpy as np
+    import opt_einsum as oe
+
+    def ec(expr, shapes):
+        _, info = oe.contract_path(
+            expr, *[np.empty(s, np.float32) for s in shapes])
+        return float(info.opt_cost)
+
+    m = krylov_m
+    apply2_f = ec("alx,lpim,mqjr,aijb,brB->xpqB",
+                  [(chi, w, chi), (w, d, d, w), (w, d, d, w),
+                   (chi, d, d, chi), (chi, w, chi)])
+    apply1_f = ec("alx,lpir,aib,brB->xpB",
+                  [(chi, w, chi), (w, d, d, w), (chi, d, chi),
+                   (chi, w, chi)])
+    env_f = ec("alx,aib,loir,xoB->brB",
+               [(chi, w, chi), (chi, d, chi), (w, d, d, w), (chi, d, chi)])
+    td2 = chi * d * d * chi
+    td1 = chi * d * chi
+
+    def lan(apply_f, td):
+        return m * (apply_f + 2 * td + 4 * td + 4 * m * td + 2 * td)
+
+    theta0_f = 2.0 * chi ** 3 * d ** 2
+    qr_f = 4 * 2.0 * (chi * d) * chi ** 2
+    mm_f = 4 * 2.0 * (chi * d) * (d * chi) * chi
+    per_bond = (theta0_f + lan(apply2_f, td2) + lan(apply1_f, td1)
+                + qr_f + mm_f + env_f)
+    half_sweep = (N - 1) * per_bond + (N - 1) * env_f  # + env scan
+    per_step = (2 if order == 2 else 1) * half_sweep
+    total = nsteps * per_step
+    return total * (4.0 if complex_dtype else 1.0)
+
+
 def tdvp_chain(h_cores, init_cores, t, chi, nsteps=1, order=2,
                krylov_m=12, sweep_dtype=None):
     """Convenience driver: pad on host, run ONE device program (the

@@ -1,0 +1,529 @@
+"""Real/imag-split TDVP chain engine: real-time evolution on TPUs
+WITHOUT complex kernels (VERDICT r1 #9; this chip raises UNIMPLEMENTED
+for every complex dtype).
+
+Strategy: every complex tensor is a pair ``(Xr, Xi)`` of real arrays and
+every kernel is expressed in real XLA ops the MXU supports:
+
+- pairwise complex contractions = 4 real einsums (2 when one operand is
+  real, e.g. the Hamiltonian MPO);
+- norms / Rayleigh coefficients via Re<v,w> = <vr,wr> + <vi,wi>;
+- the Lanczos tridiagonal T is REAL (Hermitian Lanczos), so its eigh
+  runs in reals, and ``exp(c T) e0`` for complex c splits into
+  magnitude * (cos, sin) phases;
+- the two-site split's orthonormalization uses POLAR form computed
+  through the real embedding E(G) = [[Gr, -Gi], [Gi, Gr]] of the Gram
+  matrix: E is a *-algebra homomorphism, so f(E(G)) = E(f(G)) for any
+  analytic f — the real eigh of E(G) yields E(G^{-1/2}) whose blocks ARE
+  the complex inverse square root. Pseudo-inverse cutoff keeps padded
+  zero directions zero (the engine's bucket-and-mask convention).
+
+Mirrors ops.tdvp_chain (`tdvp_run`) semantics: Lubich projector
+splitting order 1/2, fixed-m Lanczos exponentials, padded static shapes,
+one XLA program for the whole multi-step run. Ref
+tensor4all-treetn/src/tdvp/mod.rs:1101; krylov.rs:640.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .dmrg_chain import pad_mpo, pad_mps  # noqa: F401 (re-export)
+
+
+
+def _cmul_ein(expr, ar, ai, br, bi):
+    """Complex pairwise einsum (4 real einsums)."""
+    rr = jnp.einsum(expr, ar, br, optimize=True)
+    ii = jnp.einsum(expr, ai, bi, optimize=True)
+    ri = jnp.einsum(expr, ar, bi, optimize=True)
+    ir = jnp.einsum(expr, ai, br, optimize=True)
+    return rr - ii, ri + ir
+
+
+def _rmul_ein(expr, ar, ai, w):
+    """Einsum of a complex pair against a REAL operand (2 real einsums)."""
+    return (jnp.einsum(expr, ar, w, optimize=True),
+            jnp.einsum(expr, ai, w, optimize=True))
+
+
+
+def _cproj_out(qr_, qi_, fr, fi):
+    """(I - Q Q^H) F for complex pairs."""
+    cr = qr_.T @ fr + qi_.T @ fi      # Re(Q^H F)
+    ci = qr_.T @ fi - qi_.T @ fr      # Im(Q^H F)
+    dr = fr - (qr_ @ cr - qi_ @ ci)
+    di = fi - (qr_ @ ci + qi_ @ cr)
+    return dr, di
+
+
+def _merge_into_dead(qr_, qi_, cr_, ci_):
+    """Assign C's live columns (orthonormal, perpendicular to Q's live
+    span) to Q's dead column slots, order-preserving, no collisions.
+    C may be WIDER than Q (extra candidates beyond Q's width are used
+    only as far as dead slots remain)."""
+    qcols = qr_.shape[1]
+    live_q = jnp.sum(qr_ * qr_ + qi_ * qi_, axis=0) > 0.5
+    live_c = jnp.sum(cr_ * cr_ + ci_ * ci_, axis=0) > 0.5
+    dead_order = jnp.argsort(live_q, stable=True)        # dead slots first
+    c_order = jnp.argsort(jnp.logical_not(live_c),
+                          stable=True)[:qcols]           # live first
+    n_dead = jnp.sum(jnp.logical_not(live_q))
+    idx = jnp.arange(qcols)
+    valid = ((idx < n_dead) & live_c[c_order]).astype(qr_.dtype)
+    add_r = jnp.zeros_like(qr_).at[:, dead_order].set(
+        cr_[:, c_order] * valid[None, :])
+    add_i = jnp.zeros_like(qi_).at[:, dead_order].set(
+        ci_[:, c_order] * valid[None, :])
+    return qr_ + add_r, qi_ + add_i
+
+
+
+def _corth_qr(yr, yi, seed: int = 11):
+    """QR-grade complex orthonormalization via the real embedding — the
+    accuracy-critical primitive (no Gram kappa^2 squaring anywhere).
+
+    Real Householder QR of E(Y) = [[Yr, -Yi], [Yi, Yr]] (2p x 2q) gives
+    an orthonormal REAL basis of the embedded column space; every real
+    basis vector [a; b] maps to the complex vector a + i b INSIDE
+    colspace(Y), and the mapped set is a TIGHT FRAME with frame constant
+    2 (C C^H = 2 P): for any unit uncovered direction x,
+    sum_j |<x, c_j>|^2 = 2, so some candidate has component >= 1/sqrt(q)
+    — a masked Gram-Schmidt with threshold 0.5/sqrt(q) therefore NEVER
+    loses a genuine direction, while pair-duplicates (i*v of an accepted
+    v) give residual ~0 and are skipped. Dead slots (rank < q) are
+    completed with junk directions orthogonal to the live span (the
+    warm-started subspace iteration needs full-dimensional bases)."""
+    p, q = yr.shape
+    e = jnp.block([[yr, -yi], [yi, yr]])
+    qe, re_ = jnp.linalg.qr(e)
+    # mask QR's arbitrary completion of rank-deficient input: those
+    # columns are NOT complex-structured (they are not in E(colspace))
+    rdiag = jnp.abs(jnp.diagonal(re_))
+    rmax = jnp.max(rdiag)
+    genuine = (rdiag > 100 * jnp.finfo(yr.dtype).eps * rmax
+               ).astype(yr.dtype)
+    qe = qe * genuine[None, :]
+    cr_all, ci_all = qe[:p, :], qe[p:, :]   # (p, 2q) frame candidates
+    thresh = 0.5 / jnp.sqrt(jnp.asarray(float(q), yr.dtype))
+
+    def body(carry, j):
+        vr, vi, count = carry
+        cr, ci = cr_all[:, j], ci_all[:, j]
+        pr = vr.T @ cr + vi.T @ ci
+        pi = vr.T @ ci - vi.T @ cr
+        cr = cr - (vr @ pr - vi @ pi)
+        ci = ci - (vr @ pi + vi @ pr)
+        nrm = jnp.sqrt(jnp.sum(cr * cr + ci * ci))
+        accept = ((nrm > thresh) & (count < q)).astype(yr.dtype)
+        inv = accept / jnp.maximum(nrm, jnp.finfo(yr.dtype).tiny)
+        onehot = (jnp.arange(q) == count).astype(yr.dtype) * accept
+        vr = vr + jnp.outer(cr * inv, onehot)
+        vi = vi + jnp.outer(ci * inv, onehot)
+        count = count + accept.astype(count.dtype)
+        return (vr, vi, count), None
+
+    init = (jnp.zeros((p, q), yr.dtype), jnp.zeros((p, q), yr.dtype),
+            jnp.zeros((), jnp.int32))
+    (qr_, qi_, _), _ = jax.lax.scan(body, init, jnp.arange(2 * q))
+    # completion for dead slots (junk pool wider than q; fixed-seed junk
+    # recurs across call sites and can lose rank under the projection)
+    key = jax.random.PRNGKey(seed)
+    kf1, kf2 = jax.random.split(key)
+    w = min(2 * q, p)
+    fr = jax.random.normal(kf1, (p, w), yr.dtype)
+    fi = jax.random.normal(kf2, (p, w), yr.dtype)
+    dr, di = _cproj_out(qr_, qi_, fr, fi)
+    er = jnp.block([[dr, -di], [di, dr]])
+    qe2, re2 = jnp.linalg.qr(er)
+    rd2 = jnp.abs(jnp.diagonal(re2))
+    gen2 = (rd2 > 100 * jnp.finfo(yr.dtype).eps
+            * jnp.maximum(jnp.max(rd2), jnp.finfo(yr.dtype).tiny)).astype(yr.dtype)
+    qe2 = qe2 * gen2[None, :]
+    c2r, c2i = qe2[:p, :], qe2[p:, :]
+    th2 = 0.5 / jnp.sqrt(jnp.asarray(float(w), yr.dtype))
+
+    def body2(carry, j):
+        vr, vi, count = carry
+        cr, ci = c2r[:, j], c2i[:, j]
+        # project out BOTH the live basis and the accepted junk
+        pr = qr_.T @ cr + qi_.T @ ci
+        pi = qr_.T @ ci - qi_.T @ cr
+        cr = cr - (qr_ @ pr - qi_ @ pi)
+        ci = ci - (qr_ @ pi + qi_ @ pr)
+        pr = vr.T @ cr + vi.T @ ci
+        pi = vr.T @ ci - vi.T @ cr
+        cr = cr - (vr @ pr - vi @ pi)
+        ci = ci - (vr @ pi + vi @ pr)
+        nrm = jnp.sqrt(jnp.sum(cr * cr + ci * ci))
+        accept = ((nrm > th2) & (count < q)).astype(yr.dtype)
+        inv = accept / jnp.maximum(nrm, jnp.finfo(yr.dtype).tiny)
+        onehot = (jnp.arange(q) == count).astype(yr.dtype) * accept
+        vr = vr + jnp.outer(cr * inv, onehot)
+        vi = vi + jnp.outer(ci * inv, onehot)
+        count = count + accept.astype(count.dtype)
+        return (vr, vi, count), None
+
+    initj = (jnp.zeros((p, q), yr.dtype), jnp.zeros((p, q), yr.dtype),
+             jnp.zeros((), jnp.int32))
+    (jr, ji, _), _ = jax.lax.scan(body2, initj, jnp.arange(2 * w))
+    return _merge_into_dead(qr_, qi_, jr, ji)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nsteps", "order", "krylov_m", "orthogonalize"),
+)
+def tdvp_run_split(
+    h: jnp.ndarray,
+    mps0_r: jnp.ndarray,
+    mps0_i: jnp.ndarray,
+    t_re: float,
+    t_im: float,
+    nsteps: int = 1,
+    order: int = 2,
+    krylov_m: int = 12,
+    orthogonalize: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Evolve ``exp((t_re + i t_im) * H)|mps0>`` with a REAL padded MPO
+    ``h`` and a complex state given as the (real, imag) pair; returns the
+    evolved pair. All arrays f32/f64 real — no complex dtypes anywhere,
+    so the whole program runs on complex-less TPUs with the chi^3 work
+    on the MXU.
+    """
+    if order not in (1, 2):
+        raise ValueError("order must be 1 or 2")
+    with jax.default_matmul_precision("highest"):
+        return _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps,
+                                  order, krylov_m, orthogonalize)
+
+
+def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
+                       krylov_m, orthogonalize):
+    N, chi, d, _ = mps0_r.shape
+    st = mps0_r.dtype
+    hs = h.astype(st)
+    mr, mi = mps0_r.astype(st), mps0_i.astype(st)
+    m = krylov_m
+
+    def norm2_of(ar, ai):
+        return (jnp.sum(ar * ar) + jnp.sum(ai * ai)).astype(jnp.float64)
+
+    def apply_h2(Lr, Li, Wl, Wr, Rr, Ri):
+        """theta' = L Wl Wr theta R with complex L, theta, R, real W."""
+
+        def f(thr, thi):
+            t1r, t1i = _cmul_ein("alx,aijb->lxijb", Lr, Li, thr, thi)
+            t2r, t2i = _rmul_ein("lxijb,lpim->xpmjb", t1r, t1i, Wl)
+            t3r, t3i = _rmul_ein("xpmjb,mqjr->xpqrb", t2r, t2i, Wr)
+            return _cmul_ein("xpqrb,brB->xpqB", t3r, t3i, Rr, Ri)
+
+        return f
+
+    def apply_h1(Lr, Li, W, Rr, Ri):
+        def f(ar, ai):
+            t1r, t1i = _cmul_ein("alx,aib->lxib", Lr, Li, ar, ai)
+            t2r, t2i = _rmul_ein("lxib,lpir->xprb", t1r, t1i, W)
+            return _cmul_ein("xprb,brB->xpB", t2r, t2i, Rr, Ri)
+
+        return f
+
+    def lanczos_expm(apply_h, v0r, v0i, c_re, c_im, shape):
+        """exp((c_re + i c_im) H) v0 by fixed-m Hermitian Lanczos in
+        pair arithmetic (T stays real)."""
+        n0 = jnp.sqrt(norm2_of(v0r, v0i))
+        inv = (1.0 / jnp.maximum(n0, jnp.finfo(jnp.float64).tiny)).astype(st)
+        vr, vi = v0r * inv, v0i * inv
+        basis_r = jnp.zeros((m,) + shape, st)
+        basis_i = jnp.zeros((m,) + shape, st)
+        alphas = jnp.zeros((m,), jnp.float64)
+        betas = jnp.zeros((m,), jnp.float64)
+        amask = jnp.zeros((m,), jnp.float64)
+
+        def body(i, carry):
+            (basis_r, basis_i, alphas, betas, amask, vr, vi, pvr, pvi,
+             beta_prev, alive) = carry
+            al = alive.astype(st)
+            basis_r = basis_r.at[i].set(vr * al)
+            basis_i = basis_i.at[i].set(vi * al)
+            hvr, hvi = apply_h(vr, vi)
+            a = (jnp.sum(vr * hvr) + jnp.sum(vi * hvi))  # Re<v,Hv>
+            bp = beta_prev.astype(st)
+            hvr = hvr - a * vr - bp * pvr
+            hvi = hvi - a * vi - bp * pvi
+            # full reorthogonalization: ov_m = <basis_m, hv> (complex)
+            ovr = (jnp.einsum("m...,...->m", basis_r, hvr)
+                   + jnp.einsum("m...,...->m", basis_i, hvi))
+            ovi = (jnp.einsum("m...,...->m", basis_r, hvi)
+                   - jnp.einsum("m...,...->m", basis_i, hvr))
+            mask = (jnp.arange(m) <= i).astype(st)
+            ovr, ovi = ovr * mask, ovi * mask
+            hvr = hvr - (jnp.einsum("m,m...->...", ovr, basis_r)
+                         - jnp.einsum("m,m...->...", ovi, basis_i))
+            hvi = hvi - (jnp.einsum("m,m...->...", ovr, basis_i)
+                         + jnp.einsum("m,m...->...", ovi, basis_r))
+            b = jnp.sqrt(norm2_of(hvr, hvi))
+            binv = (1.0 / jnp.maximum(b, jnp.finfo(jnp.float64).tiny)).astype(st)
+            alphas = alphas.at[i].set(
+                jnp.where(alive > 0, a.astype(jnp.float64), 0.0))
+            amask = amask.at[i].set(alive)
+            eps = jnp.asarray(10 * jnp.finfo(st).eps, jnp.float64)
+            next_alive = alive * (b > eps * jnp.maximum(
+                1.0, jnp.abs(a).astype(jnp.float64)))
+            betas = betas.at[i].set(b * (i + 1 < m) * next_alive)
+            return (basis_r, basis_i, alphas, betas, amask,
+                    hvr * binv, hvi * binv, vr, vi, b * alive, next_alive)
+
+        carry = (basis_r, basis_i, alphas, betas, amask, vr, vi,
+                 jnp.zeros_like(vr), jnp.zeros_like(vi),
+                 jnp.float64(0.0), jnp.float64(1.0))
+        (basis_r, basis_i, alphas, betas, amask, *_) = jax.lax.fori_loop(
+            0, m, body, carry)
+        big = jnp.where(amask > 0, alphas, -jnp.inf).max()
+        small = jnp.where(amask > 0, alphas, jnp.inf).min()
+        pad = big + (big - small) + 4.0 * jnp.abs(betas).max() + 1.0
+        diag = jnp.where(amask > 0, alphas, pad)
+        T = (jnp.diag(diag) + jnp.diag(betas[:-1], 1)
+             + jnp.diag(betas[:-1], -1))
+        evals, evecs = jnp.linalg.eigh(T)
+        # exp((c_re + i c_im) lambda): magnitude * (cos, sin)
+        mag = jnp.exp(c_re * evals)
+        ph_r = mag * jnp.cos(c_im * evals)
+        ph_i = mag * jnp.sin(c_im * evals)
+        e0 = evecs[0, :]
+        coef_r = (evecs @ (ph_r * e0)) * amask
+        coef_i = (evecs @ (ph_i * e0)) * amask
+        cr, ci = coef_r.astype(st), coef_i.astype(st)
+        out_r = (jnp.einsum("m,m...->...", cr, basis_r)
+                 - jnp.einsum("m,m...->...", ci, basis_i))
+        out_i = (jnp.einsum("m,m...->...", cr, basis_i)
+                 + jnp.einsum("m,m...->...", ci, basis_r))
+        s0 = n0.astype(st)
+        return out_r * s0, out_i * s0
+
+    def split_theta(thr, thi, q0r, q0i, toward_right):
+        """Top-chi split via warm-started subspace iteration with polar
+        orthonormalization after EACH half-application (keeps every
+        intermediate at dynamic range sigma, as in dmrg_chain)."""
+        mr_ = thr.reshape(chi * d, d * chi)
+        mi_ = thi.reshape(chi * d, d * chi)
+        if toward_right:
+            zr, zi = _corth_qr(mr_.T @ q0r + mi_.T @ q0i,
+                                     mr_.T @ q0i - mi_.T @ q0r)  # M^H Q0
+            qr_, qi_ = _corth_qr(mr_ @ zr - mi_ @ zi,
+                                       mr_ @ zi + mi_ @ zr)
+            zr, zi = _corth_qr(mr_.T @ qr_ + mi_.T @ qi_,
+                                     mr_.T @ qi_ - mi_.T @ qr_)
+            qr_, qi_ = _corth_qr(mr_ @ zr - mi_ @ zi,
+                                       mr_ @ zi + mi_ @ zr)
+            left_r = qr_.reshape(chi, d, chi)
+            left_i = qi_.reshape(chi, d, chi)
+            rr = qr_.T @ mr_ + qi_.T @ mi_      # Q^H M
+            ri = qr_.T @ mi_ - qi_.T @ mr_
+            right_r = rr.reshape(chi, d, chi)
+            right_i = ri.reshape(chi, d, chi)
+        else:
+            zr, zi = _corth_qr(mr_ @ q0r - mi_ @ q0i,
+                                     mr_ @ q0i + mi_ @ q0r)
+            qr_, qi_ = _corth_qr(mr_.T @ zr + mi_.T @ zi,
+                                       mr_.T @ zi - mi_.T @ zr)  # M^H Z
+            zr, zi = _corth_qr(mr_ @ qr_ - mi_ @ qi_,
+                                     mr_ @ qi_ + mi_ @ qr_)
+            qr_, qi_ = _corth_qr(mr_.T @ zr + mi_.T @ zi,
+                                       mr_.T @ zi - mi_.T @ zr)
+            right_r = qr_.T.reshape(chi, d, chi)
+            right_i = (-qi_.T).reshape(chi, d, chi)  # (Q^H)
+            # left = M Q (ket-side factor)
+            lr_ = mr_ @ qr_ - mi_ @ qi_
+            li_ = mr_ @ qi_ + mi_ @ qr_
+            left_r = lr_.reshape(chi, d, chi)
+            left_i = li_.reshape(chi, d, chi)
+        return left_r, left_i, right_r, right_i
+
+    def update_left_env(Lr, Li, Ar, Ai, W):
+        # L' = sum A W conj(A): bra = conj(A)
+        t1r, t1i = _cmul_ein("alx,aib->lxib", Lr, Li, Ar, Ai)
+        t2r, t2i = _rmul_ein("lxib,loir->xorb", t1r, t1i, W)
+        # contract with conj(A): (x o B) over x, o
+        rr = (jnp.einsum("xorb,xoB->brB", t2r, Ar)
+              + jnp.einsum("xorb,xoB->brB", t2i, Ai))
+        ii = (jnp.einsum("xorb,xoB->brB", t2i, Ar)
+              - jnp.einsum("xorb,xoB->brB", t2r, Ai))
+        return rr, ii
+
+    def update_right_env(Rr, Ri, Ar, Ai, W):
+        t1r, t1i = _cmul_ein("brB,aib->raiB", Rr, Ri, Ar, Ai)
+        t2r, t2i = _rmul_ein("raiB,loir->laoB", t1r, t1i, W)
+        rr = (jnp.einsum("laoB,xoB->alx", t2r, Ar)
+              + jnp.einsum("laoB,xoB->alx", t2i, Ai))
+        ii = (jnp.einsum("laoB,xoB->alx", t2i, Ar)
+              - jnp.einsum("laoB,xoB->alx", t2r, Ai))
+        return rr, ii
+
+    Lb_r = jnp.zeros((chi, h.shape[1], chi), st).at[0, 0, 0].set(1.0)
+    Rb_r = jnp.zeros((chi, h.shape[1], chi), st).at[0, 0, 0].set(1.0)
+    Zb = jnp.zeros((chi, h.shape[1], chi), st)
+
+    def get(stacked, k):
+        return jax.lax.dynamic_index_in_dim(stacked, k, keepdims=False)
+
+    def put(stacked, k, val):
+        return jax.lax.dynamic_update_index_in_dim(stacked, val, k, axis=0)
+
+    def right_env_scan(mr, mi):
+        def body(R, k):
+            Rn = update_right_env(R[0], R[1], get(mr, k), get(mi, k),
+                                  get(hs, k))
+            return Rn, Rn
+
+        _, Rs = jax.lax.scan(body, (Rb_r, Zb), jnp.arange(N - 1, 0, -1))
+        return (jnp.flip(Rs[0], axis=0), jnp.flip(Rs[1], axis=0))
+
+    def right_orthogonalize_padded(mr, mi):
+        """QR gauge sweep via polar orthonormalization of each core's
+        right unfolding (any complex-orthonormal row basis works as a
+        gauge; polar keeps it matmul+eigh only)."""
+
+        def body(carry, k):
+            mr, mi = carry
+            ar, ai = get(mr, k), get(mi, k)
+            # rows of (chi, d chi): orthonormalize columns of the dagger
+            yr = ar.reshape(chi, d * chi).T
+            yi = -ai.reshape(chi, d * chi).T  # conj transpose
+            qr_, qi_ = _corth_qr(yr, yi)  # (d chi, chi)
+            core_r = qr_.T.reshape(chi, d, chi)
+            core_i = (-qi_.T).reshape(chi, d, chi)
+            # residual R = M Q (chi x chi complex); absorb into previous
+            mr_flat = ar.reshape(chi, d * chi)
+            mi_flat = ai.reshape(chi, d * chi)
+            rr = mr_flat @ qr_ - mi_flat @ qi_
+            ri = mr_flat @ qi_ + mi_flat @ qr_
+            pr, pi = get(mr, k - 1), get(mi, k - 1)
+            nr = (jnp.einsum("adb,bc->adc", pr, rr)
+                  - jnp.einsum("adb,bc->adc", pi, ri))
+            ni = (jnp.einsum("adb,bc->adc", pr, ri)
+                  + jnp.einsum("adb,bc->adc", pi, rr))
+            mr = put(put(mr, k, core_r), k - 1, nr)
+            mi = put(put(mi, k, core_i), k - 1, ni)
+            return (mr, mi), None
+
+        (mr, mi), _ = jax.lax.scan(body, (mr, mi),
+                                   jnp.arange(N - 1, 0, -1))
+        return mr, mi
+
+    if orthogonalize:
+        mr, mi = right_orthogonalize_padded(mr, mi)
+        n0 = jnp.sqrt(norm2_of(get(mr, 0), get(mi, 0)))
+        inv = (1.0 / jnp.maximum(n0, jnp.finfo(jnp.float64).tiny)).astype(st)
+        mr = put(mr, 0, get(mr, 0) * inv)
+        mi = put(mi, 0, get(mi, 0) * inv)
+
+    dt_re = jnp.float64(t_re) / nsteps
+    dt_im = jnp.float64(t_im) / nsteps
+    if order == 2:
+        dt_re, dt_im = dt_re / 2.0, dt_im / 2.0
+
+    def half_sweep_fwd(mr, mi, c_re, c_im):
+        Rs = right_env_scan(mr, mi)
+
+        def body(carry, x):
+            k, Rkr, Rki = x
+            mr, mi, Lr, Li = carry
+            Ar, Ai = get(mr, k), get(mi, k)
+            Br, Bi = get(mr, k + 1), get(mi, k + 1)
+            th0r = (jnp.einsum("asb,btc->astc", Ar, Br)
+                    - jnp.einsum("asb,btc->astc", Ai, Bi))
+            th0i = (jnp.einsum("asb,btc->astc", Ar, Bi)
+                    + jnp.einsum("asb,btc->astc", Ai, Br))
+            thr, thi = lanczos_expm(
+                apply_h2(Lr, Li, get(hs, k), get(hs, k + 1), Rkr, Rki),
+                th0r, th0i, c_re, c_im, (chi, d, d, chi))
+            lr, li, rr, ri = split_theta(
+                thr, thi, Ar.reshape(chi * d, chi),
+                Ai.reshape(chi * d, chi), True)
+            Lnr, Lni = update_left_env(Lr, Li, lr, li, get(hs, k))
+            gate = jnp.where(k < N - 2, 1.0, 0.0)
+            rr, ri = lanczos_expm(
+                apply_h1(Lnr, Lni, get(hs, k + 1), Rkr, Rki), rr, ri,
+                -c_re * gate, -c_im * gate, (chi, d, chi))
+            mr = put(put(mr, k, lr), k + 1, rr)
+            mi = put(put(mi, k, li), k + 1, ri)
+            return (mr, mi, Lnr, Lni), (Lr, Li)
+
+        (mr, mi, _, _), Ls = jax.lax.scan(
+            body, (mr, mi, Lb_r, Zb),
+            (jnp.arange(N - 1), Rs[0], Rs[1]))
+        return mr, mi, Ls
+
+    def half_sweep_bwd(mr, mi, c_re, c_im, Ls):
+        def body(carry, x):
+            k, Lkr, Lki = x
+            mr, mi, Rr, Ri = carry
+            Ar, Ai = get(mr, k), get(mi, k)
+            Br, Bi = get(mr, k + 1), get(mi, k + 1)
+            th0r = (jnp.einsum("asb,btc->astc", Ar, Br)
+                    - jnp.einsum("asb,btc->astc", Ai, Bi))
+            th0i = (jnp.einsum("asb,btc->astc", Ar, Bi)
+                    + jnp.einsum("asb,btc->astc", Ai, Br))
+            thr, thi = lanczos_expm(
+                apply_h2(Lkr, Lki, get(hs, k), get(hs, k + 1), Rr, Ri),
+                th0r, th0i, c_re, c_im, (chi, d, d, chi))
+            lr, li, rr, ri = split_theta(
+                thr, thi, Br.reshape(chi, d * chi).T,
+                Bi.reshape(chi, d * chi).T, False)
+            Rnr, Rni = update_right_env(Rr, Ri, rr, ri, get(hs, k + 1))
+            gate = jnp.where(k > 0, 1.0, 0.0)
+            lr, li = lanczos_expm(
+                apply_h1(Lkr, Lki, get(hs, k), Rnr, Rni), lr, li,
+                -c_re * gate, -c_im * gate, (chi, d, chi))
+            mr = put(put(mr, k, lr), k + 1, rr)
+            mi = put(put(mi, k, li), k + 1, ri)
+            return (mr, mi, Rnr, Rni), None
+
+        (mr, mi, _, _), _ = jax.lax.scan(
+            body, (mr, mi, Rb_r, Zb),
+            (jnp.arange(N - 2, -1, -1),
+             jnp.flip(Ls[0], axis=0), jnp.flip(Ls[1], axis=0)))
+        return mr, mi
+
+    def one_step(_, carry):
+        mr, mi = carry
+        mr, mi, Ls = half_sweep_fwd(mr, mi, dt_re, dt_im)
+        if order == 2:
+            mr, mi = half_sweep_bwd(mr, mi, dt_re, dt_im, Ls)
+        else:
+            mr, mi = right_orthogonalize_padded(mr, mi)
+        return mr, mi
+
+    mr, mi = jax.lax.fori_loop(0, nsteps, one_step, (mr, mi))
+    return mr, mi
+
+
+def tdvp_chain_split(h_cores, init_cores, t, chi, nsteps=1, order=2,
+                     krylov_m=12, dtype=jnp.float32):
+    """Convenience driver for the split engine: pad on host, run ONE
+    real-arithmetic device program. ``t`` complex (e.g. ``-1j*T``);
+    ``init_cores`` may be real or complex."""
+    import numpy as np
+
+    h = pad_mpo([jnp.asarray(np.real(np.asarray(c)), dtype)
+                 for c in h_cores])
+    normed_r, normed_i = [], []
+    for c in init_cores:
+        a = np.asarray(c, dtype=np.complex128)
+        mmax = float(np.abs(a).max()) if a.size else 0.0
+        if mmax > 0:
+            a = a / mmax
+            a = a / float(np.linalg.norm(a))
+        normed_r.append(np.real(a))
+        normed_i.append(np.imag(a))
+    mr = pad_mps([jnp.asarray(c, dtype) for c in normed_r], chi)
+    mi = pad_mps([jnp.asarray(c, dtype) for c in normed_i], chi)
+    t = complex(t)
+    return tdvp_run_split(h, mr, mi, t.real, t.imag, nsteps=nsteps,
+                          order=order, krylov_m=krylov_m,
+                          orthogonalize=True)
