@@ -154,6 +154,146 @@ def _rrlu_kernel(a: jnp.ndarray, rtol: float, atol: float, max_rank: int,
     return Lb, Ub, meta
 
 
+@functools.partial(jax.jit, static_argnames=("max_rank", "block"))
+def _rrlu_kernel_blocked(a: jnp.ndarray, rtol: float, atol: float,
+                         max_rank: int, block: int = 32):
+    """Blocked-ROOK rank-revealing LU for the device (SURVEY §7 hard
+    part 2; ref tcicore matrixluci/block_rook.rs localized pivoting).
+
+    Per pivot, the sequential work is a rook walk whose column/row
+    corrections are two panel GEMVs against the zero-padded static-shape
+    current panel — O((n+m)*block) instead of the naive kernel's O(n*m)
+    rank-1 update — and the residual is refreshed once per block with a
+    rank-`block` GEMM that XLA maps onto the MXU. A full |R| argmax runs
+    once per block (rook restart + tolerance recheck), so rank-stop
+    decisions are full-pivot faithful at block granularity while pivot
+    ORDER follows the rook walk (the reference's rook strategy shares
+    that contract). Within a block, acceptance is prefix-shaped (a
+    failed rook pivot ends the block; the next block re-checks on the
+    refreshed residual), and panels are written at the CURRENT rank
+    offset so factor columns stay aligned with the pivot lists.
+
+    Returns the same ``(Lb, Ub, meta)`` as ``_rrlu_kernel``.
+    """
+    with jax.default_matmul_precision("highest"):
+        return _rrlu_blocked_body(a, rtol, atol, max_rank, block)
+
+
+def _rrlu_blocked_body(a, rtol, atol, max_rank, block):
+    # full-f32 matmul passes: the panel corrections and the rank-block
+    # residual refresh decide PIVOT ACCEPTANCE — at the TPU's default
+    # bf16 matmul precision the refresh noise (~1e-3 relative) inflates
+    # ranks by tens of junk pivots (measured: rank 87 vs true 18)
+    n, m = a.shape
+    dtype = a.dtype
+    nb = -(-max_rank // block)  # ceil
+    Lb = jnp.zeros((n, max_rank + block), dtype)  # slack for panel writes
+    Ub = jnp.zeros((max_rank + block, m), dtype)
+    rows = jnp.full((max_rank + block,), -1, jnp.int32)
+    cols = jnp.full((max_rank + block,), -1, jnp.int32)
+    pivs = jnp.zeros((max_rank + block,), jnp.float64)
+    rowmask = jnp.ones((n,), dtype)
+    colmask = jnp.ones((m,), dtype)
+    first = jnp.max(jnp.abs(a))
+    thresh = jnp.maximum(rtol * first, atol)
+
+    def block_cond(carry):
+        (R, Lb, Ub, rows, cols, pivs, rowmask, colmask, k, bdone,
+         lastdrop, bi) = carry
+        return jnp.logical_and(bi < nb, jnp.logical_not(bdone))
+
+    def block_body(carry):
+        (R, Lb, Ub, rows, cols, pivs, rowmask, colmask, k, _, lastdrop,
+         bi) = carry
+        # block-start: full argmax on the REFRESHED residual — rook
+        # restart point AND the full-pivot-faithful tolerance recheck
+        absR = jnp.abs(R) * rowmask[:, None] * colmask[None, :]
+        flat = jnp.argmax(absR)
+        j0 = (flat % m).astype(jnp.int32)
+        start_mag = absR.reshape(-1)[flat]
+        bdone = start_mag <= thresh
+        lastdrop = jnp.where(bdone, start_mag.astype(jnp.float64),
+                             lastdrop)
+        k0 = k
+
+        Lp = jnp.zeros((n, block), dtype)
+        Up = jnp.zeros((block, m), dtype)
+
+        def step(b, inner):
+            (Lp, Up, rows, cols, pivs, rowmask, colmask, k, done,
+             lastdrop, jcur) = inner
+
+            def corr_col(j):
+                return (R[:, j] - Lp @ Up[:, j]) * rowmask
+
+            def corr_row(i):
+                return (R[i, :] - Lp[i, :] @ Up) * colmask
+
+            j = jcur
+            for _ in range(2):  # fixed rook iterations
+                c = corr_col(j)
+                i = jnp.argmax(jnp.abs(c)).astype(jnp.int32)
+                r_ = corr_row(i)
+                j = jnp.argmax(jnp.abs(r_)).astype(jnp.int32)
+            c = corr_col(j)
+            i = jnp.argmax(jnp.abs(c)).astype(jnp.int32)
+            piv = c[i]
+            pmag = jnp.abs(piv)
+            good = jnp.logical_and(pmag > thresh, jnp.logical_not(done))
+            gd = good.astype(dtype)
+            r_ = corr_row(i)
+            colv = gd * c / jnp.where(pmag > 0, piv, jnp.ones((), dtype))
+            rowv = gd * r_
+            Lp = Lp.at[:, b].set(colv)
+            Up = Up.at[b, :].set(rowv)
+            slot = k0 + b  # prefix acceptance keeps slot == k when good
+            rows = rows.at[slot].set(jnp.where(good, i, rows[slot]))
+            cols = cols.at[slot].set(jnp.where(good, j, cols[slot]))
+            pivs = pivs.at[slot].set(
+                jnp.where(good, pmag.astype(jnp.float64), pivs[slot]))
+            rowmask = rowmask.at[i].set(
+                jnp.where(good, jnp.zeros((), dtype), rowmask[i]))
+            colmask = colmask.at[j].set(
+                jnp.where(good, jnp.zeros((), dtype), colmask[j]))
+            lastdrop = jnp.where(
+                jnp.logical_and(jnp.logical_not(good),
+                                jnp.logical_not(done)),
+                pmag.astype(jnp.float64), lastdrop)
+            done = jnp.logical_or(done, jnp.logical_not(good))
+            k = k + good.astype(jnp.int32)
+            jnext = jnp.argmax(jnp.abs(rowv) * colmask).astype(jnp.int32)
+            return (Lp, Up, rows, cols, pivs, rowmask, colmask, k, done,
+                    lastdrop, jnext)
+
+        inner = (Lp, Up, rows, cols, pivs, rowmask, colmask, k, bdone,
+                 lastdrop, j0)
+        (Lp, Up, rows, cols, pivs, rowmask, colmask, k, _, lastdrop,
+         _) = jax.lax.fori_loop(0, block, step, inner)
+        # panel lands at the block's rank offset: alignment with the
+        # pivot lists is exact because acceptance is prefix-shaped
+        Lb = jax.lax.dynamic_update_slice(Lb, Lp, (jnp.int32(0), k0))
+        Ub = jax.lax.dynamic_update_slice(Ub, Up, (k0, jnp.int32(0)))
+        R = R - Lp @ Up  # rank-`block` MXU refresh
+        R = R * rowmask[:, None] * colmask[None, :]
+        # cap: never exceed max_rank accepted pivots
+        bdone = jnp.logical_or(k >= max_rank, bdone)
+        return (R, Lb, Ub, rows, cols, pivs, rowmask, colmask, k, bdone,
+                lastdrop, bi + 1)
+
+    carry = (a, Lb, Ub, rows, cols, pivs, rowmask, colmask, jnp.int32(0),
+             jnp.bool_(False), jnp.float64(0.0), jnp.int32(0))
+    (R, Lb, Ub, rows, cols, pivs, rowmask, colmask, k, bdone,
+     lastdrop, _) = jax.lax.while_loop(block_cond, block_body, carry)
+    k = jnp.minimum(k, max_rank)
+    meta = jnp.concatenate([
+        rows[:max_rank].astype(jnp.float64),
+        cols[:max_rank].astype(jnp.float64),
+        pivs[:max_rank],
+        jnp.stack([k.astype(jnp.float64), lastdrop]),
+    ])
+    return Lb[:, :max_rank], Ub[:max_rank, :], meta
+
+
 def _host_small(a, cap: int = 512 * 512) -> bool:
     """Small concrete operand that should factorize on the host: the
     C++/numpy loop beats the jitted kernel's per-call dispatch (a ~30 ms
@@ -298,15 +438,30 @@ def rrlu(
     if (nb, mb) != (n, m):
         a = jnp.pad(a, ((0, nb - n), (0, mb - m)))
     kernel_rank = min(nb, mb)
-    Lb, Ub, meta = _rrlu_kernel(
-        a, float(rtol), float(atol), int(kernel_rank), int(max_rank)
-    )
+    if kernel_rank >= 128:
+        # large operands: the blocked-rook kernel (panel GEMV walks +
+        # MXU block refresh) — measured 12.7 ms/factorization amortized
+        # at 512x512 rank 256 on the chip vs 18.2 ms host C++ and
+        # 15.9 ms for the naive kernel (benchmarks/results journal)
+        Lb, Ub, meta = _rrlu_kernel_blocked(
+            a, float(rtol), float(atol), int(kernel_rank), 32
+        )
+    else:
+        Lb, Ub, meta = _rrlu_kernel(
+            a, float(rtol), float(atol), int(kernel_rank), int(max_rank)
+        )
     meta = np.asarray(meta)  # single device->host transfer
     rows = meta[:kernel_rank]
     cols = meta[kernel_rank:2 * kernel_rank]
     pivs = meta[2 * kernel_rank:3 * kernel_rank]
     rank = int(meta[3 * kernel_rank])
     lastdrop = float(meta[3 * kernel_rank + 1])
+    if rank > max_rank:
+        # the blocked kernel caps at the buffer size, not the caller's
+        # max_rank; LU is nested, so truncating to the first max_rank
+        # pivots IS the rank-capped factorization
+        lastdrop = float(pivs[max_rank])
+        rank = max_rank
     Lb = Lb[:n]
     Ub = Ub[:, :m]
     return RrLUResult(

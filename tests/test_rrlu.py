@@ -129,3 +129,30 @@ def test_tensor_factorize_lu(rng):
     np.testing.assert_allclose(
         np.asarray(recon.dense((i, j, k))), np.asarray(t.data), atol=1e-8
     )
+
+
+def test_rrlu_blocked_kernel_matches_reference(rng):
+    """Blocked-rook device kernel (VERDICT r1 #7): rank decisions and
+    reconstruction match the sequential reference across rank regimes."""
+    import jax.numpy as jnp
+
+    from tensor4all_tpu.ops.rrlu import _rrlu_kernel_blocked, rrlu
+
+    cases = {}
+    i = np.arange(256)
+    cases["hilbert"] = 1.0 / (1.0 + i[:, None] + i[None, :])
+    cases["lowrank"] = (rng.standard_normal((200, 30))
+                        @ rng.standard_normal((30, 180)))
+    cases["full"] = rng.standard_normal((128, 128))
+    for label, A in cases.items():
+        ref = rrlu(np.asarray(A), rtol=1e-10)
+        mr = min(A.shape)
+        Lb, Ub, meta = _rrlu_kernel_blocked(jnp.asarray(A), 1e-10, 0.0,
+                                            mr, 32)
+        meta = np.asarray(meta)
+        k = int(meta[3 * mr])
+        L = np.asarray(Lb)[:, :k]
+        U = np.asarray(Ub)[:k, :]
+        err = np.max(np.abs(L @ U - A)) / np.abs(A).max()
+        assert abs(k - ref.rank) <= 3, (label, k, ref.rank)
+        assert err < 5e-10, (label, err)
