@@ -79,10 +79,11 @@ class ShardedThetaVS:
     into core.krylov gmres / hermitian_lanczos_lowest_eigenpair for
     local solves whose Krylov vectors never live on one device."""
 
-    def __init__(self, mesh: Optional[Mesh] = None, axis: str = "x"):
-        self.mesh = mesh or default_mesh(axis=axis)
-        self.axis = axis
-        mesh_, ax = self.mesh, axis
+    def __init__(self, mesh: Optional[Mesh] = None,
+                 axis: Optional[str] = None):
+        self.mesh = mesh or default_mesh(axis=axis or "x")
+        self.axis = axis or self.mesh.axis_names[0]
+        mesh_, ax = self.mesh, self.axis
 
         @jax.jit
         def _inner(a, b):
@@ -118,14 +119,15 @@ class ShardedThetaVS:
 
 
 def sharded_tt_inner(a_cores, b_cores, mesh: Optional[Mesh] = None,
-                     axis: str = "x"):
+                     axis: Optional[str] = None):
     """<a|b> of two TTs with every interior bond SHARDED over the mesh
     (per-site cores sharded on their left-bond axis; XLA's GSPMD
     partitions each transfer-matrix GEMM and inserts the collectives).
 
     Returns (value, sharding_of_last_transfer) so callers can assert the
     intermediates really were distributed."""
-    mesh = mesh or default_mesh(axis=axis)
+    mesh = mesh or default_mesh(axis=axis or "x")
+    axis = axis or mesh.axis_names[0]
 
     def shard_core(c):
         c = jnp.asarray(c)
