@@ -127,7 +127,7 @@ def _tdvp_tpu_detail():
         def body_rt():
             r_, i_ = tdvp_run_split(h_d, mr, mi, 0.0, -0.05, nsteps=2,
                                     order=2, krylov_m=m,
-                                    orthogonalize=True)
+                                    orthogonalize=True, split_iters=1)
             return float(jnp.sum(r_[0] ** 2 + i_[0] ** 2))
 
         body_rt()  # compile

@@ -83,6 +83,70 @@ def _merge_into_dead(qr_, qi_, cr_, ci_):
 
 
 
+def _frame_mgs(cr_all, ci_all, q, thresh, extra=None, chunk=64):
+    """Masked Gram-Schmidt over frame candidates, CHUNK-BLOCKED: each
+    chunk is bulk-projected against the accepted basis (and the optional
+    `extra` fixed basis) with GEMMs; only within-chunk dedup runs
+    sequentially — cutting the sequential matvec count from `width` full
+    projections to `width` chunk-local ones plus width/chunk GEMMs (the
+    real-time TDVP engine is otherwise MGS-latency-bound on TPU)."""
+    p, width = cr_all.shape
+    chunk = min(chunk, width)
+    nch = -(-width // chunk)
+    pad = nch * chunk - width
+    if pad:
+        cr_all = jnp.pad(cr_all, ((0, 0), (0, pad)))
+        ci_all = jnp.pad(ci_all, ((0, 0), (0, pad)))
+    dtype = cr_all.dtype
+    tiny = jnp.finfo(dtype).tiny
+
+    def chunk_body(carry, ci0):
+        vr, vi, count = carry
+        c0 = ci0 * chunk
+        Cr = jax.lax.dynamic_slice(cr_all, (0, c0), (p, chunk))
+        Ci = jax.lax.dynamic_slice(ci_all, (0, c0), (p, chunk))
+        if extra is not None:
+            er_, ei_ = extra
+            Pr = er_.T @ Cr + ei_.T @ Ci
+            Pi = er_.T @ Ci - ei_.T @ Cr
+            Cr = Cr - (er_ @ Pr - ei_ @ Pi)
+            Ci = Ci - (er_ @ Pi + ei_ @ Pr)
+        Pr = vr.T @ Cr + vi.T @ Ci
+        Pi = vr.T @ Ci - vi.T @ Cr
+        Cr = Cr - (vr @ Pr - vi @ Pi)
+        Ci = Ci - (vr @ Pi + vi @ Pr)
+        Lr = jnp.zeros((p, chunk), dtype)
+        Li = jnp.zeros((p, chunk), dtype)
+
+        def step(b, inner):
+            vr, vi, Lr, Li, count, lcount = inner
+            cr, ci = Cr[:, b], Ci[:, b]
+            pr = Lr.T @ cr + Li.T @ ci
+            pi = Lr.T @ ci - Li.T @ cr
+            cr = cr - (Lr @ pr - Li @ pi)
+            ci = ci - (Lr @ pi + Li @ pr)
+            nrm = jnp.sqrt(jnp.sum(cr * cr + ci * ci))
+            accept = ((nrm > thresh) & (count < q)).astype(dtype)
+            inv = accept / jnp.maximum(nrm, tiny)
+            ong = (jnp.arange(q) == count).astype(dtype) * accept
+            onl = (jnp.arange(chunk) == lcount).astype(dtype) * accept
+            vr = vr + jnp.outer(cr * inv, ong)
+            vi = vi + jnp.outer(ci * inv, ong)
+            Lr = Lr + jnp.outer(cr * inv, onl)
+            Li = Li + jnp.outer(ci * inv, onl)
+            a32 = accept.astype(count.dtype)
+            return (vr, vi, Lr, Li, count + a32, lcount + a32)
+
+        (vr, vi, Lr, Li, count, _) = jax.lax.fori_loop(
+            0, chunk, step, (vr, vi, Lr, Li, count, jnp.int32(0)))
+        return (vr, vi, count), None
+
+    init = (jnp.zeros((p, q), dtype), jnp.zeros((p, q), dtype),
+            jnp.zeros((), jnp.int32))
+    (vr, vi, _), _ = jax.lax.scan(chunk_body, init, jnp.arange(nch))
+    return vr, vi
+
+
 def _corth_qr(yr, yi, seed: int = 11):
     """QR-grade complex orthonormalization via the real embedding — the
     accuracy-critical primitive (no Gram kappa^2 squaring anywhere).
@@ -108,28 +172,8 @@ def _corth_qr(yr, yi, seed: int = 11):
     genuine = (rdiag > 100 * jnp.finfo(yr.dtype).eps * rmax
                ).astype(yr.dtype)
     qe = qe * genuine[None, :]
-    cr_all, ci_all = qe[:p, :], qe[p:, :]   # (p, 2q) frame candidates
     thresh = 0.5 / jnp.sqrt(jnp.asarray(float(q), yr.dtype))
-
-    def body(carry, j):
-        vr, vi, count = carry
-        cr, ci = cr_all[:, j], ci_all[:, j]
-        pr = vr.T @ cr + vi.T @ ci
-        pi = vr.T @ ci - vi.T @ cr
-        cr = cr - (vr @ pr - vi @ pi)
-        ci = ci - (vr @ pi + vi @ pr)
-        nrm = jnp.sqrt(jnp.sum(cr * cr + ci * ci))
-        accept = ((nrm > thresh) & (count < q)).astype(yr.dtype)
-        inv = accept / jnp.maximum(nrm, jnp.finfo(yr.dtype).tiny)
-        onehot = (jnp.arange(q) == count).astype(yr.dtype) * accept
-        vr = vr + jnp.outer(cr * inv, onehot)
-        vi = vi + jnp.outer(ci * inv, onehot)
-        count = count + accept.astype(count.dtype)
-        return (vr, vi, count), None
-
-    init = (jnp.zeros((p, q), yr.dtype), jnp.zeros((p, q), yr.dtype),
-            jnp.zeros((), jnp.int32))
-    (qr_, qi_, _), _ = jax.lax.scan(body, init, jnp.arange(2 * q))
+    qr_, qi_ = _frame_mgs(qe[:p, :], qe[p:, :], q, thresh)
     # completion for dead slots (junk pool wider than q; fixed-seed junk
     # recurs across call sites and can lose rank under the projection)
     key = jax.random.PRNGKey(seed)
@@ -142,41 +186,19 @@ def _corth_qr(yr, yi, seed: int = 11):
     qe2, re2 = jnp.linalg.qr(er)
     rd2 = jnp.abs(jnp.diagonal(re2))
     gen2 = (rd2 > 100 * jnp.finfo(yr.dtype).eps
-            * jnp.maximum(jnp.max(rd2), jnp.finfo(yr.dtype).tiny)).astype(yr.dtype)
+            * jnp.maximum(jnp.max(rd2),
+                          jnp.finfo(yr.dtype).tiny)).astype(yr.dtype)
     qe2 = qe2 * gen2[None, :]
-    c2r, c2i = qe2[:p, :], qe2[p:, :]
     th2 = 0.5 / jnp.sqrt(jnp.asarray(float(w), yr.dtype))
-
-    def body2(carry, j):
-        vr, vi, count = carry
-        cr, ci = c2r[:, j], c2i[:, j]
-        # project out BOTH the live basis and the accepted junk
-        pr = qr_.T @ cr + qi_.T @ ci
-        pi = qr_.T @ ci - qi_.T @ cr
-        cr = cr - (qr_ @ pr - qi_ @ pi)
-        ci = ci - (qr_ @ pi + qi_ @ pr)
-        pr = vr.T @ cr + vi.T @ ci
-        pi = vr.T @ ci - vi.T @ cr
-        cr = cr - (vr @ pr - vi @ pi)
-        ci = ci - (vr @ pi + vi @ pr)
-        nrm = jnp.sqrt(jnp.sum(cr * cr + ci * ci))
-        accept = ((nrm > th2) & (count < q)).astype(yr.dtype)
-        inv = accept / jnp.maximum(nrm, jnp.finfo(yr.dtype).tiny)
-        onehot = (jnp.arange(q) == count).astype(yr.dtype) * accept
-        vr = vr + jnp.outer(cr * inv, onehot)
-        vi = vi + jnp.outer(ci * inv, onehot)
-        count = count + accept.astype(count.dtype)
-        return (vr, vi, count), None
-
-    initj = (jnp.zeros((p, q), yr.dtype), jnp.zeros((p, q), yr.dtype),
-             jnp.zeros((), jnp.int32))
-    (jr, ji, _), _ = jax.lax.scan(body2, initj, jnp.arange(2 * w))
+    jr, ji = _frame_mgs(qe2[:p, :], qe2[p:, :], q, th2,
+                        extra=(qr_, qi_))
     return _merge_into_dead(qr_, qi_, jr, ji)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nsteps", "order", "krylov_m", "orthogonalize"),
+    static_argnames=("nsteps", "order", "krylov_m", "orthogonalize",
+                     "split_iters"),
 )
 def tdvp_run_split(
     h: jnp.ndarray,
@@ -188,6 +210,7 @@ def tdvp_run_split(
     order: int = 2,
     krylov_m: int = 12,
     orthogonalize: bool = False,
+    split_iters: int = 2,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Evolve ``exp((t_re + i t_im) * H)|mps0>`` with a REAL padded MPO
     ``h`` and a complex state given as the (real, imag) pair; returns the
@@ -199,11 +222,12 @@ def tdvp_run_split(
         raise ValueError("order must be 1 or 2")
     with jax.default_matmul_precision("highest"):
         return _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps,
-                                  order, krylov_m, orthogonalize)
+                                  order, krylov_m, orthogonalize,
+                                  split_iters)
 
 
 def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
-                       krylov_m, orthogonalize):
+                       krylov_m, orthogonalize, split_iters=2):
     N, chi, d, _ = mps0_r.shape
     st = mps0_r.dtype
     hs = h.astype(st)
@@ -312,14 +336,13 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
         mr_ = thr.reshape(chi * d, d * chi)
         mi_ = thi.reshape(chi * d, d * chi)
         if toward_right:
-            zr, zi = _corth_qr(mr_.T @ q0r + mi_.T @ q0i,
-                                     mr_.T @ q0i - mi_.T @ q0r)  # M^H Q0
-            qr_, qi_ = _corth_qr(mr_ @ zr - mi_ @ zi,
-                                       mr_ @ zi + mi_ @ zr)
-            zr, zi = _corth_qr(mr_.T @ qr_ + mi_.T @ qi_,
-                                     mr_.T @ qi_ - mi_.T @ qr_)
-            qr_, qi_ = _corth_qr(mr_ @ zr - mi_ @ zi,
-                                       mr_ @ zi + mi_ @ zr)
+            q0r_, q0i_ = q0r, q0i
+            for _ in range(split_iters):
+                zr, zi = _corth_qr(mr_.T @ q0r_ + mi_.T @ q0i_,
+                                   mr_.T @ q0i_ - mi_.T @ q0r_)  # M^H Q0
+                qr_, qi_ = _corth_qr(mr_ @ zr - mi_ @ zi,
+                                     mr_ @ zi + mi_ @ zr)
+                q0r_, q0i_ = qr_, qi_
             left_r = qr_.reshape(chi, d, chi)
             left_i = qi_.reshape(chi, d, chi)
             rr = qr_.T @ mr_ + qi_.T @ mi_      # Q^H M
@@ -327,14 +350,13 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
             right_r = rr.reshape(chi, d, chi)
             right_i = ri.reshape(chi, d, chi)
         else:
-            zr, zi = _corth_qr(mr_ @ q0r - mi_ @ q0i,
-                                     mr_ @ q0i + mi_ @ q0r)
-            qr_, qi_ = _corth_qr(mr_.T @ zr + mi_.T @ zi,
-                                       mr_.T @ zi - mi_.T @ zr)  # M^H Z
-            zr, zi = _corth_qr(mr_ @ qr_ - mi_ @ qi_,
-                                     mr_ @ qi_ + mi_ @ qr_)
-            qr_, qi_ = _corth_qr(mr_.T @ zr + mi_.T @ zi,
-                                       mr_.T @ zi - mi_.T @ zr)
+            q0r_, q0i_ = q0r, q0i
+            for _ in range(split_iters):
+                zr, zi = _corth_qr(mr_ @ q0r_ - mi_ @ q0i_,
+                                   mr_ @ q0i_ + mi_ @ q0r_)
+                qr_, qi_ = _corth_qr(mr_.T @ zr + mi_.T @ zi,
+                                     mr_.T @ zi - mi_.T @ zr)  # M^H Z
+                q0r_, q0i_ = qr_, qi_
             right_r = qr_.T.reshape(chi, d, chi)
             right_i = (-qi_.T).reshape(chi, d, chi)  # (Q^H)
             # left = M Q (ket-side factor)
