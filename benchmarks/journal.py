@@ -486,7 +486,7 @@ def bench_aci_elementwise(chi: int = 8, quick=False):
         np.asarray(out["res"].evaluate_batch(idx))
         - np.asarray(a.evaluate_batch(idx))
         * np.asarray(b.evaluate_batch(idx)))))
-    baseline = 84.297 if chi == 8 else 25.551
+    baseline = {4: 25.551, 8: 84.297, 16: 4216.9}[chi]
     return {"metric": f"aci_elementwise_chi{chi}", "value": t * 1e3,
             "unit": "ms", "baseline": baseline,
             "vs_baseline": baseline / (t * 1e3),
@@ -593,6 +593,7 @@ def main():
         ("proj apply 64", lambda: bench_projected_apply(64, quick)),
         ("aci chi4", lambda: bench_aci_elementwise(4, quick)),
         ("aci chi8", lambda: bench_aci_elementwise(8, quick)),
+        ("aci chi16", lambda: bench_aci_elementwise(16, quick)),
         ("dmrg", lambda: bench_dmrg_chain(quick)),
         ("dmrg star", lambda: bench_dmrg_star(quick)),
         ("tci2 gauss10d", lambda: bench_tci2_gauss10d(quick)),
