@@ -113,3 +113,40 @@ def test_dmrg_f32_large_chain_regression():
     # one sweep already reaches the right ballpark (-0.4368/site);
     # the underflow bug produced ~0 or positive energies
     assert e / N < -0.42, e / N
+
+
+def test_dmrg_run_coarse_schedule_energy_parity(key):
+    """Coarse/fine precision schedule (bf16-pass early sweeps + one
+    subspace iteration per split) must reach the same energy as the
+    all-fine run — DMRG's variational self-correction."""
+    import jax.numpy as jnp
+    import networkx as nx
+
+    from tensor4all_tpu.models.spin import dense_heisenberg, heisenberg
+    from tensor4all_tpu.ops.dmrg_chain import (
+        dmrg_run,
+        pad_mpo,
+        pad_mps,
+        treeoperator_to_mpo_cores,
+    )
+    from tensor4all_tpu.treetn.network import random_treetn
+    from tensor4all_tpu.tt.compression import right_orthogonalize
+    from tensor4all_tpu.tt.tensortrain import TensorTrain
+
+    N, chi = 8, 32
+    g = nx.path_graph(N)
+    tn, si = random_treetn(key, g, {n: [2] for n in g.nodes}, bond_dim=2)
+    sites = {n: si[n][0] for n in g.nodes}
+    op = heisenberg(g, sites)
+    h = pad_mpo([jnp.asarray(c) for c in
+                 treeoperator_to_mpo_cores(op, list(range(N)))])
+    tt = right_orthogonalize(TensorTrain.random(key, [2] * N, rank=chi))
+    mps0 = pad_mps(list(tt.cores), chi)
+    e_exact = float(np.linalg.eigvalsh(
+        np.asarray(dense_heisenberg(g, list(g.nodes))))[0])
+    e_fine, _ = dmrg_run(h, mps0, n_sweeps=4, lanczos_iters=12,
+                         sweep_dtype=jnp.float32)
+    e_coarse, _ = dmrg_run(h, mps0, n_sweeps=4, lanczos_iters=12,
+                           sweep_dtype=jnp.float32, coarse_sweeps=2)
+    assert abs(float(e_fine) - e_exact) < 1e-10
+    assert abs(float(e_coarse) - e_exact) < 1e-10
