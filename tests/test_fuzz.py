@@ -131,3 +131,140 @@ def test_fuzz_contract_nary(seed):
                      optimize=True)
     np.testing.assert_allclose(got, want, atol=1e-10,
                                err_msg=f"seed={seed}")
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_gse_preserves_state_random_trees(seed):
+    """Per-bond GSE on random tree topologies: expansion must preserve
+    the represented state exactly and leave a verifiable gauge."""
+    from tensor4all_tpu.models.spin import heisenberg
+    from tensor4all_tpu.treetn.gse import GseOptions, global_subspace_expand
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(4, 7))
+    g = _random_tree(rng, n)
+    chi = int(rng.integers(1, 4))
+    tn, si = random_treetn(jax.random.PRNGKey(seed), g,
+                           {v: [2] for v in g.nodes}, bond_dim=chi)
+    sites = {v: si[v][0] for v in g.nodes}
+    op = heisenberg(g, sites)
+    res = global_subspace_expand(
+        op, tn, options=GseOptions(krylov_dim=int(rng.integers(1, 3))))
+    order = list(g.nodes)
+    v0 = np.asarray(tn.contract_to_tensor().dense(
+        [sites[v] for v in order])).reshape(-1)
+    v1 = np.asarray(res.state.contract_to_tensor().dense(
+        [sites[v] for v in order])).reshape(-1)
+    nrm = np.linalg.norm(v0)
+    assert np.linalg.norm(v1 - v0) < 1e-9 * max(nrm, 1.0), seed
+    res.state.verify_canonical(atol=1e-8)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_aci_alternating_random_ops(seed):
+    """Alternating-CI on random input TTs and random smooth elementwise
+    operators vs dense oracle samples."""
+    from tensor4all_tpu.tt.aci import AciOptions, elementwise_batched
+
+    rng = np.random.default_rng(seed)
+    L = int(rng.integers(3, 7))
+    d = int(rng.integers(2, 4))
+    k = int(rng.integers(1, 4))
+    tts = [TensorTrain.random(jax.random.PRNGKey(seed * 10 + j),
+                              [d] * L, rank=int(rng.integers(1, 4)))
+           for j in range(k)]
+    coef = rng.standard_normal(k)
+
+    def op(*cols):
+        out = np.zeros_like(cols[0])
+        for c, col in zip(coef, cols):
+            out = out + c * col
+        return out + 0.1 * np.prod(np.stack(cols), axis=0)
+
+    res = elementwise_batched(op, tts,
+                              AciOptions(tol=1e-10, max_iter=12))
+    idx = rng.integers(0, d, size=(100, L))
+    got = np.asarray(res.evaluate_batch(idx))
+    expect = op(*[np.asarray(t.evaluate_batch(idx)) for t in tts])
+    scale = max(np.max(np.abs(expect)), 1e-12)
+    assert np.max(np.abs(got - expect)) < 1e-7 * scale, seed
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_blocked_rrlu_random_spectra(seed):
+    """Blocked-rook device kernel vs the sequential reference across
+    random shapes/spectra: rank within rook tolerance, reconstruction
+    at the requested accuracy."""
+    import jax.numpy as jnp
+
+    from tensor4all_tpu.ops.rrlu import _rrlu_kernel_blocked, rrlu
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(40, 200))
+    m = int(rng.integers(40, 200))
+    r = int(rng.integers(1, min(n, m)))
+    A = (rng.standard_normal((n, r))
+         * np.logspace(0, -float(rng.integers(2, 10)), r)) \
+        @ rng.standard_normal((r, m))
+    ref = rrlu(np.asarray(A), rtol=1e-9)
+    mr = min(n, m)
+    Lb, Ub, meta = _rrlu_kernel_blocked(jnp.asarray(A), 1e-9, 0.0, mr, 32)
+    meta = np.asarray(meta)
+    kk = int(meta[3 * mr])
+    L = np.asarray(Lb)[:, :kk]
+    U = np.asarray(Ub)[:kk, :]
+    err = np.max(np.abs(L @ U - A)) / np.abs(A).max()
+    assert err < 5e-8, (seed, err)
+    assert abs(kk - ref.rank) <= 4, (seed, kk, ref.rank)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_split_tdvp_random_states(seed):
+    """Real/imag-split TDVP vs the complex engine from random complex
+    initial states (not just real ones)."""
+    import jax.numpy as jnp
+    import networkx as nx
+
+    from tensor4all_tpu.models.spin import heisenberg
+    from tensor4all_tpu.ops.dmrg_chain import treeoperator_to_mpo_cores
+    from tensor4all_tpu.ops.tdvp_chain import tdvp_chain
+    from tensor4all_tpu.ops.tdvp_chain_split import tdvp_chain_split
+
+    rng = np.random.default_rng(seed)
+    N = int(rng.integers(3, 6))
+    g = nx.path_graph(N)
+    tn, si = random_treetn(jax.random.PRNGKey(seed), g,
+                           {v: [2] for v in g.nodes}, bond_dim=2)
+    sites = {v: si[v][0] for v in g.nodes}
+    op = heisenberg(g, sites)
+    h_cores = treeoperator_to_mpo_cores(op, list(range(N)))
+    cores = []
+    for k in range(N):
+        t = tn.tensor(k)
+        axes = ([tn.bond(k - 1, k)] if k else []) + [sites[k]] \
+            + ([tn.bond(k, k + 1)] if k < N - 1 else [])
+        arr = np.asarray(t.dense(tuple(axes))).astype(complex)
+        arr = arr * np.exp(1j * rng.uniform(0, 2 * np.pi))
+        arr = arr + 0.3j * rng.standard_normal(arr.shape)
+        if k == 0:
+            arr = arr[None]
+        if k == N - 1:
+            arr = arr[..., None]
+        cores.append(arr)
+    T = 0.1
+    mr, mi = tdvp_chain_split(h_cores, cores, -1j * T, chi=8, nsteps=2,
+                              order=2, krylov_m=10, dtype=jnp.float64)
+    m = np.asarray(mr) + 1j * np.asarray(mi)
+    acc = m[0][0]
+    for k in range(1, N):
+        acc = np.einsum("...a,aib->...ib", acc, m[k])
+    got = acc[..., 0].reshape(-1)
+    out = np.asarray(tdvp_chain(h_cores, cores, -1j * T, chi=8, nsteps=2,
+                                order=2, krylov_m=10))
+    acc = out[0][0]
+    for k in range(1, N):
+        acc = np.einsum("...a,aib->...ib", acc, out[k])
+    ref = acc[..., 0].reshape(-1)
+    ph = np.vdot(got, ref)
+    got = got * ph / abs(ph)
+    assert np.linalg.norm(got - ref) < 1e-8, seed
