@@ -125,9 +125,12 @@ def _tdvp_tpu_detail():
         mi = jax.device_put(jnp.zeros_like(mps0), dev)
 
         def body_rt():
+            # full-rank bench state: dead-slot completion is a no-op
+            # and may be skipped (complete_basis docstring)
             r_, i_ = tdvp_run_split(h_d, mr, mi, 0.0, -0.05, nsteps=2,
                                     order=2, krylov_m=m,
-                                    orthogonalize=True, split_iters=1)
+                                    orthogonalize=True, split_iters=1,
+                                    complete_basis=False)
             return float(jnp.sum(r_[0] ** 2 + i_[0] ** 2))
 
         body_rt()  # compile

@@ -147,7 +147,7 @@ def _frame_mgs(cr_all, ci_all, q, thresh, extra=None, chunk=64):
     return vr, vi
 
 
-def _corth_qr(yr, yi, seed: int = 11):
+def _corth_qr(yr, yi, seed: int = 11, complete: bool = True):
     """QR-grade complex orthonormalization via the real embedding — the
     accuracy-critical primitive (no Gram kappa^2 squaring anywhere).
 
@@ -174,6 +174,10 @@ def _corth_qr(yr, yi, seed: int = 11):
     qe = qe * genuine[None, :]
     thresh = 0.5 / jnp.sqrt(jnp.asarray(float(q), yr.dtype))
     qr_, qi_ = _frame_mgs(qe[:p, :], qe[p:, :], q, thresh)
+    if not complete:
+        # full-rank operands need no dead-slot completion; skipping it
+        # halves the embedded-QR count (production bench path)
+        return qr_, qi_
     # completion for dead slots (junk pool wider than q; fixed-seed junk
     # recurs across call sites and can lose rank under the projection)
     key = jax.random.PRNGKey(seed)
@@ -198,7 +202,7 @@ def _corth_qr(yr, yi, seed: int = 11):
 @functools.partial(
     jax.jit,
     static_argnames=("nsteps", "order", "krylov_m", "orthogonalize",
-                     "split_iters"),
+                     "split_iters", "complete_basis"),
 )
 def tdvp_run_split(
     h: jnp.ndarray,
@@ -211,6 +215,7 @@ def tdvp_run_split(
     krylov_m: int = 12,
     orthogonalize: bool = False,
     split_iters: int = 2,
+    complete_basis: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Evolve ``exp((t_re + i t_im) * H)|mps0>`` with a REAL padded MPO
     ``h`` and a complex state given as the (real, imag) pair; returns the
@@ -223,11 +228,17 @@ def tdvp_run_split(
     with jax.default_matmul_precision("highest"):
         return _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps,
                                   order, krylov_m, orthogonalize,
-                                  split_iters)
+                                  split_iters, complete_basis)
 
 
 def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
-                       krylov_m, orthogonalize, split_iters=2):
+                       krylov_m, orthogonalize, split_iters=2,
+                       complete_basis=True):
+    """``complete_basis=False`` skips dead-slot junk completion in every
+    orthonormalization — exact for states that keep FULL padded rank
+    throughout (e.g. full-rank random inits in benchmarks); states whose
+    ranks must GROW during the run need the default True (the
+    warm-started subspace iteration relies on full-dimensional bases)."""
     N, chi, d, _ = mps0_r.shape
     st = mps0_r.dtype
     hs = h.astype(st)
@@ -339,9 +350,11 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
             q0r_, q0i_ = q0r, q0i
             for _ in range(split_iters):
                 zr, zi = _corth_qr(mr_.T @ q0r_ + mi_.T @ q0i_,
-                                   mr_.T @ q0i_ - mi_.T @ q0r_)  # M^H Q0
+                                   mr_.T @ q0i_ - mi_.T @ q0r_,
+                                   complete=complete_basis)  # M^H Q0
                 qr_, qi_ = _corth_qr(mr_ @ zr - mi_ @ zi,
-                                     mr_ @ zi + mi_ @ zr)
+                                     mr_ @ zi + mi_ @ zr,
+                                     complete=complete_basis)
                 q0r_, q0i_ = qr_, qi_
             left_r = qr_.reshape(chi, d, chi)
             left_i = qi_.reshape(chi, d, chi)
@@ -353,9 +366,11 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
             q0r_, q0i_ = q0r, q0i
             for _ in range(split_iters):
                 zr, zi = _corth_qr(mr_ @ q0r_ - mi_ @ q0i_,
-                                   mr_ @ q0i_ + mi_ @ q0r_)
+                                   mr_ @ q0i_ + mi_ @ q0r_,
+                                   complete=complete_basis)
                 qr_, qi_ = _corth_qr(mr_.T @ zr + mi_.T @ zi,
-                                     mr_.T @ zi - mi_.T @ zr)  # M^H Z
+                                     mr_.T @ zi - mi_.T @ zr,
+                                     complete=complete_basis)  # M^H Z
                 q0r_, q0i_ = qr_, qi_
             right_r = qr_.T.reshape(chi, d, chi)
             right_i = (-qi_.T).reshape(chi, d, chi)  # (Q^H)
@@ -416,7 +431,7 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
             # rows of (chi, d chi): orthonormalize columns of the dagger
             yr = ar.reshape(chi, d * chi).T
             yi = -ai.reshape(chi, d * chi).T  # conj transpose
-            qr_, qi_ = _corth_qr(yr, yi)  # (d chi, chi)
+            qr_, qi_ = _corth_qr(yr, yi, complete=complete_basis)  # (d chi, chi)
             core_r = qr_.T.reshape(chi, d, chi)
             core_i = (-qi_.T).reshape(chi, d, chi)
             # residual R = M Q (chi x chi complex); absorb into previous
