@@ -129,7 +129,7 @@ def run(median_time):
                 ep = big()  # compile
                 tp = median_time(big, warmup=0, reps=3)
                 fl = dmrg_sweep_flops(Np, chip, 2, hp.shape[1],
-                                      lanc, sweeps)
+                                      lanc, sweeps, coarse_sweeps=coarse)
                 tflops = fl / tp / 1e12
                 key = f"dmrg_N32_chi{chip}"
                 prod.update({

@@ -341,6 +341,10 @@ t4a_status_code t4a_tensor_data(const t4a_tensor *t, double *data,
   GilGuard gil;
   if (!payload_to_buffer(t->obj, data, len)) {
     if (PyErr_Occurred()) return set_error_from_python();
+    // payload_to_buffer's length-mismatch branch set_error()s without
+    // raising a Python exception; surface it as a status, never T4A_OK
+    // with an unfilled output buffer.
+    return T4A_INVALID_ARGUMENT;
   }
   return T4A_OK;
 }

@@ -354,7 +354,8 @@ def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype,
 
 
 def dmrg_sweep_flops(N: int, chi: int, d: int, w: int,
-                     lanczos_iters: int, n_sweeps: int) -> float:
+                     lanczos_iters: int, n_sweeps: int,
+                     coarse_sweeps: int = 0) -> float:
     """Analytic FLOP count of ``dmrg_run``'s sweep loop (VERDICT r1 #1:
     MFU must be measured on the REAL engine, not a synthetic kernel).
 
@@ -386,8 +387,14 @@ def dmrg_sweep_flops(N: int, chi: int, d: int, w: int,
     qr_f = 8 * 2.0 * (chi * d) * chi ** 2
     mm_f = 4 * 2.0 * (chi * d) * (d * chi) * chi
     per_update = theta0_f + lan_f + qr_f + mm_f + env_f
+    # coarse sweeps run split_iters=1: half the subspace-iteration
+    # QR/GEMM passes per two-site split (ADVICE r2: the all-fine model
+    # modestly overstated throughput for the coarse portion)
+    per_update_coarse = theta0_f + lan_f + qr_f / 2 + mm_f / 2 + env_f
     per_sweep = 2 * (N - 1) * per_update + (N - 1) * env_f
-    return n_sweeps * per_sweep
+    per_sweep_coarse = 2 * (N - 1) * per_update_coarse + (N - 1) * env_f
+    fine = max(0, n_sweeps - coarse_sweeps)
+    return fine * per_sweep + min(coarse_sweeps, n_sweeps) * per_sweep_coarse
 
 
 def treeoperator_to_mpo_cores(op, order) -> List[np.ndarray]:

