@@ -99,7 +99,7 @@ def _check_connected(tensors) -> None:
 _compiled_cache: dict = {}
 
 
-def _contract_compiled(args, out_inds, tensors):
+def _contract_compiled(args, out_inds, tensors, path=None):
     """One jitted XLA einsum per (subscripts, shapes, dtypes) signature.
 
     For contraction signatures that recur many times with identical
@@ -107,8 +107,10 @@ def _contract_compiled(args, out_inds, tensors):
     compiled program beats both eager jnp (per-op dispatch) and numpy
     (tensordot's transpose copies dominate at 5^k-sized intermediates):
     XLA fuses the transposes into the GEMMs. The compile cost (~100 ms)
-    amortizes after a handful of calls; callers opt in via
-    ``contract(..., compile=True)`` only on such hot recurring paths.
+    amortizes after a handful of calls. Hot expensive signatures are
+    promoted here automatically by ``contract`` (r3: the star-hub apply
+    ran 70x slower through numpy tensordot than through this path);
+    callers can also opt in via ``contract(..., compile=True)``.
     """
     n = len(tensors)
     subs_in = []
@@ -119,13 +121,41 @@ def _contract_compiled(args, out_inds, tensors):
     expr = ",".join(subs_in) + "->" + subs_out
     ops = [t.data for t in tensors]
     key = (expr, tuple(tuple(o.shape) for o in ops),
-           tuple(str(jnp.asarray(o).dtype) if not hasattr(o, "dtype")
-                 else str(o.dtype) for o in ops))
+           tuple(str(getattr(o, "dtype", None) or "f64") for o in ops))
     fn = _compiled_cache.get(key)
     if fn is None:
-        fn = jax.jit(lambda *xs: jnp.einsum(expr, *xs, optimize="optimal"))
+        # never let the traced einsum re-run path search with 'optimal'
+        # at >5 operands (exhaustive DFS explodes); reuse the cached
+        # dp/auto path when the caller has one
+        opt = path if path is not None else (
+            "optimal" if n <= 5 else _path_method(n))
+        fn = jax.jit(lambda *xs: jnp.einsum(expr, *xs, optimize=opt))
         _compiled_cache[key] = fn
     return Tensor(out_inds, fn(*ops))
+
+
+def _path_method(n_operands: int) -> str:
+    """Path-search strategy by operand count: exhaustive only when tiny,
+    dynamic-programming (near-optimal, poly-ish for trees) for the
+    mid range, greedy beyond. r3: 'auto' fell back to greedy at >8
+    operands and picked a path 2x the flops AND far worse constants on
+    the star-hub apply (absorbing envs into theta instead of dressing
+    the operator core)."""
+    if n_operands <= 5:
+        return "optimal"
+    if n_operands <= 24:
+        return "dp"
+    return "auto"
+
+
+# Promotion thresholds: a signature whose cached path costs at least
+# _COMPILE_COST flops and that has recurred _COMPILE_HITS times is
+# routed through a cached jitted XLA program (transposes fused into
+# GEMMs) instead of numpy/eager dispatch. Tree sweeps hit the same
+# (labels, shapes) signature hundreds of times, so one ~100 ms compile
+# amortizes immediately; one-off signatures never pay it.
+_COMPILE_COST = 1e6
+_COMPILE_HITS = 3
 
 
 def contract(
@@ -164,6 +194,8 @@ def contract(
     if compile and not any(isinstance(t.data, jax.core.Tracer)
                            for t in tensors):
         return _contract_compiled(args, out_inds, tensors)
+    cost = None
+    hits = 0
     if optimize is None:
         # cached path lookup: labels + shapes fully determine the plan
         key = tuple(
@@ -171,13 +203,15 @@ def contract(
             for k in range(len(tensors))
         ) + (tuple(args[-1]),)
         with _path_lock:
-            optimize = _path_cache.get(key)
-            if optimize is not None:
+            entry = _path_cache.get(key)
+            if entry is not None:
+                entry[2] += 1
+                optimize, cost, hits = entry[0], entry[1], entry[2]
                 _stats["hits"] += 1
         if optimize is None:
             import numpy as _np
 
-            method = "optimal" if len(tensors) <= 5 else "auto"
+            method = _path_method(len(tensors))
             path_args = []
             for k in range(len(tensors)):
                 # zero-cost stand-ins: contract_path only reads shapes
@@ -185,11 +219,19 @@ def contract(
                                                   tensors[k].shape))
                 path_args.append(args[2 * k + 1])
             path_args.append(args[-1])
-            path, _ = opt_einsum.contract_path(*path_args, optimize=method)
+            path, info = opt_einsum.contract_path(*path_args,
+                                                  optimize=method)
+            cost = float(info.opt_cost)
             with _path_lock:
-                _path_cache[key] = path
+                _path_cache[key] = [path, cost, 1]
                 _stats["misses"] += 1
             optimize = path
+    concrete = not any(isinstance(t.data, jax.core.Tracer)
+                       for t in tensors)
+    if (concrete and cost is not None and cost >= _COMPILE_COST
+            and hits >= _COMPILE_HITS):
+        # hot + expensive recurring signature: cached XLA program
+        return _contract_compiled(args, out_inds, tensors, optimize)
     if _host_fast_case(tensors):
         # CPU-backend small-tensor fast path: one np.einsum avoids the
         # per-call XLA dispatch (~0.1 ms) that dominates host-driven

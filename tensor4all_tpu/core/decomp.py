@@ -222,8 +222,10 @@ def truncated_svd_matrix(
         un, sn, vhn = np.linalg.svd(np.asarray(a), full_matrices=False)
         rank, err = truncation_rank(sn, policy)
         spec = TruncationSpec(rank=rank, error=err, singular_values=sn)
-        return (jnp.asarray(un[:, :rank]), jnp.asarray(sn[:rank]),
-                jnp.asarray(vhn[:rank, :]), spec)
+        # stay numpy on the host path: the three device_puts here cost
+        # more than the whole factorization at sweep-sized shapes (r3
+        # star profile), and every consumer is np/jnp agnostic
+        return un[:, :rank], sn[:rank], vhn[:rank, :], spec
     u, s, vh = jnp.linalg.svd(a, full_matrices=False)
     s_host = np.asarray(s)
     rank, err = truncation_rank(s_host, policy)
