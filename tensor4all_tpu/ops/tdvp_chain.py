@@ -325,10 +325,45 @@ def tdvp_sweep_flops(N: int, chi: int, d: int, w: int, krylov_m: int,
 
 
 def tdvp_chain(h_cores, init_cores, t, chi, nsteps=1, order=2,
-               krylov_m=12, sweep_dtype=None):
+               krylov_m=12, sweep_dtype=None, engine="auto"):
     """Convenience driver: pad on host, run ONE device program (the
-    orthogonalization sweep is fused into it)."""
+    orthogonalization sweep is fused into it).
+
+    ``engine``: 'auto' routes CPU backends to the host two-site engine
+    (ops.tdvp_chain_host) — measured crossover (r3, 1-thread CPU): the
+    jitted engine's fixed worst-case-shape work loses at EVERY size
+    tested (N=8 chi=32: 576 vs 72 ms; N=16 chi=64: 7.1 s vs 0.89 s;
+    N=16 chi=128: 68 s vs 3.3 s) and the gap widens with chi, so on CPU
+    there is no crossover — the jitted engine is a device design (TPU:
+    N=32 chi=256 in 631 ms where the host engine does not finish in
+    comparable time). 'jit'/'host' force an engine."""
     import numpy as np
+
+    if engine == "auto":
+        try:
+            engine = "host" if jax.default_backend() == "cpu" else "jit"
+        except Exception:  # noqa: BLE001
+            engine = "jit"
+    if engine == "host":
+        from .tdvp_chain_host import tdvp_chain_host
+
+        out = tdvp_chain_host(
+            [np.asarray(c) for c in h_cores],
+            # np.array (copy): the host engine normalizes cores
+            # in place and np.asarray of a jax.Array is read-only
+            [np.array(c) for c in init_cores], t, chi,
+            nsteps=nsteps, order=order)
+        # match the jitted engine's contract: unit-norm padded stack
+        # (transfer-matrix norm, O(N chi^3 d))
+        stk = [np.asarray(c) for c in out]
+        T = np.ones((1, 1), stk[0].dtype)
+        for c in stk:
+            T = np.einsum("ab,adr,bds->rs", T, c, np.conj(c),
+                          optimize=True)
+        nrm = float(np.sqrt(np.abs(T[0, 0])))
+        if nrm > 0:
+            stk[0] = stk[0] / nrm
+        return pad_mps([jnp.asarray(c) for c in stk], chi)
 
     # NOTE on chi: unlike dmrg_chain (variational, exact at the
     # Hilbert rank cap), the two-site splits here measurably benefit

@@ -260,6 +260,7 @@ def test_fuzz_split_tdvp_random_states(seed):
         acc = np.einsum("...a,aib->...ib", acc, m[k])
     got = acc[..., 0].reshape(-1)
     out = np.asarray(tdvp_chain(h_cores, cores, -1j * T, chi=8, nsteps=2,
+                                engine="jit",
                                 order=2, krylov_m=10))
     acc = out[0][0]
     for k in range(1, N):

@@ -39,7 +39,8 @@ def test_tdvp_chain_real_time():
     N, chi = 8, 32
     h_cores, cores0, H, psi0 = _setup(N, chi)
     T = 0.08
-    mps = tdvp_chain(h_cores, cores0, -1j * T, chi, nsteps=4, order=2)
+    mps = tdvp_chain(h_cores, cores0, -1j * T, chi, nsteps=4, order=2,
+                     engine="jit")
     got = _densify(mps, N)
     expect = expm(-1j * T * H) @ psi0
     assert np.linalg.norm(got - expect) < 5e-5
@@ -53,7 +54,7 @@ def test_tdvp_chain_imaginary_time_real_dtype():
     h_cores, cores0, H, psi0 = _setup(N, chi)
     tau = 0.3
     mps = tdvp_chain(h_cores, cores0, -tau, chi, nsteps=4, order=2,
-                     sweep_dtype=jnp.float64)
+                     sweep_dtype=jnp.float64, engine="jit")
     got = _densify(mps, N)
     expect = expm(-tau * H) @ psi0
     dev = np.linalg.norm(got / np.linalg.norm(got)
@@ -69,7 +70,7 @@ def test_tdvp_chain_order1_converges_first_order():
     errs = []
     for nsteps in (4, 8):
         mps = tdvp_chain(h_cores, cores0, -1j * T, chi, nsteps=nsteps,
-                         order=1)
+                         order=1, engine="jit")
         errs.append(np.linalg.norm(_densify(mps, N) - expect))
     # chi >= full rank: the projected evolution is exact here, so the
     # only error left is roundoff (the order-1 gauge bug this test
@@ -87,7 +88,8 @@ def test_tdvp_chain_purely_imaginary_cores():
     cores_im = [1j * np.asarray(cores0[0])] + [np.asarray(c)
                                                for c in cores0[1:]]
     T = 0.05
-    mps = tdvp_chain(h_cores, cores_im, -1j * T, chi, nsteps=2, order=2)
+    mps = tdvp_chain(h_cores, cores_im, -1j * T, chi, nsteps=2, order=2,
+                     engine="jit")
     got = _densify(mps, N)
     assert np.all(np.isfinite(got))
     expect = expm(-1j * T * H) @ psi0
