@@ -31,22 +31,20 @@ def main():
         mpsp = jax.device_put(mpsp, dev)
         w = hp.shape[1]
         sweeps = 4 if chi == 512 else 6
+        coarse_kn = dict(coarse_sweeps=sweeps - 2, coarse_lanczos_iters=8,
+                         coarse_bf16=True, coarse_reortho=False,
+                         coarse_ns_split=True)
         grid = [
-            ("r2-default", dict(coarse_sweeps=sweeps - 2)),
-            ("all-knobs-fine1", dict(
-                coarse_sweeps=sweeps - 1, coarse_lanczos_iters=8,
-                coarse_bf16=True, coarse_reortho=False,
-                coarse_ns_split=True)),
-            ("knobs-fine1-high", dict(
-                coarse_sweeps=sweeps - 1, coarse_lanczos_iters=8,
-                coarse_bf16=True, coarse_reortho=False,
-                coarse_ns_split=True, fine_precision="high")),
-            ("knobs-fine2", dict(
-                coarse_sweeps=sweeps - 2, coarse_lanczos_iters=8,
-                coarse_bf16=True, coarse_reortho=False,
-                coarse_ns_split=True)),
-            ("bf16-only", dict(
-                coarse_sweeps=sweeps - 2, coarse_bf16=True)),
+            # NS-inner split orth is now always on; r2-default rerun
+            # shows its effect alone
+            ("nsinner", dict(coarse_sweeps=sweeps - 2)),
+            ("gemm2", dict(coarse_sweeps=sweeps - 2, gemm2_apply=True)),
+            ("gemm2-noro", dict(coarse_sweeps=sweeps - 2,
+                                gemm2_apply=True, fine_reortho=False)),
+            ("full", dict(gemm2_apply=True, fine_reortho=False,
+                          **coarse_kn)),
+            ("full-high", dict(gemm2_apply=True, fine_reortho=False,
+                               fine_precision="high", **coarse_kn)),
         ]
         for name, kw in grid:
             try:
@@ -70,7 +68,9 @@ def main():
                     coarse_sweeps=kw.get("coarse_sweeps", 0),
                     coarse_lanczos_iters=kw.get("coarse_lanczos_iters"),
                     coarse_reortho=kw.get("coarse_reortho", True),
-                    coarse_ns_split=kw.get("coarse_ns_split", False))
+                    coarse_ns_split=kw.get("coarse_ns_split", False),
+                    fine_reortho=kw.get("fine_reortho", True),
+                    gemm2_apply=kw.get("gemm2_apply", False))
                 tf = fl / t / 1e12
                 print(json.dumps({
                     "config": name, "chi": chi, "sweeps": sweeps,

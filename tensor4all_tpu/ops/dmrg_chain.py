@@ -102,7 +102,8 @@ def _rayleigh_chain(h: jnp.ndarray, mps: jnp.ndarray) -> jnp.ndarray:
     jax.jit, static_argnames=("n_sweeps", "lanczos_iters", "sweep_dtype",
                               "coarse_sweeps", "coarse_lanczos_iters",
                               "coarse_bf16", "coarse_reortho",
-                              "coarse_ns_split", "fine_precision")
+                              "coarse_ns_split", "fine_precision",
+                              "fine_reortho", "gemm2_apply")
 )
 def dmrg_run(
     h: jnp.ndarray,
@@ -116,6 +117,8 @@ def dmrg_run(
     coarse_reortho: bool = True,
     coarse_ns_split: bool = False,
     fine_precision: str = "highest",
+    fine_reortho: bool = True,
+    gemm2_apply: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run `n_sweeps` full (left-right-left) two-site DMRG sweeps.
 
@@ -149,6 +152,21 @@ def dmrg_run(
       fine_precision: matmul precision of the fine sweeps ('highest' =
         6-pass f32; 'high' = 3-pass, ~1.4x faster applies, state error
         ~1e-6 -> energy eps^2 ~1e-12).
+      fine_reortho: full reorthogonalization in the fine sweeps
+        (default True). The reference's own local eigensolver runs
+        krylovdim=3 with no reorthogonalization at all
+        (dmrg/mod.rs:626) — fine_reortho=False is plain 3-term-recurrence
+        Lanczos, whose Ritz values stay within O(eps*|H|) of the spectrum
+        (Paige) and whose ground-Ritz vector only feeds the next
+        variational step. A full-NS FINAL split orthogonalization in fine
+        sweeps was tested and rejected: theta's steeply-decaying spectrum
+        leaves NS unconverged mid-spectrum (energy err 0.18 at N=8), so
+        the final factor always uses QR outside the coarse schedule.
+      gemm2_apply: contract the local H as TWO large GEMMs per Lanczos
+        iteration against per-bond precontracted L*Wl / Wr*R operands
+        (2x the FLOPs of the minimal 4-stage einsum path, but no small-K
+        (w d) MXU passes and no 5-tensor intermediate shuffles — faster
+        on TPU for chi >= 256).
     Returns (energy, optimized padded MPS in sweep_dtype).
     """
     coarse_sweeps = min(coarse_sweeps, n_sweeps)
@@ -164,16 +182,20 @@ def dmrg_run(
                                   sweep_dtype, split_iters=1,
                                   store_bf16=coarse_bf16,
                                   reortho=coarse_reortho,
-                                  ns_split=coarse_ns_split)
+                                  ns_split=coarse_ns_split,
+                                  gemm2_apply=gemm2_apply)
         mps = mps.astype(mps0.dtype)
     with jax.default_matmul_precision(fine_precision):
         return _dmrg_sweeps(h, mps, n_sweeps - coarse_sweeps,
-                            lanczos_iters, sweep_dtype)
+                            lanczos_iters, sweep_dtype,
+                            reortho=fine_reortho,
+                            gemm2_apply=gemm2_apply)
 
 
 def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype,
                  split_iters: int = 2, store_bf16: bool = False,
-                 reortho: bool = True, ns_split: bool = False):
+                 reortho: bool = True, ns_split: bool = False,
+                 gemm2_apply: bool = False):
     N, chi, d, _ = mps0.shape
     w = h.shape[1]
     hi_dtype = mps0.dtype
@@ -217,12 +239,30 @@ def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype,
         Lc, Wlc = L.astype(ct), Wl.astype(ct)
         Wrc, Rc = Wr.astype(ct), R.astype(ct)
 
-        def apply_h(th):
-            y = jnp.einsum(
-                "alx,lpim,mqjr,aijb,brB->xpqB",
-                Lc, Wlc, Wrc, th.astype(ct), Rc, optimize=True,
-            )
-            return y.astype(st)
+        if gemm2_apply:
+            # Precontract the environments with their MPO cores ONCE per
+            # local solve (O(chi^2 d^2 w^2), amortized over m iterations)
+            # so each Lanczos iteration is exactly two large GEMMs:
+            #   T1[(x p m),(j b)] = LW[(x p m),(a i)] . th[(a i),(j b)]
+            #   y [(x p),(q B)]   = T1[(x p),(m j b)] . RW[(m j b),(q B)]
+            # with shapes (chi d w, chi d) x (chi d, d chi) and
+            # (chi d, w d chi) x (w d chi, d chi): M, N, K are all
+            # >= chi d — no (w d)-sized contraction pass ever touches
+            # the MXU (which pads every K/N up to 128 lanes).
+            LW = jnp.einsum("alx,lpim->aixpm", Lc, Wlc)
+            RW = jnp.einsum("mqjr,brB->mjbqB", Wrc, Rc)
+
+            def apply_h(th):
+                t1 = jnp.einsum("aixpm,aijb->xpmjb", LW, th.astype(ct))
+                y = jnp.einsum("xpmjb,mjbqB->xpqB", t1, RW)
+                return y.astype(st)
+        else:
+            def apply_h(th):
+                y = jnp.einsum(
+                    "alx,lpim,mqjr,aijb,brB->xpqB",
+                    Lc, Wlc, Wrc, th.astype(ct), Rc, optimize=True,
+                )
+                return y.astype(st)
 
         v0 = norm_site(theta0)
         basis = jnp.zeros((m, chi, d, d, chi), ct)
@@ -310,33 +350,70 @@ def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype,
         # and the fine sweeps re-factorize every core).
         if ns_split:
             eye = jnp.eye(chi, dtype=st)
+            # precision-aware knobs: under bf16 matmul passes the Gram
+            # noise floor is ~1e-3 so a generous shift and few iterations
+            # suffice; at f32 'highest' (fine_ns_split) a tighter shift +
+            # two extra iterations push orthogonality of the dominant
+            # block to ~1e-6 (under-orthonormalized near-null directions
+            # carry ~zero weight and the next local solve re-spans them)
+            bf16_pass = ct == jnp.bfloat16
+            reg = 1e-5 if bf16_pass else 1e-7
+            ns_iters = 4 if bf16_pass else 6
 
             def orth(y):
                 g = jnp.conj(y).T @ y
                 tr = jnp.trace(jnp.real(g))
-                g = g + (1e-5 * tr / chi + 1e-30) * eye
+                g = g + (reg * tr / chi + 1e-30) * eye
                 s = jnp.sqrt(jnp.sum(jnp.real(g * jnp.conj(g))))
                 A = g / s
                 Y, Z = A, eye
-                for _ in range(4):
+                for _ in range(ns_iters):
                     T = 0.5 * (3.0 * eye - Z @ Y)
                     Y, Z = Y @ T, T @ Z
                 return y @ (Z / jnp.sqrt(s))
         else:
             orth = lambda y: jnp.linalg.qr(y)[0]
+
+        # INNER orthogonalizations only exist to keep the subspace
+        # iteration's intermediates well-conditioned in the sweep dtype
+        # (dynamic range sigma, not sigma^2). Newton-Schulz returns
+        # y @ M with M invertible, so it preserves the iterate's SPAN
+        # exactly — approximate orthonormality is sufficient there, and
+        # it replaces a ~2.5 ms Householder QR per inner step with
+        # ~0.3 ms of pure GEMMs. Only the FINAL factor Q must be truly
+        # orthonormal (left.right must reconstruct theta): that one stays
+        # `orth` (QR unless ns_split). Net: split_iters=2 runs 3 NS + 1
+        # QR instead of 4 QRs.
+        eye_i = jnp.eye(chi, dtype=st)
+
+        def orth_inner(y):
+            g = jnp.conj(y).T @ y
+            tr = jnp.trace(jnp.real(g))
+            g = g + (1e-6 * tr / chi + 1e-30) * eye_i
+            s = jnp.sqrt(jnp.sum(jnp.real(g * jnp.conj(g))))
+            A = g / s
+            Y, Z = A, eye_i
+            for _ in range(4):
+                T = 0.5 * (3.0 * eye_i - Z @ Y)
+                Y, Z = Y @ T, T @ Z
+            return y @ (Z / jnp.sqrt(s))
+
         if toward_right:
             Q0_ = Q0
-            for _ in range(split_iters):
-                Z = orth(jnp.conj(mat).T @ Q0_)  # (d chi, chi)
-                Q = orth(mat @ Z)  # (chi d, chi)
+            for it in range(split_iters):
+                last = it == split_iters - 1
+                Z = orth_inner(jnp.conj(mat).T @ Q0_)  # (d chi, chi)
+                Q = (orth if last else orth_inner)(mat @ Z)  # (chi d, chi)
                 Q0_ = Q
             left = Q.reshape(chi, d, chi)
             right = (jnp.conj(Q).T @ mat).reshape(chi, d, chi)
         else:
             Q0_ = Q0
-            for _ in range(split_iters):
-                Z = orth(mat @ Q0_)  # (chi d, chi)
-                Q = orth(jnp.conj(mat).T @ Z)  # (d chi, chi)
+            for it in range(split_iters):
+                last = it == split_iters - 1
+                Z = orth_inner(mat @ Q0_)  # (chi d, chi)
+                Q = (orth if last else orth_inner)(
+                    jnp.conj(mat).T @ Z)  # (d chi, chi)
                 Q0_ = Q
             right = jnp.conj(Q).T.reshape(chi, d, chi)
             left = (mat @ Q).reshape(chi, d, chi)
@@ -422,7 +499,9 @@ def dmrg_sweep_flops(N: int, chi: int, d: int, w: int,
                      coarse_sweeps: int = 0,
                      coarse_lanczos_iters: Optional[int] = None,
                      coarse_reortho: bool = True,
-                     coarse_ns_split: bool = False) -> float:
+                     coarse_ns_split: bool = False,
+                     fine_reortho: bool = True,
+                     gemm2_apply: bool = False) -> float:
     """Analytic FLOP count of ``dmrg_run``'s sweep loop (VERDICT r1 #1:
     MFU must be measured on the REAL engine, not a synthetic kernel).
 
@@ -440,9 +519,17 @@ def dmrg_sweep_flops(N: int, chi: int, d: int, w: int,
             expr, *[np.empty(s, np.float32) for s in shapes])
         return float(info.opt_cost)
 
-    apply_f = ec("alx,lpim,mqjr,aijb,brB->xpqB",
-                 [(chi, w, chi), (w, d, d, w), (w, d, d, w),
-                  (chi, d, d, chi), (chi, w, chi)])
+    if gemm2_apply:
+        # two big GEMMs + per-solve precontractions amortized over m
+        apply_f = (2.0 * (chi * d * w) * (chi * d) * (d * chi)
+                   + 2.0 * (chi * d) * (w * d * chi) * (d * chi))
+        pre_f = (2.0 * (chi * d) * w * (chi * d * w)      # L.Wl
+                 + 2.0 * (w * d * chi) * w * (d * chi))   # Wr.R
+    else:
+        apply_f = ec("alx,lpim,mqjr,aijb,brB->xpqB",
+                     [(chi, w, chi), (w, d, d, w), (w, d, d, w),
+                      (chi, d, d, chi), (chi, w, chi)])
+        pre_f = 0.0
     env_f = ec("alx,aib,loir,xoB->brB",
                [(chi, w, chi), (chi, d, chi), (w, d, d, w), (chi, d, chi)])
     td = chi * d * d * chi  # theta element count
@@ -452,27 +539,32 @@ def dmrg_sweep_flops(N: int, chi: int, d: int, w: int,
         # per iteration: H apply + <v,Hv> + axpbys + optional full
         # reortho (two m-basis einsums) + norm
         ro = 4 * m * td if reortho else 0
-        return m * (apply_f + 2 * td + 4 * td + ro + 2 * td)
+        return pre_f + m * (apply_f + 2 * td + 4 * td + ro + 2 * td)
 
     # one orthogonalization of a (chi d, chi) block
     qr_orth_f = 2.0 * (chi * d) * chi ** 2
-    ns_orth_f = (2.0 * (chi * d) * chi ** 2   # Gram
-                 + 4 * 3 * 2.0 * chi ** 3     # 4 NS iters x 3 matmuls
-                 + 2.0 * (chi * d) * chi ** 2)  # y @ Z
+
+    def ns_orth_f(iters):
+        return (2.0 * (chi * d) * chi ** 2       # Gram
+                + iters * 3 * 2.0 * chi ** 3     # NS iters x 3 matmuls
+                + 2.0 * (chi * d) * chi ** 2)    # y @ Z
+
     mm_pass_f = 2 * 2.0 * (chi * d) * (d * chi) * chi  # per split iter
 
-    def split_f(iters, ns):
-        orth = ns_orth_f if ns else qr_orth_f
-        # per iteration: 2 orths + the mat products; both directions
-        # (fwd+bwd bodies) already counted via the 2(N-1) factor
-        return iters * (2 * orth + mm_pass_f)
+    def split_f(iters, ns, ns_iters=4):
+        # 2*iters orthogonalizations per split: all inner ones are 4-iter
+        # Newton-Schulz (span-exact), only the final is QR (or NS under
+        # ns_split); plus the mat products of each subspace iteration
+        final = ns_orth_f(ns_iters) if ns else qr_orth_f
+        inner = (2 * iters - 1) * ns_orth_f(4)
+        return inner + final + iters * mm_pass_f
 
     m_c = lanczos_iters if coarse_lanczos_iters is None \
         else coarse_lanczos_iters
-    per_update = (theta0_f + lan_f(lanczos_iters, True)
+    per_update = (theta0_f + lan_f(lanczos_iters, fine_reortho)
                   + split_f(2, False) + env_f)
     per_update_coarse = (theta0_f + lan_f(m_c, coarse_reortho)
-                         + split_f(1, coarse_ns_split) + env_f)
+                         + split_f(1, coarse_ns_split, ns_iters=4) + env_f)
     per_sweep = 2 * (N - 1) * per_update + (N - 1) * env_f
     per_sweep_coarse = 2 * (N - 1) * per_update_coarse + (N - 1) * env_f
     fine = max(0, n_sweeps - coarse_sweeps)
