@@ -149,14 +149,12 @@ def bench_dmrg_star(quick=False):
             "unit": "ms", "baseline": 242.8,
             "vs_baseline": 242.8 / (t * 1e3),
             "detail": {"energy_abs_err": err, "exact": e_exact,
-                       "note": ("per-step cost = one compiled XLA "
-                                "contraction of the hub operator's 5^7*4 "
-                                "center core against 6 leaf envs "
-                                "(~2.5 ms) + host sweep overhead; "
-                                "below-baseline rows trace to small-"
-                                "tensor op overhead, not algorithm "
-                                "(TDVP on the same hub star is at "
-                                "baseline)")}}
+                       "note": ("above baseline since the r3 "
+                                "TT-factorized dressed region cores + "
+                                "contract promotion (projected.py): the "
+                                "hub's 5^7*4 dressed center core is "
+                                "never materialized dense; each local "
+                                "apply rides the factorized form")}}
 
 
 def bench_rrlu64(quick=False):
