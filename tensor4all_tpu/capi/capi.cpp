@@ -449,6 +449,40 @@ t4a_status_code t4a_tt_constant(const int64_t *local_dims, size_t n,
   return T4A_OK;
 }
 
+t4a_status_code t4a_tt_new(const double *const *cores,
+                           const int64_t *shapes, size_t n,
+                           t4a_tt **out) {
+  if (!cores || !shapes || !n || !out) return T4A_INVALID_ARGUMENT;
+  GilGuard gil;
+  PyObject *ttmod = PyImport_ImportModule("tensor4all_tpu.tt");
+  if (!ttmod) {
+    return set_error_from_python();
+  }
+  PyObject *cls = PyObject_GetAttrString(ttmod, "TensorTrain");
+  Py_DECREF(ttmod);
+  PyObject *lst = PyList_New(static_cast<Py_ssize_t>(n));
+  for (size_t k = 0; k < n; ++k) {
+    const int64_t *sh = shapes + 3 * k;
+    size_t len = static_cast<size_t>(sh[0]) * static_cast<size_t>(sh[1]) *
+                 static_cast<size_t>(sh[2]);
+    PyObject *arr = array_from_buffer(cores[k], len, sh, 3);
+    if (!arr) {
+      Py_DECREF(lst);
+      Py_DECREF(cls);
+      return set_error_from_python();
+    }
+    PyList_SetItem(lst, static_cast<Py_ssize_t>(k), arr);
+  }
+  PyObject *obj = PyObject_CallFunction(cls, "O", lst);
+  Py_DECREF(cls);
+  Py_DECREF(lst);
+  if (!obj) {
+    return set_error_from_python();
+  }
+  *out = new t4a_tt{obj};
+  return T4A_OK;
+}
+
 t4a_status_code t4a_tt_len(const t4a_tt *tt, size_t *out) {
   if (!tt || !out) return T4A_INVALID_ARGUMENT;
   GilGuard gil;
@@ -1541,7 +1575,7 @@ t4a_status_code t4a_treetn_linsolve(const t4a_treetn *b, const t4a_tt *mpo,
   PyObject *names = PyUnicode_FromString(order_nl);
   PyObject *lst = PyObject_CallMethod(names, "split", "s", "\n");
   Py_DECREF(names);
-  PyObject *args = Py_BuildValue("(OOOddddDdLL)", b->obj, mpo->obj, lst,
+  PyObject *args = Py_BuildValue("(OOOdddddLL)", b->obj, mpo->obj, lst,
                                  a0_re, a0_im, a1_re, a1_im, rtol,
                                  (long long)maxdim, (long long)nsweeps);
   Py_DECREF(lst);

@@ -432,7 +432,15 @@ def treetn_linsolve(b: CTreeTN, mpo_tt, order, a0_re, a0_im, a1_re,
 
 def treetn_to_dense(h: CTreeTN, indices):
     t = h.net().contract_to_tensor()
-    return np.asarray(t.dense(tuple(indices)), dtype=np.float64)
+    arr = np.asarray(t.dense(tuple(indices)))
+    if np.iscomplexobj(arr):
+        # The f64 ABI entry point must not silently drop imaginary parts
+        # (use the c64 copy functions for genuinely complex networks).
+        if np.abs(arr.imag).max() > 1e-10 * max(1.0, np.abs(arr).max()):
+            raise ValueError(
+                "network is complex-valued; use the c64 dense accessor")
+        arr = arr.real
+    return np.asarray(arr, dtype=np.float64)
 
 
 def treetn_partial_contract(a: CTreeTN, b: CTreeTN, pairs_a, pairs_b,

@@ -160,6 +160,12 @@ void t4a_tensor_free(t4a_tensor *t);
 /* ------------------------------------------------------------------ */
 typedef struct t4a_tt t4a_tt;
 
+/* Build a TT from raw cores. `shapes` is n triples (l, d, r) and each
+ * cores[k] is a column-major buffer of l*d*r doubles. Boundary ranks
+ * must be 1 (the Julia bindings hand hand-built MPOs across this way). */
+t4a_status_code t4a_tt_new(const double *const *cores,
+                           const int64_t *shapes, size_t n,
+                           t4a_tt **out);
 t4a_status_code t4a_tt_constant(const int64_t *local_dims, size_t n,
                                 double value, t4a_tt **out);
 t4a_status_code t4a_tt_len(const t4a_tt *tt, size_t *out);

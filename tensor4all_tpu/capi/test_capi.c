@@ -275,6 +275,219 @@ int main(void) {
     t4a_index_release(b12);
   }
 
+  /* ---- Julia binding call-sequence replay ------------------------- *
+   * Mirrors the reference's docs/examples/julia/{core,treetn}.jl
+   * anchors in order (the sequences Tensor4all.jl drives through the
+   * ABI; ref scripts/run_julia_tests.sh runs them against the cdylib):
+   * index tags/ids -> MPS create -> accessors -> orthogonalize ->
+   * truncate -> add -> MPO x MPO contract -> norm/inner -> linsolve. */
+  {
+    /* core.jl index_basic: tags, dim, id */
+    t4a_index *s1, *s2, *l12;
+    CHECK(t4a_index_new(2, "Site,n=1", &s1));
+    CHECK(t4a_index_new(2, "Site,n=2", &s2));
+    CHECK(t4a_index_new(3, "Link,l=1", &l12));
+    int64_t dim = 0;
+    CHECK(t4a_index_dim(s1, &dim));
+    if (dim != 2) return 1;
+    int has = 0;
+    CHECK(t4a_index_has_tag(s1, "Site", &has));
+    if (!has) return 1;
+    CHECK(t4a_index_has_tag(s1, "n=1", &has));
+    if (!has) return 1;
+    uint64_t id1 = 0, id2 = 0;
+    CHECK(t4a_index_id(s1, &id1));
+    /* copy(j): same id; sim(j): clone-with-fresh-id is Julia-side via
+     * t4a_index_new + tags, so assert clone keeps the id */
+    t4a_index *s1c;
+    CHECK(t4a_index_clone(s1, &s1c));
+    CHECK(t4a_index_id(s1c, &id2));
+    if (id1 != id2) return 1;
+    t4a_index_release(s1c);
+
+    /* core.jl tensor_basic + tensor_complex: storage/scalar kinds */
+    double a6[6];
+    for (int q = 0; q < 6; ++q) a6[q] = q + 1.0;
+    const t4a_index *i_t[2] = {s1, l12};
+    t4a_tensor *t1;
+    CHECK(t4a_tensor_new(i_t, 2, a6, 6, &t1));
+    size_t trank = 0;
+    CHECK(t4a_tensor_rank(t1, &trank));
+    if (trank != 2) return 1;
+    int kind = -1;
+    CHECK(t4a_tensor_scalar_kind(t1, &kind));
+    if (kind != T4A_SCALAR_KIND_F64) return 1;
+    double re6[6], im6[6];
+    for (int q = 0; q < 6; ++q) { re6[q] = q + 1.0; im6[q] = -(q + 1.0); }
+    t4a_tensor *tcplx;
+    CHECK(t4a_tensor_new_dense_c64(i_t, 2, re6, im6, 6, &tcplx));
+    CHECK(t4a_tensor_scalar_kind(tcplx, &kind));
+    if (kind != T4A_SCALAR_KIND_C64) return 1;
+    t4a_tensor_release(tcplx);
+
+    /* treetn.jl create: mps = MPS([t1, t2]) */
+    double b6[6];
+    for (int q = 0; q < 6; ++q) b6[q] = 1.0;
+    const t4a_index *i_t2[2] = {l12, s2};
+    t4a_tensor *t2;
+    CHECK(t4a_tensor_new(i_t2, 2, b6, 6, &t2));
+    t4a_treetn *mps;
+    CHECK(t4a_treetn_new(&mps));
+    CHECK(t4a_treetn_set_tensor(mps, "1", t1));
+    CHECK(t4a_treetn_set_tensor(mps, "2", t2));
+    /* accessors: nv, linkind dim (=linkdims/maxbonddim), siteinds */
+    size_t nv = 0;
+    CHECK(t4a_treetn_num_vertices(mps, &nv));
+    if (nv != 2) return 1;
+    t4a_index *lk;
+    CHECK(t4a_treetn_linkind(mps, "1", "2", &lk));
+    CHECK(t4a_index_dim(lk, &dim));
+    if (dim != 3) return 1;
+    int same = 0;
+    CHECK(t4a_index_equal(lk, l12, &same));
+    if (!same) return 1;
+    t4a_index_release(lk);
+    t4a_index *sout[4];
+    size_t nsite = 0;
+    CHECK(t4a_treetn_siteinds(mps, "1", sout, 4, &nsite));
+    if (nsite != 1) return 1;
+    CHECK(t4a_index_equal(sout[0], s1, &same));
+    if (!same) return 1;
+    t4a_index_release(sout[0]);
+
+    /* orthogonalize!(mps, 1) */
+    CHECK(t4a_treetn_orthogonalize(mps, "1"));
+    char cbuf[64];
+    CHECK(t4a_treetn_canonical_region(mps, cbuf, sizeof cbuf));
+    if (!strstr(cbuf, "1")) return 1;
+
+    /* truncate!(mps; maxdim=2): all-ones tensors are rank 1 exactly */
+    const t4a_index *sord[2] = {s1, s2};
+    double dref[4];
+    CHECK(t4a_treetn_to_dense(mps, sord, 2, dref, 4));
+    CHECK(t4a_treetn_truncate(mps, 1e-12, 2));
+    CHECK(t4a_treetn_linkind(mps, "1", "2", &lk));
+    CHECK(t4a_index_dim(lk, &dim));
+    if (dim > 2) return 1;
+    t4a_index_release(lk);
+    double dtr[4];
+    CHECK(t4a_treetn_to_dense(mps, sord, 2, dtr, 4));
+    for (int q = 0; q < 4; ++q)
+      if (fabs(dtr[q] - dref[q]) > 1e-10) return 1;
+
+    /* mps_a + mps_b */
+    t4a_treetn *msum;
+    CHECK(t4a_treetn_add(mps, mps, &msum));
+    double dsum[4];
+    CHECK(t4a_treetn_to_dense(msum, sord, 2, dsum, 4));
+    for (int q = 0; q < 4; ++q)
+      if (fabs(dsum[q] - 2.0 * dref[q]) > 1e-9) return 1;
+    t4a_treetn_release(msum);
+
+    /* norm > 0; inner(a, a) == norm^2 */
+    double nrm = 0.0;
+    CHECK(t4a_treetn_norm(mps, &nrm));
+    if (!(nrm > 0)) return 1;
+    double ire = 0, iim = 0;
+    CHECK(t4a_treetn_inner(mps, mps, &ire, &iim));
+    if (fabs(ire - nrm * nrm) > 1e-9 * nrm * nrm || fabs(iim) > 1e-12)
+      return 1;
+
+    /* MPO x MPO contract (treetn.jl "operations"): ones tensors over
+     * shared mid indices; every dense entry equals sum over 4 paths */
+    t4a_index *s1m, *s2m, *la, *s1o, *s2o, *lb;
+    CHECK(t4a_index_new(2, "Site,n=1,Mid", &s1m));
+    CHECK(t4a_index_new(2, "Site,n=2,Mid", &s2m));
+    CHECK(t4a_index_new(2, "Link,a", &la));
+    CHECK(t4a_index_new(2, "Site,n=1,Out", &s1o));
+    CHECK(t4a_index_new(2, "Site,n=2,Out", &s2o));
+    CHECK(t4a_index_new(2, "Link,b", &lb));
+    double ones8[8];
+    for (int q = 0; q < 8; ++q) ones8[q] = 1.0;
+    const t4a_index *ia1[3] = {s1, s1m, la};
+    const t4a_index *ia2[3] = {la, s2, s2m};
+    const t4a_index *ib1[3] = {s1m, s1o, lb};
+    const t4a_index *ib2[3] = {lb, s2m, s2o};
+    t4a_tensor *A1, *A2, *B1, *B2;
+    CHECK(t4a_tensor_new(ia1, 3, ones8, 8, &A1));
+    CHECK(t4a_tensor_new(ia2, 3, ones8, 8, &A2));
+    CHECK(t4a_tensor_new(ib1, 3, ones8, 8, &B1));
+    CHECK(t4a_tensor_new(ib2, 3, ones8, 8, &B2));
+    t4a_treetn *mpoa, *mpob;
+    CHECK(t4a_treetn_new(&mpoa));
+    CHECK(t4a_treetn_set_tensor(mpoa, "1", A1));
+    CHECK(t4a_treetn_set_tensor(mpoa, "2", A2));
+    CHECK(t4a_treetn_new(&mpob));
+    CHECK(t4a_treetn_set_tensor(mpob, "1", B1));
+    CHECK(t4a_treetn_set_tensor(mpob, "2", B2));
+    t4a_svd_truncation_policy mpol = {1e-12, T4A_THRESHOLD_SCALE_RELATIVE,
+                                      T4A_SINGULAR_VALUE_MEASURE_VALUE,
+                                      T4A_TRUNCATION_RULE_PER_VALUE};
+    t4a_treetn *mc;
+    CHECK(t4a_treetn_contract_networks(mpoa, mpob,
+                                       T4A_CONTRACT_METHOD_ZIPUP, &mpol,
+                                       0, &mc));
+    CHECK(t4a_treetn_num_vertices(mc, &nv));
+    if (nv != 2) return 1;
+    const t4a_index *cord[4] = {s1, s1o, s2, s2o};
+    double dmc[16];
+    CHECK(t4a_treetn_to_dense(mc, cord, 4, dmc, 16));
+    /* ones x ones: each output entry = sum over j,l,a,b = 2*2*2*2/2...
+     * exact oracle: sum_{j,l} A[i,j,k,l] B[j,m,l,n] with A=B=ones
+     * (after the la/lb bond sums contribute a factor 2 each) */
+    double expect_mc = 2.0 * 2.0 * 2.0 * 2.0; /* j,l sums x bond factors */
+    for (int q = 0; q < 16; ++q)
+      if (fabs(dmc[q] - expect_mc) > 1e-8) return 1;
+    t4a_treetn_release(mc);
+
+    /* treetn.jl linsolve: 1-site identity, rhs [3,4] -> x = [3,4] */
+    t4a_index *sv;
+    CHECK(t4a_index_new(2, "s", &sv));
+    double rhsv[2] = {3.0, 4.0};
+    const t4a_index *irhs[1] = {sv};
+    t4a_tensor *trhs;
+    CHECK(t4a_tensor_new(irhs, 1, rhsv, 2, &trhs));
+    t4a_treetn *rhs;
+    CHECK(t4a_treetn_new(&rhs));
+    CHECK(t4a_treetn_set_tensor(rhs, "1", trhs));
+    double eye_core[4] = {1.0, 0.0, 0.0, 1.0}; /* vec(I), core (1,4,1) */
+    const double *ccores[1] = {eye_core};
+    int64_t cshapes[3] = {1, 4, 1};
+    t4a_tt *opmpo;
+    CHECK(t4a_tt_new(ccores, cshapes, 1, &opmpo));
+    t4a_treetn *x;
+    CHECK(t4a_treetn_linsolve(rhs, opmpo, "1", 0.0, 0.0, 1.0, 0.0,
+                              1e-10, 10, 4, &x));
+    double xv[2];
+    const t4a_index *ixo[1] = {sv};
+    CHECK(t4a_treetn_to_dense(x, ixo, 1, xv, 2));
+    if (fabs(xv[0] - 3.0) > 1e-8 || fabs(xv[1] - 4.0) > 1e-8) return 1;
+    t4a_treetn_release(x);
+    t4a_tt_release(opmpo);
+    t4a_treetn_release(rhs);
+    t4a_tensor_release(trhs);
+    t4a_index_release(sv);
+
+    t4a_treetn_release(mpoa);
+    t4a_treetn_release(mpob);
+    t4a_tensor_release(A1);
+    t4a_tensor_release(A2);
+    t4a_tensor_release(B1);
+    t4a_tensor_release(B2);
+    t4a_index_release(s1m);
+    t4a_index_release(s2m);
+    t4a_index_release(la);
+    t4a_index_release(s1o);
+    t4a_index_release(s2o);
+    t4a_index_release(lb);
+    t4a_treetn_release(mps);
+    t4a_tensor_release(t1);
+    t4a_tensor_release(t2);
+    t4a_index_release(s1);
+    t4a_index_release(s2);
+    t4a_index_release(l12);
+  }
+
   /* storage-parity surface: diag constructor, axis classes, retain */
   {
     t4a_index *d0 = NULL, *d1 = NULL;

@@ -40,9 +40,18 @@ def _write_type_version(group, type_name: str, version: int = 1) -> None:
     group.attrs["version"] = np.int64(version)
 
 
+def _attr_str(group, name: str) -> str:
+    """Read a string attribute in any of the dialects the reference's
+    compat shim accepts (compat.rs:16-47): variable-length (our writer)
+    or fixed-length null-padded UTF-8 (ITensors.jl via HDF5.jl)."""
+    v = group.attrs[name]
+    if isinstance(v, bytes):
+        v = v.decode("utf-8", errors="replace")
+    return str(v).rstrip("\x00")
+
+
 def _require_type(group, expected: str) -> None:
-    t = group.attrs["type"]
-    t = t.decode() if isinstance(t, bytes) else str(t)
+    t = _attr_str(group, "type")
     if expected not in t:
         raise ValueError(f"expected HDF5 type {expected!r}, found {t!r}")
 
@@ -63,7 +72,9 @@ def _write_index(group, index: Index) -> None:
 
 def _read_string(ds) -> str:
     v = ds[()]
-    return v.decode() if isinstance(v, bytes) else str(v)
+    if isinstance(v, bytes):
+        v = v.decode("utf-8", errors="replace")
+    return str(v).rstrip("\x00")
 
 
 def _read_index(group) -> Index:
@@ -117,8 +128,7 @@ def load_itensor(path: str, name: str) -> Tensor:
         _require_type(g, "ITensor")
         indices = _read_index_set(g["inds"])
         sg = g["storage"]
-        st = sg.attrs["type"]
-        st = st.decode() if isinstance(st, bytes) else str(st)
+        st = _attr_str(sg, "type")
         data = np.asarray(sg["data"][()])
         if "ComplexF64" in st:
             if data.dtype.names:  # compound (r, i) layout from HDF5
@@ -185,8 +195,7 @@ def load_mps(path: str, name: str):
             tg = g[f"MPS[{k + 1}]"]
             indices = _read_index_set(tg["inds"])
             sg = tg["storage"]
-            st = sg.attrs["type"]
-            st = st.decode() if isinstance(st, bytes) else str(st)
+            st = _attr_str(sg, "type")
             data = np.asarray(sg["data"][()])
             if "ComplexF64" in st:
                 if data.dtype.names:

@@ -113,6 +113,30 @@ def square_linsolve(
     pol = opts.policy()
     sweep_residuals: List[float] = []
     converged = False
+    if len(x.node_names) == 1:
+        # Single-node network: no edges to sweep, solve the one local
+        # problem directly (the Julia linsolve example is exactly this
+        # shape, ref docs/examples/julia/treetn.jl "linsolve" anchor).
+        theta0 = x.tensor(root)
+        rhs = proj_b.project((root,))
+        rhs = rhs.permute(theta0.indices) if set(rhs.indices) == set(
+            theta0.indices
+        ) else rhs
+
+        def apply_single(th):
+            y = proj_a.apply_local(th, (root,)) * opts.a1
+            if opts.a0 != 0:
+                y = y.axpby(opts.a0, th, 1.0)
+            return y
+
+        res = gmres(apply_single, rhs, x0=theta0,
+                    rtol=opts.gmres_rtol, maxiter=opts.gmres_maxiter)
+        x.set_tensor(root, res.x)
+        report = _verify(op, x, b, opts)
+        conv = (opts.residual_tol <= 0
+                or report.relative_residual < opts.residual_tol)
+        return LinsolveResult(x, report, conv,
+                              [report.relative_residual])
     for sweep in range(opts.nsweeps):
         for (u, v) in x._euler_edges(root):
             bond = x.bond(u, v)

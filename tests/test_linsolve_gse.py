@@ -248,3 +248,36 @@ def test_linsolve_on_partitioned_tt(key):
     got = np.concatenate([xs_patches[0], xs_patches[1]])
     rel = np.linalg.norm(got - x_full) / np.linalg.norm(x_full)
     assert rel < 1e-8, rel
+
+
+def test_square_linsolve_single_node():
+    """Single-node networks have no edges to sweep; the direct local
+    solve must still produce (a0 + a1 A)^-1 b (the Julia linsolve
+    example shape, ref docs/examples/julia/treetn.jl)."""
+    import numpy as np
+
+    from tensor4all_tpu.core.index import Index
+    from tensor4all_tpu.core.tensor import Tensor
+    from tensor4all_tpu.treetn.linsolve import (
+        LinsolveOptions,
+        square_linsolve,
+    )
+    from tensor4all_tpu.treetn.network import TreeTN
+    from tensor4all_tpu.treetn.operator import TreeOperator
+
+    s = Index(2, tags="s")
+    sp = s.prime()
+    M = np.array([[2.0, 1.0], [0.5, 3.0]])
+    opnet = TreeTN()
+    opnet.add_node("v", Tensor((sp, s), M))
+    op = TreeOperator(opnet, {"v": s}, {"v": sp})
+    bnet = TreeTN()
+    bnet.add_node("v", Tensor((s,), np.array([1.0, 2.0])))
+    x0 = TreeTN()
+    x0.add_node("v", Tensor((s,), np.array([1.0, 1.0])))
+    res = square_linsolve(op, bnet, x0,
+                          options=LinsolveOptions(a0=0.5, a1=1.0))
+    got = np.asarray(res.x.tensor("v").dense((s,)))
+    expect = np.linalg.solve(0.5 * np.eye(2) + M, [1.0, 2.0])
+    assert np.abs(got - expect).max() < 1e-8
+    assert res.report.relative_residual < 1e-8
