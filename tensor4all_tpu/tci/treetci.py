@@ -311,7 +311,8 @@ def tree_crossinterpolate2(
     prev_ranks = None
     for it in range(opts.max_iter):
         tci.sweep(opts)
-        err = max(tci.pivot_errors.values()) / max(tci.f_max, 1e-300)
+        err = (max(tci.pivot_errors.values(), default=0.0)
+               / max(tci.f_max, 1e-300))
         ranks = tci.ranks()
         if opts.verbosity:
             print(f"[treetci] iter={it} err={err:.3e} "

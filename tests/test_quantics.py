@@ -610,3 +610,111 @@ def test_batched_qtci_int_output_dims():
         got = res.evaluate(xg[:, None], [k]).reshape(-1)
         assert np.abs(got - f(xg, k)).max() < 1e-7
     assert res.n_evals > 0
+
+
+# ---- tree-unfolded quantics (VERDICT r2 missing #4; ref --------------
+# tensor4all-treetci/tests/advanced_quantics.rs) -----------------------
+def test_tree_quantics_polynomial_branching_tree_all_points():
+    """Port of advanced_quantics.rs
+    quantics_grid_polynomial_matches_all_points_on_branching_tree:
+    R=2 2-var interleaved grid, branching tree 0-1, 1-2, 1-3, polynomial
+    reconstructed at every grid point."""
+    import networkx as nx
+
+    from tensor4all_tpu.quantics import (
+        DiscretizedGrid,
+        quanticscrossinterpolate_tree,
+    )
+    from tensor4all_tpu.tci.treetci import TreeTciOptions
+
+    grid = DiscretizedGrid.create(2, (-3.0, -17.0), (2.0, 12.0))
+
+    def f(X):
+        return (0.1 * X[:, 0] ** 2 + 0.01 * X[:, 1] ** 3
+                - np.pi * X[:, 0] * X[:, 1] + 5.0)
+
+    g = nx.Graph()
+    g.add_edges_from([(0, 1), (1, 2), (1, 3)])
+    qt = quanticscrossinterpolate_tree(
+        f, grid, topology=g,
+        options=TreeTciOptions(tol=1e-10, max_iter=12, maxbonddim=8))
+    m = np.array([[i, j] for i in range(4) for j in range(4)])
+    X = grid.index_to_coord(m)
+    exp = f(X)
+    err = np.abs(qt.evaluate(X) - exp).max() / np.abs(exp).max()
+    assert err < 1e-8
+
+
+def test_tree_quantics_gaussian_caterpillar_matches_chain():
+    """Default interleaved scale-tree unfolding on a 2-D Gaussian:
+    reconstruction to tol with ranks comparable to the chain path, and
+    the tree-contracted integral matches the analytic value."""
+    from tensor4all_tpu.quantics import (
+        DiscretizedGrid,
+        quanticscrossinterpolate_tree,
+    )
+    from tensor4all_tpu.tci.treetci import TreeTciOptions
+
+    grid = DiscretizedGrid.create(6, (-4.0, -4.0), (4.0, 4.0))
+
+    def f(X):
+        return np.exp(-(X ** 2).sum(axis=1))
+
+    rng = np.random.default_rng(1)
+    piv = ([[0] * grid.n_sites]
+           + [list(rng.integers(0, 2, grid.n_sites)) for _ in range(8)])
+    qt = quanticscrossinterpolate_tree(
+        f, grid, initial_pivots=piv,
+        options=TreeTciOptions(tol=1e-10, max_iter=14))
+    rng = np.random.default_rng(0)
+    m = rng.integers(0, 64, (300, 2))
+    X = grid.index_to_coord(m)
+    assert np.abs(qt.evaluate(X) - f(X)).max() < 1e-7
+    # chain path at the same tol reaches rank ~53 (measured); comparable
+    assert max(qt.ranks().values()) <= 64
+    assert abs(qt.integral().real - np.pi) < 1e-5
+
+
+def test_tree_quantics_batch_vs_point_evaluator_equivalence():
+    """Port of advanced_quantics.rs
+    quantics_grid_batch_evaluator_matches_point_evaluator: a per-point
+    python loop wrapped as a batch function must give the same
+    interpolant as the vectorized batch evaluator."""
+    import networkx as nx
+
+    from tensor4all_tpu.quantics import (
+        DiscretizedGrid,
+        quanticscrossinterpolate_tree,
+    )
+    from tensor4all_tpu.tci.treetci import TreeTciOptions
+
+    grid = DiscretizedGrid.create(2, (-3.0, -17.0), (2.0, 12.0))
+
+    def f_vec(X):
+        return (0.1 * X[:, 0] ** 2 + 0.01 * X[:, 1] ** 3
+                - np.pi * X[:, 0] * X[:, 1] + 5.0)
+
+    def f_point(X):
+        return np.array([f_vec(row[None, :])[0] for row in X])
+
+    g = nx.Graph()
+    g.add_edges_from([(0, 1), (1, 2), (1, 3)])
+    opts = TreeTciOptions(tol=1e-10, max_iter=12, maxbonddim=8)
+    qa = quanticscrossinterpolate_tree(f_vec, grid, topology=g,
+                                       options=opts)
+    qb = quanticscrossinterpolate_tree(f_point, grid, topology=g,
+                                       options=opts)
+    m = np.array([[i, j] for i in range(4) for j in range(4)])
+    X = grid.index_to_coord(m)
+    assert np.abs(qa.evaluate(X) - qb.evaluate(X)).max() < 1e-10
+
+
+def test_interleaved_scale_tree_shape():
+    from tensor4all_tpu.quantics import interleaved_scale_tree
+
+    g = interleaved_scale_tree(3, 2)
+    assert sorted(g.nodes()) == list(range(6))
+    assert g.number_of_edges() == 5  # tree
+    import networkx as nx
+
+    assert nx.is_tree(g)
