@@ -58,15 +58,20 @@ def main(chi=512, w=5, d=2, m=16, K=64):
     def sync(x):
         return float(jnp.sum(x.astype(jnp.float32)))
 
-    def chain(fn, x0, prec):
+    def chain(fn, x0, prec, k=None):
+        # Python-unrolled for GEMM chains (fuses well); keep k small for
+        # programs with decompositions (eigh/qr/cholesky) — 64 unrolled
+        # eigh instances produce a pathological TPU compile (the r3
+        # first attempt hung >45 min in the compile server).
+        kk = K if k is None else k
         @jax.jit
         def prog():
             with jax.default_matmul_precision(prec):
                 x = x0
-                for i in range(K):
+                for i in range(kk):
                     x = fn(x, i)
                 return x
-        return prog
+        return prog, kk
 
     # ---- gemm2 apply: precontract once, then two big GEMMs ----------
     def make_gemm2():
@@ -79,11 +84,12 @@ def main(chi=512, w=5, d=2, m=16, K=64):
         return apply2
 
     for prec in ("default", "high"):
-        t = _timeit(lambda p=prec: sync(chain(make_gemm2(), th0, p)()))
-        out[f"gemm2_apply_{prec}_us"] = t / K * 1e6
+        prog, kk = chain(make_gemm2(), th0, prec)
+        t = _timeit(lambda: sync(prog()))
+        out[f"gemm2_apply_{prec}_us"] = t / kk * 1e6
         flops = (2.0 * (chi * d * w) * (chi * d) * (d * chi)
                  + 2.0 * (chi * d) * (w * d * chi) * (d * chi))
-        out[f"gemm2_apply_{prec}_tflops"] = flops / (t / K) / 1e12
+        out[f"gemm2_apply_{prec}_tflops"] = flops / (t / kk) / 1e12
 
     # precontraction alone (amortized /m in the engine)
     def precon(x, i):
@@ -91,9 +97,11 @@ def main(chi=512, w=5, d=2, m=16, K=64):
         RW = jnp.einsum("mqjr,brB->mjbqB", Wr, R * (1.0 + jnp.float32(i)))
         return jnp.sum(LW) + jnp.sum(RW)
 
-    t = _timeit(lambda: sync(chain(lambda s, i: s + precon(s, i),
-                                   jnp.float32(0.0), "high")()))
-    out["gemm2_precontract_us"] = t / K * 1e6
+    prog, kk = chain(lambda s, i: s + precon(s, i), jnp.float32(0.0),
+                     "high")
+    t = _timeit(lambda: sync(prog()))
+    out["gemm2_precontract_us"] = t / kk * 1e6
+    print(json.dumps(out), flush=True)
 
     # ---- Newton-Schulz inner orth at 'high' -------------------------
     eye = jnp.eye(chi, dtype=f32)
@@ -110,16 +118,19 @@ def main(chi=512, w=5, d=2, m=16, K=64):
             Y, Z = Y @ T, T @ Z
         return (yv @ (Z / jnp.sqrt(s))) * (1.0 + 1e-9 * jnp.float32(i))
 
-    t = _timeit(lambda: sync(chain(ns_orth, y, "high")()))
-    out["ns_orth_high_us"] = t / K * 1e6
+    prog, kk = chain(ns_orth, y, "high")
+    t = _timeit(lambda: sync(prog()))
+    out["ns_orth_high_us"] = t / kk * 1e6
+    print(json.dumps(out), flush=True)
 
     # ---- QR flavors at (chi d, chi) ----------------------------------
     def qr_h(yv, i):
         q = jnp.linalg.qr(yv)[0]
         return q * (1.0 + 1e-9 * jnp.float32(i))
 
-    t = _timeit(lambda: sync(chain(qr_h, y, "high")()))
-    out["qr_householder_us"] = t / K * 1e6
+    prog, kk = chain(qr_h, y, "high", k=12)
+    t = _timeit(lambda: sync(prog()))
+    out["qr_householder_us"] = t / kk * 1e6
 
     def cholqr2(yv, i):
         for _ in range(2):
@@ -131,8 +142,10 @@ def main(chi=512, w=5, d=2, m=16, K=64):
                 c, yv, left_side=False, lower=True, transpose_a=True)
         return yv * (1.0 + 1e-9 * jnp.float32(i))
 
-    t = _timeit(lambda: sync(chain(cholqr2, y, "high")()))
-    out["cholqr2_us"] = t / K * 1e6
+    prog, kk = chain(cholqr2, y, "high", k=12)
+    t = _timeit(lambda: sync(prog()))
+    out["cholqr2_us"] = t / kk * 1e6
+    print(json.dumps(out), flush=True)
 
     # ---- the small tridiagonal solve (per update!) -------------------
     alphas64 = jnp.asarray(np.random.randn(m), jnp.float64)
@@ -155,9 +168,10 @@ def main(chi=512, w=5, d=2, m=16, K=64):
         return step
 
     for name, dt in (("f64", jnp.float64), ("f32", jnp.float32)):
-        t = _timeit(lambda s=ritz(dt), d0=jnp.asarray(0.0, dt):
-                    sync(chain(s, d0, "high")()))
-        out[f"ritz_eigh_{name}_us"] = t / K * 1e6
+        prog, kk = chain(ritz(dt), jnp.asarray(0.0, dt), "high", k=6)
+        t = _timeit(lambda: sync(prog()))
+        out[f"ritz_eigh_{name}_us"] = t / kk * 1e6
+        print(json.dumps(out), flush=True)
 
     # ---- one full fine update, ground truth --------------------------
     from tensor4all_tpu.ops.dmrg_chain import pad_mpo  # noqa: F401  (import check)
@@ -207,8 +221,9 @@ def main(chi=512, w=5, d=2, m=16, K=64):
         return th + 1e-9 * (jnp.sum(Lp) + jnp.sum(right)) * th / (
             1.0 + jnp.float32(i))
 
-    t = _timeit(lambda: sync(chain(full_update, th0, "high")()), reps=3)
-    out["full_update_high_ms"] = t / K * 1e3
+    prog, kk = chain(full_update, th0, "high", k=3)
+    t = _timeit(lambda: sync(prog()), reps=3)
+    out["full_update_high_ms"] = t / kk * 1e3
 
     print(json.dumps(out, indent=1), flush=True)
 

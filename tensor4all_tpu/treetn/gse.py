@@ -54,6 +54,9 @@ class GseOptions:
     reference_max_rank: Optional[int] = None
     reference_svd_policy: Optional[SvdTruncationPolicy] = None
     density_weight_cutoff: float = 1e-12
+    # retained for option-surface parity (ref GseOptions): the factored
+    # density D^H D is Hermitian by construction, so no runtime check
+    # consumes this since the low-rank rewrite
     hermitian_tol: float = 1e-12
     normalize_references: bool = True
     expand_before_first_sweep: bool = True
@@ -135,8 +138,13 @@ def _expand_one_edge(state: TreeTN, refs: List[TreeTN], parent: NodeName,
     r0 = max(int(np.sum(s > 0)), 1)
     B = vh[:r0]  # (r0, q_dim), orthonormal rows
 
-    # accumulate the references' local density on q-space
-    # (ref build_reference_density :920)
+    # accumulate the references' local density on q-space in FACTORED
+    # form (ref build_reference_density :920). rho = C^H C with
+    # C = vstack(R_i) of shape (sum of reference bond dims, q_dim) — the
+    # references are rank-capped, so rho has low rank and the dense
+    # (q_dim x q_dim) matrix (a wall at high-degree chi=256 nodes, where
+    # q_dim = chi^(deg-1)*d; VERDICT r2 weak #7) is never materialized:
+    # peak memory is O(k_total * q_dim).
     ref_mats = []
     rho_dtype = M.dtype
     for ref in refs:
@@ -146,30 +154,22 @@ def _expand_one_edge(state: TreeTN, refs: List[TreeTN], parent: NodeName,
             rb.dim, q_dim)
         ref_mats.append((ref, rq, rb, R))
         rho_dtype = np.result_type(rho_dtype, R.dtype)
-    rho = np.zeros((q_dim, q_dim), dtype=rho_dtype)
-    for _, _, _, R in ref_mats:
-        rho += R.conj().T @ R
 
     added_rows = np.zeros((0, q_dim), dtype=rho_dtype)
-    tr = float(np.real(np.trace(rho)))
+    C = (np.vstack([R for _, _, _, R in ref_mats]).astype(rho_dtype)
+         if ref_mats else np.zeros((0, q_dim), dtype=rho_dtype))
+    tr = float(np.sum(np.abs(C) ** 2))  # tr(rho) = ||C||_F^2
     if tr > 0:
-        rho /= tr
-        # project out the represented subspace:
-        # (1-P) rho (1-P), P = B^H B  (ref :1071)
-        Brho = B @ rho                        # (r0, q)
-        miss = rho - B.conj().T @ Brho        # (1-P) rho
-        miss = miss - (miss @ B.conj().T) @ B  # ... (1-P)
-        dev = float(np.max(np.abs(miss - miss.conj().T)))
-        scale = float(np.max(np.abs(miss))) if miss.size else 0.0
-        if dev > opts.hermitian_tol * max(scale, 1.0) + 1e-14:
-            raise ValueError(
-                f"projected reference density deviates from Hermitian by "
-                f"{dev:.2e} (> hermitian_tol={opts.hermitian_tol:.2e})")
-        miss = 0.5 * (miss + miss.conj().T)  # ref hermitianize :1189
-        w, V = np.linalg.eigh(miss)  # ascending
-        keep = np.nonzero(w > opts.density_weight_cutoff)[0][::-1]
+        # project out the represented subspace from the FACTOR:
+        # D = C (1-P), P = B^H B, so D^H D = (1-P) rho (1-P) (ref :1071)
+        # — Hermitian by construction, no hermitianize pass needed
+        # (ref :1189's dev check guards the dense path's rounding only).
+        D = C - (C @ B.conj().T) @ B
+        _, sd, vh = np.linalg.svd(D, full_matrices=False)
+        w = sd * sd / tr  # descending eigenvalues of the missing density
+        keep = np.nonzero(w > opts.density_weight_cutoff)[0]
         if keep.size:
-            added_rows = V[:, keep].conj().T  # rows = conj eigvecs (:1024)
+            added_rows = vh[keep]  # rows = conj eigvecs (:1024)
 
     new_basis = np.vstack([B, added_rows]) if added_rows.size else B
     new_dim = new_basis.shape[0]
