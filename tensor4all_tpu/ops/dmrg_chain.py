@@ -510,6 +510,264 @@ def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype,
     return energy.astype(jnp.float64), mps
 
 
+def dmrg_run_sharded(
+    h: jnp.ndarray,
+    mps0: jnp.ndarray,
+    mesh,
+    n_sweeps: int = 4,
+    lanczos_iters: int = 20,
+    sweep_dtype=None,
+    axis: str = "x",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """chi-partitioned flagship DMRG engine (VERDICT r2 #6): the whole
+    two-site sweep runs inside ONE `shard_map` over `mesh`, with explicit
+    collectives instead of GSPMD placement guesses.
+
+    Sharding layout (the `parallel/solvers.py:two_site_apply_sharded`
+    pattern, extended to the full sweep):
+
+    - every MPS core and environment is sharded on its FIRST bond axis
+      (chi/n per device); the MPO is replicated (w is small);
+    - the Lanczos H-apply contracts each device's chi/n slice of
+      (L, theta) against a gathered R and combines with `psum_scatter`
+      over the output's left bond — output sharded exactly like the
+      input, so the m-iteration Krylov loop never reshards;
+    - inner products and norms are `psum` reductions; the m x m
+      tridiagonal solve replicates (identical on every device);
+    - the two-site SPLIT runs replicated on a gathered theta (QR of a
+      (chi d, chi) panel does not shard; it is a ~1/(m d) fraction of
+      the apply work), and the factors are sliced back to shards;
+    - environment updates contract the device's own (L, A) shard
+      against a gathered conj(A) and `psum_scatter` onto the new bond,
+      so the O(N chi^2 w) environment STORAGE stays sharded — the
+      per-device memory win that lets chi grow past one chip's HBM.
+
+    Requires ``chi % mesh.shape[axis] == 0`` (pad chi up — the engine is
+    already padded-uniform). Energy parity with `dmrg_run` is exact to
+    solver tolerance: same math, same iteration counts.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    N, chi, d, _ = mps0.shape
+    w = h.shape[1]
+    n = int(mesh.shape[axis])
+    if chi % n:
+        raise ValueError(
+            f"chi={chi} must be a multiple of mesh axis size {n}; pad chi")
+    csh = chi // n
+    hi_dtype = mps0.dtype
+    st = jnp.dtype(sweep_dtype) if sweep_dtype is not None else hi_dtype
+    hs = h.astype(st)
+    # same two-stage per-core normalization as dmrg_run (f32 underflow)
+    core_scale = jnp.max(jnp.abs(mps0), axis=(1, 2, 3), keepdims=True)
+    mps_o1 = mps0 / jnp.where(core_scale > 0, core_scale, 1.0)
+    core_norms = jnp.sqrt(jnp.sum(jnp.abs(mps_o1) ** 2, axis=(1, 2, 3),
+                                  keepdims=True))
+    mps_n = (mps_o1 / jnp.where(core_norms > 0, core_norms, 1.0)).astype(st)
+    real_st = jnp.finfo(st).dtype
+    m = lanczos_iters
+
+    def body(hs_r, mps_l):
+        # local shapes: mps_l (N, csh, d, chi); hs_r replicated
+        me = jax.lax.axis_index(axis)
+
+        def gather(x):
+            return jax.lax.all_gather(x, axis, axis=0, tiled=True)
+
+        def scatter(x):
+            return jax.lax.psum_scatter(x, axis, scatter_dimension=0,
+                                        tiled=True)
+
+        def pdot(u, v):
+            return jax.lax.psum(jnp.sum(jnp.conj(u) * v), axis)
+
+        def pnorm_site(A):
+            nrm = jnp.sqrt(jnp.real(pdot(A, A)))
+            return A / jnp.where(nrm > 0, nrm, 1.0)
+
+        def apply_h(th_l, L_l, Wl, Wr, R_f):
+            # partial over this device's a-shard, reduce-scattered onto
+            # the output's left bond: y stays sharded like th
+            y = jnp.einsum("alx,lpim,mqjr,aijb,brB->xpqB",
+                           L_l, Wl, Wr, th_l, R_f, optimize=True)
+            return scatter(y)
+
+        def lanczos_ground(theta0_l, L_l, Wl, Wr, R_l):
+            R_f = gather(R_l)
+            v0 = pnorm_site(theta0_l)
+            # mark the zeros-init basis as device-varying so the scan
+            # carry types match once shards are written into it
+            basis = jax.lax.pcast(jnp.zeros((m, csh, d, d, chi), st),
+                                  (axis,), to="varying")
+            alphas = jnp.zeros((m,), jnp.float64)
+            betas = jnp.zeros((m,), jnp.float64)
+            amask = jnp.zeros((m,), jnp.float64)
+
+            def lbody(i, carry):
+                basis, alphas, betas, amask, v, v_prev, b_prev, alive = carry
+                basis = basis.at[i].set(v * alive.astype(st))
+                hv = apply_h(v, L_l, Wl, Wr, R_f)
+                a = jnp.real(pdot(v, hv))
+                hv = hv - a.astype(st) * v - b_prev.astype(st) * v_prev
+                # full reorthogonalization, sharded: the m-vector of
+                # overlaps is a psum; the correction is local
+                ov = jax.lax.psum(
+                    jnp.einsum("macuy,acuy->m", jnp.conj(basis), hv), axis)
+                mask = (jnp.arange(m) <= i).astype(hv.dtype)
+                hv = hv - jnp.einsum("m,macuy->acuy", ov * mask, basis)
+                b = jnp.sqrt(jnp.real(pdot(hv, hv)))
+                v_next = hv / jnp.where(b > 0, b, 1.0).astype(st)
+                alphas = alphas.at[i].set(
+                    jnp.where(alive > 0, a.astype(jnp.float64), 0.0))
+                amask = amask.at[i].set(alive)
+                eps = jnp.asarray(10 * jnp.finfo(real_st).eps, jnp.float64)
+                next_alive = alive * (
+                    b.astype(jnp.float64) > eps * jnp.maximum(
+                        1.0, jnp.abs(a).astype(jnp.float64)))
+                betas = betas.at[i].set(
+                    b.astype(jnp.float64) * (i + 1 < m) * next_alive)
+                return (basis, alphas, betas, amask, v_next, v,
+                        b.astype(jnp.float64) * alive, next_alive)
+
+            carry = (basis, alphas, betas, amask, v0, jnp.zeros_like(v0),
+                     jnp.float64(0.0), jnp.float64(1.0))
+            basis, alphas, betas, amask, _, _, _, _ = jax.lax.fori_loop(
+                0, m, lbody, carry)
+            # replicated m x m solve (psum'd scalars are identical on
+            # every device), same sentinel as dmrg_run
+            big = jnp.where(amask > 0, alphas, -jnp.inf).max()
+            small = jnp.where(amask > 0, alphas, jnp.inf).min()
+            bmax = jnp.abs(betas).max()
+            pad = big + (big - small) + 4.0 * bmax + 1.0
+            diag = jnp.where(amask > 0, alphas, pad)
+            T = (jnp.diag(diag) + jnp.diag(betas[:-1], 1)
+                 + jnp.diag(betas[:-1], -1))
+            evals, evecs = jnp.linalg.eigh(T)
+            theta = jnp.einsum("m,macuy->acuy", evecs[:, 0].astype(st),
+                               basis)
+            return (jnp.real(evals[0]).astype(jnp.float64),
+                    pnorm_site(theta))
+
+        def split_theta(theta_l, Q0, toward_right, split_iters=2):
+            # replicated split on the gathered theta, SAME warm-started
+            # subspace iteration + QR as dmrg_run (dominant span, never
+            # singular values): QR panels do not shard and are a
+            # ~1/(m d) fraction of the apply work, so replication costs
+            # single-device wall time on a small term
+            theta = gather(theta_l)
+            mat = theta.reshape(chi * d, d * chi)
+            orth = lambda y: jnp.linalg.qr(y)[0]
+            if toward_right:
+                Q_ = Q0
+                for _ in range(split_iters):
+                    Z = orth(jnp.conj(mat).T @ Q_)   # (d chi, chi)
+                    Q_ = orth(mat @ Z)               # (chi d, chi)
+                left = Q_.reshape(chi, d, chi)
+                right = (jnp.conj(Q_).T @ mat).reshape(chi, d, chi)
+            else:
+                Q_ = Q0
+                for _ in range(split_iters):
+                    Z = orth(mat @ Q_)               # (chi d, chi)
+                    Q_ = orth(jnp.conj(mat).T @ Z)   # (d chi, chi)
+                right = jnp.conj(Q_).T.reshape(chi, d, chi)
+                left = (mat @ Q_).reshape(chi, d, chi)
+            sl = me * csh
+            return (jax.lax.dynamic_slice_in_dim(left, sl, csh, 0),
+                    jax.lax.dynamic_slice_in_dim(right, sl, csh, 0))
+
+        def update_left_env(L_l, A_l, W):
+            # contract this device's (a-shard of L, A) against the FULL
+            # conj(A); partial over a -> reduce-scatter onto new bond b
+            A_f = gather(A_l)
+            Lp = jnp.einsum("alx,aib,loir,xoB->brB", L_l, A_l, W,
+                            jnp.conj(A_f), optimize=True)
+            return scatter(Lp)
+
+        def update_right_env(R_l, A_l, W):
+            # R is sharded on its b axis: contract it against the
+            # matching b-SLICE of the full A (partial over this shard),
+            # conj(A) full; reduce-scatter onto the new bond a
+            A_f = gather(A_l)
+            A_b = jax.lax.dynamic_slice_in_dim(A_f, me * csh, csh, 2)
+            Rp = jnp.einsum("brB,aib,loir,xoB->alx", R_l, A_b, W,
+                            jnp.conj(A_f), optimize=True)
+            return scatter(Rp)
+
+        L_bound = jnp.zeros((csh, w, chi), st)
+        L_bound = jnp.where(me == 0, L_bound.at[0, 0, 0].set(1.0), L_bound)
+        R_bound = L_bound
+
+        def get(stacked, k):
+            return jax.lax.dynamic_index_in_dim(stacked, k, keepdims=False)
+
+        def put(stacked, k, val):
+            return jax.lax.dynamic_update_index_in_dim(stacked, val, k,
+                                                       axis=0)
+
+        def right_env_scan(mps):
+            def rbody(R, k):
+                Rn = update_right_env(R, get(mps, k), get(hs_r, k))
+                return Rn, Rn
+
+            _, Rs = jax.lax.scan(rbody, R_bound, jnp.arange(N - 1, 0, -1))
+            return jnp.flip(Rs, axis=0)
+
+        def one_sweep(_, state):
+            mps, energy = state
+
+            def fwd_body(carry, x):
+                k, Rk = x
+                mps, L, _ = carry
+                A, B = get(mps, k), get(mps, k + 1)
+                theta0 = jnp.einsum("asb,btc->astc", A, gather(B))
+                e, theta = lanczos_ground(theta0, L, get(hs_r, k),
+                                          get(hs_r, k + 1), Rk)
+                Q0 = gather(A).reshape(chi * d, chi)
+                left, right = split_theta(theta, Q0, toward_right=True)
+                mps = put(put(mps, k, left), k + 1, right)
+                L_next = update_left_env(L, left, get(hs_r, k))
+                return (mps, L_next, e), L
+
+            def bwd_body(carry, x):
+                k, Lk = x
+                mps, R, _ = carry
+                A, B = get(mps, k), get(mps, k + 1)
+                theta0 = jnp.einsum("asb,btc->astc", A, gather(B))
+                e, theta = lanczos_ground(theta0, Lk, get(hs_r, k),
+                                          get(hs_r, k + 1), R)
+                Q0 = gather(B).reshape(chi, d * chi).T
+                left, right = split_theta(theta, Q0, toward_right=False)
+                mps = put(put(mps, k, left), k + 1, right)
+                R_next = update_right_env(R, right, get(hs_r, k + 1))
+                return (mps, R_next, e), None
+
+            Rs = right_env_scan(mps)
+            (mps, _, energy), Ls = jax.lax.scan(
+                fwd_body, (mps, L_bound, energy), (jnp.arange(N - 1), Rs))
+            (mps, _, energy), _ = jax.lax.scan(
+                bwd_body, (mps, R_bound, energy),
+                (jnp.arange(N - 2, -1, -1), jnp.flip(Ls, axis=0)))
+            return mps, energy
+
+        mps_out, _ = jax.lax.fori_loop(0, n_sweeps, one_sweep,
+                                       (mps_l, jnp.float64(0.0)))
+        return mps_out
+
+    sharded_sweeps = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(None, axis)),
+        out_specs=P(None, axis),
+    )
+
+    @jax.jit
+    def run():
+        mps = sharded_sweeps(hs, mps_n)
+        energy = _rayleigh_chain(h.astype(hi_dtype), mps.astype(hi_dtype))
+        return energy.astype(jnp.float64), mps
+
+    return run()
+
+
 def dmrg_sweep_flops(N: int, chi: int, d: int, w: int,
                      lanczos_iters: int, n_sweeps: int,
                      coarse_sweeps: int = 0,

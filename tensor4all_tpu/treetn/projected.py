@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 import jax
+import jax.numpy as jnp
 import networkx as nx
 
 from ..core.contract import contract
@@ -168,9 +169,17 @@ class ProjectedOperator:
         bond_l = st.bond(a, outer_a[0])
         bond_r = st.bond(b, outer_b[0])
         n = int(self.mesh.devices.size)
-        if bond_l.dim % n or bond_l.dim < max(self.shard_min_dim, n):
+        if bond_l.dim < max(self.shard_min_dim, n):
+            # too small to be worth a collective round-trip (documented
+            # perf gate, `shard_min_dim`) — not a correctness fallback
             self._shard_prepared[key] = None
             return None
+        # chi not a multiple of the mesh: ZERO-PAD the partitioned bond
+        # up to one (VERDICT r2 #6 — no silent local fallback). Padding
+        # is exact: the padded L rows/cols and theta slices are zero, so
+        # they contribute nothing to the contraction, and the padded
+        # output rows are sliced back off in apply_local.
+        chi_pad = bond_l.dim + (-bond_l.dim) % n
         env_l = self.env(outer_a[0], a)
         env_r = self.env(outer_b[0], b)
         ta, tb = op.tensor(a), op.tensor(b)
@@ -185,6 +194,9 @@ class ProjectedOperator:
         order = (bond_l, op.site_in[a], op.site_in[b], bond_r)
         # kernel layout: L[a(bra), a'(ket), w], R[b(bra), b'(ket), w'']
         Lm = env_l.dense((bond_l.prime(), bond_l, wl))
+        if chi_pad != bond_l.dim:
+            padw = chi_pad - bond_l.dim
+            Lm = jnp.pad(Lm, ((0, padw), (0, padw), (0, 0)))
         W1 = ta.dense((wl, op.site_out[a], op.site_in[a], wm))
         W2 = tb.dense((wm, op.site_out[b], op.site_in[b], wr))
         Rm = env_r.dense((bond_r.prime(), bond_r, wr))
@@ -193,7 +205,7 @@ class ProjectedOperator:
         prep = (jax.device_put(Lm, NamedSharding(self.mesh,
                                                  P(None, ax, None))),
                 jax.device_put(W1, rep), jax.device_put(W2, rep),
-                jax.device_put(Rm, rep), order)
+                jax.device_put(Rm, rep), order, bond_l.dim, chi_pad)
         self._shard_prepared[key] = prep
         return prep
 
@@ -210,17 +222,22 @@ class ProjectedOperator:
             if prep is not None:
                 from ..parallel.solvers import two_site_apply_sharded
 
-                Ls, W1s, W2s, Rs, order = prep
+                Ls, W1s, W2s, Rs, order, chi_orig, chi_pad = prep
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 ax = self.mesh.axis_names[0]
+                th = theta.dense(order)
+                if chi_pad != chi_orig:
+                    th = jnp.pad(
+                        th, ((0, chi_pad - chi_orig),) + ((0, 0),) * 3)
                 th = jax.device_put(
-                    theta.dense(order),
-                    NamedSharding(self.mesh, P(ax, None, None, None)))
+                    th, NamedSharding(self.mesh, P(ax, None, None, None)))
                 y = two_site_apply_sharded(Ls, W1s, W2s, Rs, th,
                                            self.mesh, ax)
                 self.last_apply_sharding = y.sharding
                 self.n_sharded_applies += 1
+                if chi_pad != chi_orig:
+                    y = y[:chi_orig]
                 return Tensor(order, y)
         mat = self._local_matrix(tuple(region))
         if mat is not None:
