@@ -13,6 +13,8 @@ glue — the graph-compiler/buffer-pool caching of the reference's L0
 from __future__ import annotations
 
 import threading
+
+import numpy as _np
 from typing import Iterable, Optional, Sequence
 
 import jax
@@ -149,13 +151,19 @@ def _path_method(n_operands: int) -> str:
 
 
 # Promotion thresholds: a signature whose cached path costs at least
-# _COMPILE_COST flops and that has recurred _COMPILE_HITS times is
-# routed through a cached jitted XLA program (transposes fused into
-# GEMMs) instead of numpy/eager dispatch. Tree sweeps hit the same
-# (labels, shapes) signature hundreds of times, so one ~100 ms compile
-# amortizes immediately; one-off signatures never pay it.
+# _COMPILE_COST flops and whose CUMULATIVE eager work (hits x cost, a
+# proxy for time at the ~2 GFLOP/s many-small-dim eager rate) exceeds
+# _COMPILE_AMORTIZE is routed through a cached jitted XLA program
+# (transposes fused into GEMMs) instead of numpy/eager dispatch.
+# Fixed-shape tree sweeps (the star-hub apply: one signature, hundreds
+# of hits) promote within the first sweep; adaptive-rank solvers
+# (linsolve/TCI), whose signatures mutate every sweep and recur only
+# O(krylov_iters) times each, spend at most ~0.3 s eager per signature
+# and almost never pay the ~100 ms XLA compile (a flat hits>=3 rule
+# here compiled ~200 one-off programs per linsolve run and tripled the
+# N=38 journal row, r3 regression).
 _COMPILE_COST = 1e6
-_COMPILE_HITS = 3
+_COMPILE_AMORTIZE = 6e8
 
 
 def contract(
@@ -202,6 +210,7 @@ def contract(
             (tuple(args[2 * k + 1]), tensors[k].shape)
             for k in range(len(tensors))
         ) + (tuple(args[-1]),)
+        entry = None
         with _path_lock:
             entry = _path_cache.get(key)
             if entry is not None:
@@ -209,7 +218,7 @@ def contract(
                 optimize, cost, hits = entry[0], entry[1], entry[2]
                 _stats["hits"] += 1
         if optimize is None:
-            import numpy as _np
+
 
             method = _path_method(len(tensors))
             path_args = []
@@ -222,23 +231,52 @@ def contract(
             path, info = opt_einsum.contract_path(*path_args,
                                                   optimize=method)
             cost = float(info.opt_cost)
+            entry = [path, cost, 1, None]
             with _path_lock:
-                _path_cache[key] = [path, cost, 1]
+                _path_cache[key] = entry
                 _stats["misses"] += 1
             optimize = path
     concrete = not any(isinstance(t.data, jax.core.Tracer)
                        for t in tensors)
     if (concrete and cost is not None and cost >= _COMPILE_COST
-            and hits >= _COMPILE_HITS):
-        # hot + expensive recurring signature: cached XLA program
-        return _contract_compiled(args, out_inds, tensors, optimize)
+            and hits * cost >= _COMPILE_AMORTIZE):
+        # hot + expensive recurring signature: cached XLA program. The
+        # jitted fn lives ON the path-cache entry so repeat calls skip
+        # the per-call expr/key rebuild (~1 ms of Python that tripled
+        # warm linsolve applies when this routed through the global
+        # signature dict).
+        fn = entry[3] if entry is not None and len(entry) > 3 else None
+        if fn is None:
+            n = len(tensors)
+            subs_in = [
+                "".join(opt_einsum.get_symbol(l) for l in args[2 * k + 1])
+                for k in range(n)
+            ]
+            subs_out = "".join(opt_einsum.get_symbol(l) for l in args[-1])
+            expr = ",".join(subs_in) + "->" + subs_out
+            opt = optimize
+            fn = jax.jit(lambda *xs: jnp.einsum(expr, *xs, optimize=opt))
+            if entry is not None:
+                while len(entry) < 4:
+                    entry.append(None)
+                entry[3] = fn
+        data = fn(*(t.data for t in tensors))
+        if all(isinstance(t.data, _np.ndarray)
+                                   for t in tensors):
+            # host-driven pipeline (numpy payloads end to end): hand the
+            # result back as numpy, or every downstream vector op
+            # (axpby/norm in GMRES) pays a per-op np->device conversion
+            # on its mixed operands — measured ~1.4 s per warm N=38
+            # linsolve sweep (r3 regression hunt)
+            data = _np.asarray(data)
+        return Tensor(out_inds, data)
     if _host_fast_case(tensors):
         # CPU-backend small-tensor fast path: one np.einsum avoids the
         # per-call XLA dispatch (~0.1 ms) that dominates host-driven
         # sweeps (treetn DMRG/TDVP/linsolve at chi <= 64). Never taken
         # under tracing (tracers fail the concrete-array check), so
         # jit/grad through contract() are untouched.
-        import numpy as _np
+
 
         np_args = list(args)
         for k in range(len(tensors)):
@@ -259,7 +297,7 @@ _HOST_FAST_ELEMS = 1 << 20  # 1M elements per operand: covers chi<=64 cores
 
 
 def _host_fast_case(tensors) -> bool:
-    import numpy as _np
+
 
     try:
         if jax.default_backend() != "cpu":

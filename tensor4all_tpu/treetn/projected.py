@@ -269,6 +269,13 @@ class ProjectedOperator:
     # 1024^2 (8 MB f64); above that the per-iteration contraction wins
     # (chain chi>=32 two-site regions stay on the contraction path).
     local_matrix_max_dim = 1024
+    # ... and only for regions touching a HIGH-DEGREE node (tree hubs,
+    # e.g. the star center): there the per-apply operator re-contraction
+    # is the w^deg wall the dense build amortizes away (r3 star win).
+    # On chain regions the build costs MORE than the ~O(krylov_iters)
+    # cheap applies it replaces — enabling it there regressed the N=38
+    # linsolve journal row ~15% (r3 follow-up measurement).
+    local_matrix_min_degree = 3
 
     def _local_matrix(self, region) -> Optional[tuple]:
         """Dense projected operator on a SMALL region, cached per region
@@ -278,6 +285,10 @@ class ProjectedOperator:
         key = ("locmat", region)
         if key in self._shard_prepared:
             return self._shard_prepared[key]
+        if max(self.state.graph.degree(v) for v in region) \
+                < self.local_matrix_min_degree:
+            self._shard_prepared[key] = None
+            return None
         region_set = set(region)
         in_order = []
         env_list = []  # (neighbor env, state bond) in in_order position
