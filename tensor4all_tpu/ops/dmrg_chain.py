@@ -68,6 +68,114 @@ def pad_mpo(cores: List[jnp.ndarray]) -> jnp.ndarray:
     return jnp.asarray(out)
 
 
+def _tridiag_ground(diag: jnp.ndarray, offd: jnp.ndarray,
+                    n_grid: int = 64, n_rounds: int = 5,
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ground eigenpair of a symmetric tridiagonal matrix, TPU-fast.
+
+    ``jnp.linalg.eigh`` on an m x m tridiagonal costs ~555 us per call on
+    a v5e even at m=16 (f64 is emulated AND the kernel is an iterative
+    full-spectrum factorization) — and the DMRG/TDVP engines run it once
+    per two-site update inside the sweep scan, where it was ~8% of fine-
+    and ~24% of coarse-update wall time (benchmarks/profile_dmrg2.py).
+    The engines only need the SMALLEST eigenpair, so this uses:
+
+      1. Sturm-sequence bisection, vectorized over ``n_grid`` candidate
+         shifts per round (the m-step recurrence runs as a lax.scan over
+         (n_grid,) lanes — pure elementwise VPU work). ``n_rounds``
+         rounds shrink the Gershgorin bracket by grid^rounds ~ 2^24.
+      2. Tridiagonal inverse iteration (Thomas solve, scalar scan) at the
+         converged lower bracket edge — count(lo)=0 keeps T - lo*I
+         positive semidefinite, so the pivot recurrence cannot break —
+         followed by a Rayleigh-quotient refinement of the eigenvalue.
+
+    Inputs follow the engines' sentinel convention: inactive slots carry
+    a large ``diag`` sentinel and zero ``offd`` (decoupled blocks), so
+    the ground state lives in the active block and the inverse iteration
+    leaves ~0 weight on the sentinels automatically. Near-degenerate
+    clusters (Lanczos ghosts under no-reorthogonalization) yield an
+    arbitrary vector inside the cluster, which is exactly as usable as
+    eigh's choice (the Ritz combination spans the same state).
+
+    Args:
+      diag: (m,) diagonal.
+      offd: (m,) off-diagonal; slot i couples i and i+1 (the last slot
+        is ignored).
+    Returns (eigenvalue, unit eigenvector), both in ``diag.dtype``.
+    """
+    m = diag.shape[0]
+    dt = diag.dtype
+    b = offd.at[m - 1].set(0.0)
+    b2 = b * b
+    r = jnp.abs(b) + jnp.abs(jnp.concatenate([jnp.zeros((1,), dt),
+                                              b[:-1]]))
+    lo = jnp.min(diag - r)
+    hi = jnp.max(diag + r)
+    tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
+    eps = jnp.asarray(jnp.finfo(dt).eps, dt)
+
+    # everything below unrolls over the (static, small) m: straight-line
+    # elementwise code fuses into a handful of VPU loops, where a
+    # lax.scan would pay ~1-2 us of sequential-step overhead per site
+
+    def sturm_counts(xs):
+        """# eigenvalues < x for each x in xs, via the pivot recurrence
+        d_i = (a_i - x) - b_{i-1}^2 / d_{i-1} (negatives counted)."""
+        d = diag[0] - xs
+        d = jnp.where(jnp.abs(d) < tiny, -tiny, d)
+        cnt = (d < 0).astype(jnp.int32)
+        for i in range(1, m):
+            d = (diag[i] - xs) - b2[i - 1] / d
+            # guard exact zeros (x hits a leading-minor eigenvalue)
+            d = jnp.where(jnp.abs(d) < tiny, -tiny, d)
+            cnt = cnt + (d < 0)
+        return cnt
+
+    ts = (jnp.arange(1, n_grid + 1, dtype=dt)) / (n_grid + 1)
+    for _ in range(n_rounds):
+        xs = lo + ts * (hi - lo)
+        cnt = sturm_counts(xs)
+        # new lo: largest grid point with count 0; new hi: smallest with
+        # count >= 1 (brackets always retain lambda_min)
+        lo = jnp.max(jnp.where(cnt == 0, xs, lo))
+        hi = jnp.min(jnp.where(cnt >= 1, xs, hi))
+
+    def thomas_solve(shift, rhs):
+        """(T - shift I) x = rhs, pivot-guarded Thomas algorithm."""
+        dd = diag - shift
+        cs, ss = [], []
+        cp = jnp.zeros((), dt)
+        sp = jnp.zeros((), dt)
+        for i in range(m):
+            bl = b[i - 1] if i > 0 else jnp.zeros((), dt)
+            denom = dd[i] - bl * cp
+            denom = jnp.where(jnp.abs(denom) < tiny, tiny, denom)
+            cp = b[i] / denom
+            sp = (rhs[i] - bl * sp) / denom
+            cs.append(cp)
+            ss.append(sp)
+        x = ss[m - 1]
+        out = [x]
+        for i in range(m - 2, -1, -1):
+            x = ss[i] - cs[i] * x
+            out.append(x)
+        return jnp.stack(out[::-1])
+
+    # inverse iteration at the PSD lower edge; two passes sharpen the
+    # vector when the bracket is loose relative to the spectral gap
+    scale = jnp.maximum(jnp.abs(lo), jnp.abs(hi)) + 1.0
+    sigma = lo - 4.0 * eps * scale
+    v = jnp.ones((m,), dt) / jnp.sqrt(jnp.asarray(m, dt))
+    for _ in range(2):
+        v = thomas_solve(sigma, v)
+        nrm = jnp.sqrt(jnp.sum(v * v))
+        v = v / jnp.where(nrm > 0, nrm, 1.0)
+    tv = diag * v + jnp.concatenate([b[:-1] * v[1:], jnp.zeros((1,), dt)]) \
+        + jnp.concatenate([jnp.zeros((1,), dt), b[:-1] * v[:-1]])
+    lam = jnp.sum(v * tv)
+    return lam, v
+
+
 def _rayleigh_chain(h: jnp.ndarray, mps: jnp.ndarray) -> jnp.ndarray:
     """Global Rayleigh quotient <psi|H|psi>/<psi|psi> (transfer scan)."""
     N, chi, d, _ = mps.shape
@@ -104,7 +212,7 @@ def _rayleigh_chain(h: jnp.ndarray, mps: jnp.ndarray) -> jnp.ndarray:
                               "coarse_bf16", "coarse_reortho",
                               "coarse_ns_split", "fine_precision",
                               "fine_reortho", "gemm2_apply",
-                              "fine_ns_inner")
+                              "fine_ns_inner", "ritz_solver")
 )
 def dmrg_run(
     h: jnp.ndarray,
@@ -121,6 +229,7 @@ def dmrg_run(
     fine_reortho: bool = True,
     gemm2_apply: bool = False,
     fine_ns_inner: bool = False,
+    ritz_solver: str = "bisect",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run `n_sweeps` full (left-right-left) two-site DMRG sweeps.
 
@@ -176,6 +285,10 @@ def dmrg_run(
         costs ~1e-9 in the final energy at N=8 — leave False when the
         reference's 1e-12 energy-parity contract matters. Coarse sweeps
         always use NS inner steps (self-correcting).
+      ritz_solver: 'bisect' (default) solves the m x m tridiagonal Ritz
+        problem by Sturm bisection + inverse iteration (_tridiag_ground;
+        ~555 us/update cheaper than the TPU's iterative eigh, identical
+        ground pair to ~1e-13); 'eigh' keeps the LAPACK-style kernel.
     Returns (energy, optimized padded MPS in sweep_dtype).
     """
     coarse_sweeps = min(coarse_sweeps, n_sweeps)
@@ -193,20 +306,23 @@ def dmrg_run(
                                   reortho=coarse_reortho,
                                   ns_split=coarse_ns_split,
                                   ns_inner=True,
-                                  gemm2_apply=gemm2_apply)
+                                  gemm2_apply=gemm2_apply,
+                                  ritz=ritz_solver)
         mps = mps.astype(mps0.dtype)
     with jax.default_matmul_precision(fine_precision):
         return _dmrg_sweeps(h, mps, n_sweeps - coarse_sweeps,
                             lanczos_iters, sweep_dtype,
                             reortho=fine_reortho,
                             ns_inner=fine_ns_inner,
-                            gemm2_apply=gemm2_apply)
+                            gemm2_apply=gemm2_apply,
+                            ritz=ritz_solver)
 
 
 def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype,
                  split_iters: int = 2, store_bf16: bool = False,
                  reortho: bool = True, ns_split: bool = False,
-                 ns_inner: bool = False, gemm2_apply: bool = False):
+                 ns_inner: bool = False, gemm2_apply: bool = False,
+                 ritz: str = "eigh"):
     N, chi, d, _ = mps0.shape
     w = h.shape[1]
     hi_dtype = mps0.dtype
@@ -324,12 +440,15 @@ def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype,
         bmax = jnp.abs(betas).max()
         pad = big + (big - small) + 4.0 * bmax + 1.0
         diag = jnp.where(amask > 0, alphas, pad)
-        T = (jnp.diag(diag) + jnp.diag(betas[:-1], 1)
-             + jnp.diag(betas[:-1], -1))
-        evals, evecs = jnp.linalg.eigh(T)
-        coef = evecs[:, 0]
+        if ritz == "bisect":
+            e0, coef = _tridiag_ground(diag, betas)
+        else:
+            T = (jnp.diag(diag) + jnp.diag(betas[:-1], 1)
+                 + jnp.diag(betas[:-1], -1))
+            evals, evecs = jnp.linalg.eigh(T)
+            e0, coef = evals[0], evecs[:, 0]
         theta = jnp.einsum("m,macuy->acuy", coef.astype(st), basis)
-        return jnp.real(evals[0]).astype(jnp.float64), norm_site(theta)
+        return jnp.real(e0).astype(jnp.float64), norm_site(theta)
 
     def split_theta(theta, Q0, toward_right):
         """Split theta into (left, right) keeping a chi-dim bond basis.
@@ -640,12 +759,11 @@ def dmrg_run_sharded(
             bmax = jnp.abs(betas).max()
             pad = big + (big - small) + 4.0 * bmax + 1.0
             diag = jnp.where(amask > 0, alphas, pad)
-            T = (jnp.diag(diag) + jnp.diag(betas[:-1], 1)
-                 + jnp.diag(betas[:-1], -1))
-            evals, evecs = jnp.linalg.eigh(T)
-            theta = jnp.einsum("m,macuy->acuy", evecs[:, 0].astype(st),
-                               basis)
-            return (jnp.real(evals[0]).astype(jnp.float64),
+            # replicated small solve (psum'd scalars are identical on
+            # every device), same Sturm-bisection path as dmrg_run
+            e0, coef = _tridiag_ground(diag, betas)
+            theta = jnp.einsum("m,macuy->acuy", coef.astype(st), basis)
+            return (jnp.real(e0).astype(jnp.float64),
                     pnorm_site(theta))
 
         def split_theta(theta_l, Q0, toward_right, split_iters=2):

@@ -8,7 +8,8 @@ run is one XLA program — no host round trips inside sweeps.
 Integrator: Lubich projector splitting, order 1 or 2 (palindromic
 half-sweeps). Local exponentials are fixed-m Lanczos propagators:
 ``exp(c * H_eff) v ~= |v| * V expm(c * T) e0`` with the small tridiagonal
-exponential computed by eigh on device. Splits reuse the warm-started
+exponential computed by GEMM-only scaling-and-squaring
+(_expm_tridiag_e0). Splits reuse the warm-started
 subspace-QR of the DMRG engine (top-chi subspace == TDVP's built-in
 truncation). Precision strategy as in dmrg_chain: pass
 ``sweep_dtype=jnp.complex64`` on TPU; the state error eps from the lower
@@ -25,6 +26,44 @@ import jax
 import jax.numpy as jnp
 
 from .dmrg_chain import pad_mpo, pad_mps  # noqa: F401 (re-export)
+
+
+def _expm_tridiag_e0(diag: jnp.ndarray, offd: jnp.ndarray, coeff,
+                     max_squarings: int = 20) -> jnp.ndarray:
+    """First column of ``exp(coeff * T)`` for symmetric tridiagonal T.
+
+    ``jnp.linalg.eigh`` on the m x m Ritz matrix costs ~555 us per call
+    on a v5e (iterative kernel + emulated f64) and the TDVP engine runs
+    it TWICE per bond. The propagator only needs exp(c T) e0, so this
+    uses GEMM-only scaling-and-squaring: scale A = c T / 2^s to
+    ||A||_1 <= 0.5 (s data-dependent, applied as masked squarings so the
+    program stays static), a 12-term Taylor-Horner evaluation (error
+    <= 0.5^13/13! ~ 2e-14), then s masked squarings. Everything is m x m
+    matmuls — a few us total on the MXU at m <= 20.
+
+    ``coeff`` may be real (imaginary time) or complex (real time on
+    complex-capable backends); the arithmetic follows its dtype. Slots
+    with zero diag AND zero offd (dead Lanczos directions) decouple:
+    their column of exp is e_i, so they contribute 0 to column 0.
+    """
+    m = diag.shape[0]
+    wt = jnp.result_type(diag.dtype, jnp.asarray(coeff).dtype)
+    b = offd.at[m - 1].set(0.0).astype(wt)
+    T = (jnp.diag(diag.astype(wt)) + jnp.diag(b[:-1], 1)
+         + jnp.diag(b[:-1], -1))
+    A = jnp.asarray(coeff, wt) * T
+    nrm = jnp.max(jnp.sum(jnp.abs(A), axis=0))
+    # number of halvings so ||A/2^s||_1 <= 0.5
+    s = jnp.ceil(jnp.maximum(jnp.log2(nrm / 0.5), 0.0))
+    s = jnp.minimum(s, max_squarings).astype(jnp.int32)
+    A = A * (2.0 ** (-s)).astype(wt)
+    eye = jnp.eye(m, dtype=wt)
+    E = eye + A / 12.0
+    for k in range(11, 0, -1):
+        E = eye + (A @ E) / k
+    for i in range(max_squarings):
+        E = jnp.where(i < s, E @ E, E)
+    return E[:, 0]
 
 
 @functools.partial(
@@ -109,26 +148,15 @@ def _tdvp_sweeps(h, mps0, t, nsteps, order, krylov_m, sweep_dtype,
                  jnp.float64(0.0), jnp.float64(1.0))
         basis, alphas, betas, amask, _, _, _, _ = jax.lax.fori_loop(
             0, m, body, carry)
-        big = jnp.where(amask > 0, alphas, -jnp.inf).max()
-        small = jnp.where(amask > 0, alphas, jnp.inf).min()
-        pad = big + (big - small) + 4.0 * jnp.abs(betas).max() + 1.0
-        diag = jnp.where(amask > 0, alphas, pad)
-        T = (jnp.diag(diag) + jnp.diag(betas[:-1], 1)
-             + jnp.diag(betas[:-1], -1))
-        evals, evecs = jnp.linalg.eigh(T)
-        # exp(coeff*T) e0, with inactive slots masked out of the result
+        # exp(coeff*T) e0 by GEMM-only scaling-and-squaring (dead slots
+        # carry zero diag/offd and decouple; masked below for safety).
+        # Imaginary time keeps real arithmetic — the path that runs on
+        # TPUs without complex kernels.
         if jnp.issubdtype(st, jnp.complexfloating):
-            phases = jnp.exp(jnp.asarray(coeff, jnp.complex128)
-                             * evals.astype(jnp.complex128))
-            coef = (evecs.astype(jnp.complex128)
-                    @ (phases
-                       * jnp.conj(evecs[0, :]).astype(jnp.complex128)))
+            c = jnp.asarray(coeff, jnp.complex128)
         else:
-            # real coeff (imaginary time): stay in reals — the path that
-            # runs on TPUs without complex kernels
-            phases = jnp.exp(jnp.real(jnp.asarray(coeff,
-                                                  jnp.float64)) * evals)
-            coef = evecs @ (phases * evecs[0, :])
+            c = jnp.real(jnp.asarray(coeff, jnp.float64))
+        coef = _expm_tridiag_e0(alphas, betas, c)
         coef = coef * amask
         out = jnp.einsum("m,m...->...", coef.astype(st), basis)
         return out * n0.astype(st)

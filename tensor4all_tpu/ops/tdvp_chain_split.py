@@ -8,9 +8,9 @@ every kernel is expressed in real XLA ops the MXU supports:
 - pairwise complex contractions = 4 real einsums (2 when one operand is
   real, e.g. the Hamiltonian MPO);
 - norms / Rayleigh coefficients via Re<v,w> = <vr,wr> + <vi,wi>;
-- the Lanczos tridiagonal T is REAL (Hermitian Lanczos), so its eigh
-  runs in reals, and ``exp(c T) e0`` for complex c splits into
-  magnitude * (cos, sin) phases;
+- the Lanczos tridiagonal T is REAL (Hermitian Lanczos), and
+  ``exp(c T) e0`` for complex c runs as GEMM-only scaling-and-squaring
+  in pair arithmetic (_expm_tridiag_pair_e0);
 - the two-site split's orthonormalization uses POLAR form computed
   through the real embedding E(G) = [[Gr, -Gi], [Gi, Gr]] of the Gram
   matrix: E is a *-algebra homomorphism, so f(E(G)) = E(f(G)) for any
@@ -50,6 +50,42 @@ def _rmul_ein(expr, ar, ai, w):
     return (jnp.einsum(expr, ar, w, optimize=True),
             jnp.einsum(expr, ai, w, optimize=True))
 
+
+
+def _expm_tridiag_pair_e0(diag, offd, c_re, c_im, max_squarings: int = 20):
+    """First column of ``exp((c_re + i c_im) T)`` for real symmetric
+    tridiagonal T, in real-pair arithmetic (no complex dtype — this
+    chip raises UNIMPLEMENTED for complex kernels).
+
+    Same GEMM-only masked scaling-and-squaring as
+    ``tdvp_chain._expm_tridiag_e0`` (which replaced the ~555 us/call
+    device eigh), with every complex m x m product expanded into real
+    products of the (E_r, E_i) pair. Returns (coef_r, coef_i).
+    """
+    m = diag.shape[0]
+    dt = diag.dtype
+    b = offd.at[m - 1].set(0.0).astype(dt)
+    T = (jnp.diag(diag) + jnp.diag(b[:-1], 1) + jnp.diag(b[:-1], -1))
+    Ar = jnp.asarray(c_re, dt) * T
+    Ai = jnp.asarray(c_im, dt) * T
+    nrm = jnp.max(jnp.sum(jnp.abs(Ar) + jnp.abs(Ai), axis=0))
+    s = jnp.ceil(jnp.maximum(jnp.log2(nrm / 0.5), 0.0))
+    s = jnp.minimum(s, max_squarings).astype(jnp.int32)
+    scale = (2.0 ** (-s)).astype(dt)
+    Ar, Ai = Ar * scale, Ai * scale
+    eye = jnp.eye(m, dtype=dt)
+    Er, Ei = eye + Ar / 12.0, Ai / 12.0
+    for k in range(11, 0, -1):
+        # E <- I + (A @ E) / k, complex pair product
+        Pr = Ar @ Er - Ai @ Ei
+        Pi = Ar @ Ei + Ai @ Er
+        Er, Ei = eye + Pr / k, Pi / k
+    for i in range(max_squarings):
+        Sr = Er @ Er - Ei @ Ei
+        Si = Er @ Ei + Ei @ Er
+        Er = jnp.where(i < s, Sr, Er)
+        Ei = jnp.where(i < s, Si, Ei)
+    return Er[:, 0], Ei[:, 0]
 
 
 def _cproj_out(qr_, qi_, fr, fi):
@@ -318,20 +354,10 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
                  jnp.float64(0.0), jnp.float64(1.0))
         (basis_r, basis_i, alphas, betas, amask, *_) = jax.lax.fori_loop(
             0, m, body, carry)
-        big = jnp.where(amask > 0, alphas, -jnp.inf).max()
-        small = jnp.where(amask > 0, alphas, jnp.inf).min()
-        pad = big + (big - small) + 4.0 * jnp.abs(betas).max() + 1.0
-        diag = jnp.where(amask > 0, alphas, pad)
-        T = (jnp.diag(diag) + jnp.diag(betas[:-1], 1)
-             + jnp.diag(betas[:-1], -1))
-        evals, evecs = jnp.linalg.eigh(T)
-        # exp((c_re + i c_im) lambda): magnitude * (cos, sin)
-        mag = jnp.exp(c_re * evals)
-        ph_r = mag * jnp.cos(c_im * evals)
-        ph_i = mag * jnp.sin(c_im * evals)
-        e0 = evecs[0, :]
-        coef_r = (evecs @ (ph_r * e0)) * amask
-        coef_i = (evecs @ (ph_i * e0)) * amask
+        # exp((c_re + i c_im) T) e0 by pair-arithmetic scaling-and-
+        # squaring (dead slots carry zero diag/offd and decouple)
+        coef_r, coef_i = _expm_tridiag_pair_e0(alphas, betas, c_re, c_im)
+        coef_r, coef_i = coef_r * amask, coef_i * amask
         cr, ci = coef_r.astype(st), coef_i.astype(st)
         out_r = (jnp.einsum("m,m...->...", cr, basis_r)
                  - jnp.einsum("m,m...->...", ci, basis_i))

@@ -228,3 +228,56 @@ def test_dmrg_run_sharded_program_has_collectives(key):
     txt = lowered.compile().as_text()
     assert ("reduce-scatter" in txt or "all-reduce" in txt)
     assert "all-gather" in txt
+
+
+def test_tridiag_ground_matches_eigh():
+    """Sturm-bisection + inverse-iteration ground pair vs LAPACK eigh,
+    incl. sentinel-padded dead slots and near-degenerate ghost clusters
+    (the fixed-iteration Lanczos regimes the engine produces)."""
+    from tensor4all_tpu.ops.dmrg_chain import _tridiag_ground
+
+    rng = np.random.default_rng(7)
+    for trial in range(40):
+        m = int(rng.integers(4, 21))
+        a = rng.standard_normal(m)
+        b = rng.standard_normal(m)
+        b[m - 1] = 0.0
+        if trial % 3 == 0:  # dead-slot sentinel block
+            k = int(rng.integers(1, m))
+            b[k - 1:] = 0.0
+            a[k:] = a[:k].max() + 2.0 + 4.0 * np.abs(b).max()
+        if trial % 5 == 0:  # ghost near-degeneracy
+            a[:2] = a[0]
+            b[0] = 1e-9
+        T = np.diag(a) + np.diag(b[:-1], 1) + np.diag(b[:-1], -1)
+        ev = np.linalg.eigvalsh(T)
+        lam, v = _tridiag_ground(jnp.asarray(a), jnp.asarray(b))
+        lam, v = float(lam), np.asarray(v)
+        scale = max(abs(ev[0]), abs(ev[-1]), 1.0)
+        assert abs(lam - ev[0]) / scale < 1e-8
+        # residual check is degeneracy-safe (any cluster vector passes)
+        assert np.linalg.norm(T @ v - lam * v) / scale < 1e-8
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-12
+
+
+def test_dmrg_ritz_bisect_matches_eigh_run():
+    """Full N=8 runs with ritz_solver='bisect' vs 'eigh' agree to 1e-12
+    (the reference energy-parity bar)."""
+    from tensor4all_tpu.ops.dmrg_chain import dmrg_run
+
+    g = chain(8)
+    cores = hamiltonian_cores(g, heisenberg)
+    h = pad_mpo([jnp.asarray(c) for c in cores])
+    from tensor4all_tpu.tt.compression import right_orthogonalize
+    from tensor4all_tpu.tt.tensortrain import TensorTrain
+
+    tt = right_orthogonalize(TensorTrain.random(
+        jax.random.PRNGKey(0), [2] * 8, rank=16, dtype=jnp.float64))
+    c0 = list(tt.cores)
+    c0[0] = c0[0] / jnp.sqrt(jnp.sum(c0[0] ** 2))
+    mps0 = pad_mps(c0, 16)
+    e_b, _ = dmrg_run(h, mps0, n_sweeps=4, lanczos_iters=12,
+                      ritz_solver="bisect")
+    e_e, _ = dmrg_run(h, mps0, n_sweeps=4, lanczos_iters=12,
+                      ritz_solver="eigh")
+    assert abs(float(e_b) - float(e_e)) < 1e-12

@@ -97,3 +97,51 @@ def test_tdvp_chain_purely_imaginary_cores():
     ph = np.vdot(expect, got)
     ph = ph / abs(ph)
     assert np.linalg.norm(got / ph - expect) < 5e-4
+
+
+def test_expm_tridiag_e0_matches_eigh():
+    """GEMM-only scaling-and-squaring exp(c T) e0 vs dense expm via
+    eigendecomposition, real and complex coefficients, incl. dead
+    (zero) slots and large ||cT|| (many squarings)."""
+    from tensor4all_tpu.ops.tdvp_chain import _expm_tridiag_e0
+
+    rng = np.random.default_rng(3)
+    for trial in range(30):
+        m = int(rng.integers(3, 17))
+        a = rng.standard_normal(m) * (10.0 if trial % 4 == 0 else 1.0)
+        b = rng.standard_normal(m)
+        b[m - 1] = 0.0
+        if trial % 3 == 0:  # dead slots decouple
+            k = int(rng.integers(1, m))
+            b[k - 1:] = 0.0
+            a[k:] = 0.0
+        T = np.diag(a) + np.diag(b[:-1], 1) + np.diag(b[:-1], -1)
+        for c in (-0.37, -0.05 + 0.0j, -1j * 0.31, 0.2 - 0.7j):
+            ev, U = np.linalg.eigh(T)
+            want = (U @ (np.exp(c * ev) * U[0, :].conj()))
+            got = np.asarray(_expm_tridiag_e0(jnp.asarray(a),
+                                              jnp.asarray(b), c))
+            np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-11)
+
+
+def test_expm_tridiag_pair_e0_matches_complex():
+    """Pair-arithmetic variant (complex-less TPUs) matches the complex
+    reference for real-time and mixed coefficients."""
+    from tensor4all_tpu.ops.tdvp_chain_split import _expm_tridiag_pair_e0
+
+    rng = np.random.default_rng(4)
+    for _ in range(10):
+        m = int(rng.integers(3, 14))
+        a = rng.standard_normal(m) * 3.0
+        b = rng.standard_normal(m)
+        b[m - 1] = 0.0
+        T = np.diag(a) + np.diag(b[:-1], 1) + np.diag(b[:-1], -1)
+        for cr, ci in ((0.0, -0.4), (-0.12, 0.3), (0.05, 0.0)):
+            ev, U = np.linalg.eigh(T)
+            want = U @ (np.exp((cr + 1j * ci) * ev) * U[0, :])
+            gr, gi = _expm_tridiag_pair_e0(jnp.asarray(a), jnp.asarray(b),
+                                           cr, ci)
+            np.testing.assert_allclose(np.asarray(gr), want.real,
+                                       rtol=1e-11, atol=1e-11)
+            np.testing.assert_allclose(np.asarray(gi), want.imag,
+                                       rtol=1e-11, atol=1e-11)
