@@ -69,7 +69,8 @@ def _expm_tridiag_e0(diag: jnp.ndarray, offd: jnp.ndarray, coeff,
 @functools.partial(
     jax.jit,
     static_argnames=("nsteps", "order", "krylov_m", "sweep_dtype",
-                     "orthogonalize"),
+                     "orthogonalize", "precision", "reortho",
+                     "gemm2_apply"),
 )
 def tdvp_run(
     h: jnp.ndarray,
@@ -80,6 +81,9 @@ def tdvp_run(
     krylov_m: int = 12,
     sweep_dtype=None,
     orthogonalize: bool = False,
+    precision: str = "highest",
+    reortho: bool = True,
+    gemm2_apply: bool = False,
 ) -> jnp.ndarray:
     """Evolve ``exp(t*H)|mps0>``; returns the padded MPS.
 
@@ -89,16 +93,31 @@ def tdvp_run(
         ``orthogonalize=True`` (which runs the QR gauge sweep inside the
         program — keeps the whole call one device dispatch).
       t: total evolution (e.g. ``-1j*T`` for real time).
+      precision: matmul precision of the sweeps ('highest' = 6-pass f32
+        default; 'high' = 3 passes, ~1e-7-grade state per step — well
+        inside the trajectory contract when the projector-splitting
+        error dominates, and ~1.4x faster applies on TPU).
+      reortho: full per-iteration reorthogonalization of the Krylov
+        basis (default True). False keeps the plain 3-term recurrence —
+        for the SHORT-time local propagators here the Krylov space only
+        needs to capture exp(c H_eff)v to step tolerance, and lost
+        orthogonality perturbs the projected T by O(eps*|H|) (Paige),
+        i.e. below the splitting error for production dt.
+      gemm2_apply: contract the local H as two large GEMMs per Krylov
+        iteration against per-bond precontracted L*Wl / Wr*R operands
+        (2x FLOPs, no small-K MXU passes — faster for chi >= 256, as in
+        ops.dmrg_chain.dmrg_run).
     """
     if order not in (1, 2):
         raise ValueError("order must be 1 or 2")
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision(precision):
         return _tdvp_sweeps(h, mps0, t, nsteps, order, krylov_m,
-                            sweep_dtype, orthogonalize)
+                            sweep_dtype, orthogonalize, reortho,
+                            gemm2_apply)
 
 
 def _tdvp_sweeps(h, mps0, t, nsteps, order, krylov_m, sweep_dtype,
-                 orthogonalize=False):
+                 orthogonalize=False, reortho=True, gemm2_apply=False):
     N, chi, d, _ = mps0.shape
     w = h.shape[1]
     # real sweep dtypes are allowed for IMAGINARY-time evolution (real t)
@@ -129,9 +148,10 @@ def _tdvp_sweeps(h, mps0, t, nsteps, order, krylov_m, sweep_dtype,
             hv = apply_h(v)
             a = jnp.real(jnp.sum(jnp.conj(v) * hv))
             hv = hv - a.astype(st) * v - beta_prev.astype(st) * v_prev
-            ov = jnp.einsum("m...,...->m", jnp.conj(basis), hv)
-            mask = (jnp.arange(m) <= i).astype(st)
-            hv = hv - jnp.einsum("m,m...->...", ov * mask, basis)
+            if reortho:
+                ov = jnp.einsum("m...,...->m", jnp.conj(basis), hv)
+                mask = (jnp.arange(m) <= i).astype(st)
+                hv = hv - jnp.einsum("m,m...->...", ov * mask, basis)
             b = norm_of(hv)
             v_next = hv / jnp.maximum(b, 1e-300).astype(st)
             alphas = alphas.at[i].set(
@@ -161,17 +181,42 @@ def _tdvp_sweeps(h, mps0, t, nsteps, order, krylov_m, sweep_dtype,
         out = jnp.einsum("m,m...->...", coef.astype(st), basis)
         return out * n0.astype(st)
 
-    def apply_h2(L, Wl, Wr, R):
-        def f(th):
-            return jnp.einsum("alx,lpim,mqjr,aijb,brB->xpqB",
-                              L, Wl, Wr, th, R, optimize=True)
-        return f
+    if gemm2_apply:
+        # Precontract the environments with their MPO cores ONCE per
+        # local propagator (amortized over the m Krylov iterations) so
+        # each iteration is two large GEMMs with every M/N/K >= chi*d —
+        # no (w d)-sized contraction pass ever touches the MXU (which
+        # pads small K/N up to 128 lanes). Same trade as
+        # ops.dmrg_chain.dmrg_run(gemm2_apply=True): 2x the minimal-path
+        # FLOPs, measurably faster on TPU for chi >= 256.
+        def apply_h2(L, Wl, Wr, R):
+            LW = jnp.einsum("alx,lpim->aixpm", L, Wl)
+            RW = jnp.einsum("mqjr,brB->mjbqB", Wr, R)
 
-    def apply_h1(L, W, R):
-        def f(A):
-            return jnp.einsum("alx,lpir,aib,brB->xpB",
-                              L, W, A, R, optimize=True)
-        return f
+            def f(th):
+                t1 = jnp.einsum("aixpm,aijb->xpmjb", LW, th)
+                return jnp.einsum("xpmjb,mjbqB->xpqB", t1, RW)
+            return f
+
+        def apply_h1(L, W, R):
+            LW = jnp.einsum("alx,lpir->aixpr", L, W)
+
+            def f(A):
+                t1 = jnp.einsum("aixpr,aib->xprb", LW, A)
+                return jnp.einsum("xprb,brB->xpB", t1, R)
+            return f
+    else:
+        def apply_h2(L, Wl, Wr, R):
+            def f(th):
+                return jnp.einsum("alx,lpim,mqjr,aijb,brB->xpqB",
+                                  L, Wl, Wr, th, R, optimize=True)
+            return f
+
+        def apply_h1(L, W, R):
+            def f(A):
+                return jnp.einsum("alx,lpir,aib,brB->xpB",
+                                  L, W, A, R, optimize=True)
+            return f
 
     def split_theta(theta, Q0, toward_right):
         mat = theta.reshape(chi * d, d * chi)
@@ -314,10 +359,13 @@ def _tdvp_sweeps(h, mps0, t, nsteps, order, krylov_m, sweep_dtype,
 
 def tdvp_sweep_flops(N: int, chi: int, d: int, w: int, krylov_m: int,
                      nsteps: int, order: int = 2,
-                     complex_dtype: bool = False) -> float:
+                     complex_dtype: bool = False,
+                     reortho: bool = True,
+                     gemm2_apply: bool = False) -> float:
     """Analytic FLOP count of ``tdvp_run``'s sweep loop (same cost model
     as ops.dmrg_chain.dmrg_sweep_flops; complex arithmetic counts 4x
-    the real-valued multiplies)."""
+    the real-valued multiplies). The knob parameters MUST mirror the
+    tdvp_run call being measured (ADVICE r2)."""
     import numpy as np
     import opt_einsum as oe
 
@@ -327,24 +375,36 @@ def tdvp_sweep_flops(N: int, chi: int, d: int, w: int, krylov_m: int,
         return float(info.opt_cost)
 
     m = krylov_m
-    apply2_f = ec("alx,lpim,mqjr,aijb,brB->xpqB",
-                  [(chi, w, chi), (w, d, d, w), (w, d, d, w),
-                   (chi, d, d, chi), (chi, w, chi)])
-    apply1_f = ec("alx,lpir,aib,brB->xpB",
-                  [(chi, w, chi), (w, d, d, w), (chi, d, chi),
-                   (chi, w, chi)])
+    if gemm2_apply:
+        apply2_f = (2.0 * (chi * d * w) * (chi * d) * (d * chi)
+                    + 2.0 * (chi * d) * (w * d * chi) * (d * chi))
+        apply1_f = (2.0 * (chi * d * w) * chi * (d * chi)
+                    + 2.0 * (chi * d) * (chi * w) * chi)
+        pre2_f = (2.0 * (chi * d) * w * (chi * d * w)
+                  + 2.0 * (w * d * chi) * w * (d * chi))
+        pre1_f = 2.0 * (chi * d * w) * w * (d * chi)
+    else:
+        apply2_f = ec("alx,lpim,mqjr,aijb,brB->xpqB",
+                      [(chi, w, chi), (w, d, d, w), (w, d, d, w),
+                       (chi, d, d, chi), (chi, w, chi)])
+        apply1_f = ec("alx,lpir,aib,brB->xpB",
+                      [(chi, w, chi), (w, d, d, w), (chi, d, chi),
+                       (chi, w, chi)])
+        pre2_f = pre1_f = 0.0
     env_f = ec("alx,aib,loir,xoB->brB",
                [(chi, w, chi), (chi, d, chi), (w, d, d, w), (chi, d, chi)])
     td2 = chi * d * d * chi
     td1 = chi * d * chi
 
-    def lan(apply_f, td):
-        return m * (apply_f + 2 * td + 4 * td + 4 * m * td + 2 * td)
+    def lan(apply_f, td, pre_f):
+        ro = 4 * m * td if reortho else 0
+        return pre_f + m * (apply_f + 2 * td + 4 * td + ro + 2 * td)
 
     theta0_f = 2.0 * chi ** 3 * d ** 2
     qr_f = 4 * 2.0 * (chi * d) * chi ** 2
     mm_f = 4 * 2.0 * (chi * d) * (d * chi) * chi
-    per_bond = (theta0_f + lan(apply2_f, td2) + lan(apply1_f, td1)
+    per_bond = (theta0_f + lan(apply2_f, td2, pre2_f)
+                + lan(apply1_f, td1, pre1_f)
                 + qr_f + mm_f + env_f)
     half_sweep = (N - 1) * per_bond + (N - 1) * env_f  # + env scan
     per_step = (2 if order == 2 else 1) * half_sweep

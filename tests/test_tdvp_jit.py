@@ -145,3 +145,24 @@ def test_expm_tridiag_pair_e0_matches_complex():
                                        rtol=1e-11, atol=1e-11)
             np.testing.assert_allclose(np.asarray(gi), want.imag,
                                        rtol=1e-11, atol=1e-11)
+
+
+def test_tdvp_fast_knobs_match_default():
+    """gemm2_apply + reortho=False + precision='high' keep the
+    trajectory within the step-error contract (the TPU production
+    knobs; the FLOP model mirrors them)."""
+    from tensor4all_tpu.ops.dmrg_chain import pad_mpo, pad_mps
+    from tensor4all_tpu.ops.tdvp_chain import tdvp_run
+
+    N, chi = 8, 32
+    h_cores, cores0, H, psi0 = _setup(N, chi)
+    T = 0.08
+    h = pad_mpo([jnp.asarray(c, jnp.complex128) for c in h_cores])
+    mps0 = pad_mps([jnp.asarray(c, jnp.complex128) for c in cores0], chi)
+    mps = tdvp_run(h, mps0, -1j * T, nsteps=4, order=2, krylov_m=12,
+                   orthogonalize=True, precision="high", reortho=False,
+                   gemm2_apply=True)
+    got = _densify(mps, N)
+    expect = expm(-1j * T * H) @ psi0
+    assert np.linalg.norm(got - expect) < 5e-5
+    assert abs(np.linalg.norm(got) - 1.0) < 1e-8
