@@ -100,14 +100,19 @@ def _tdvp_tpu_detail():
     h_d, mps_d = jax.device_put(h, dev), jax.device_put(mps0, dev)
 
     def body():
+        # r3 speed knobs (436c2f0 + sweep-grade expm): 3-pass applies,
+        # 3-term-recurrence Krylov, two-GEMM apply — the production TDVP
+        # schedule; FLOP model mirrors the knobs (ADVICE r2)
         out = tdvp_run(h_d, mps_d, -0.05, nsteps=nsteps, order=2,
                        krylov_m=m, sweep_dtype=jnp.float32,
-                       orthogonalize=True)
+                       orthogonalize=True, precision="high",
+                       reortho=False, gemm2_apply=True)
         return float(jnp.sum(jnp.abs(out[0])))  # host sync
 
     body()  # compile
     t = _median_time(body, warmup=0, reps=3)
-    fl = tdvp_sweep_flops(N, chi, d, h.shape[1], m, nsteps, order=2)
+    fl = tdvp_sweep_flops(N, chi, d, h.shape[1], m, nsteps, order=2,
+                          reortho=False, gemm2_apply=True)
     tflops = fl / t / 1e12
     out = {
         "tdvp_N32_chi256_4steps_ms": round(t * 1e3, 1),

@@ -110,11 +110,22 @@ def run(median_time):
         for chip, sweeps, lanc in ((256, 6, 16), (512, 4, 16)):
             try:
                 Np = 32
-                # coarse/fine schedule: all but the last two sweeps run
-                # with single-bf16-pass matmuls + one subspace iteration
-                # per split; the fine sweeps restore the f32-grade state
-                # (energy identical to the all-fine run, measured)
-                coarse = max(0, sweeps - 2)
+                # r3 production schedule ("3c-b32", dmrg_speed_grid3):
+                # all but the LAST sweep run coarse (single-bf16-pass
+                # matmuls, m=8 3-term-recurrence Lanczos, bf16 basis,
+                # Newton-Schulz splits at one subspace iteration); the
+                # final fine sweep (3-pass f32 applies, m=16, QR splits)
+                # restores the f32-grade state — e_per_site matched the
+                # all-fine run to ~1e-7/site at chi=512 and the energy
+                # is an f64 Rayleigh quotient regardless. Ritz pairs by
+                # native-f32 Sturm bisection (f64 elementwise is
+                # emulated on TPU).
+                knobs = dict(coarse_sweeps=sweeps - 1,
+                             coarse_lanczos_iters=8, coarse_bf16=True,
+                             coarse_reortho=False, coarse_ns_split=True,
+                             gemm2_apply=True, fine_reortho=False,
+                             fine_precision="high",
+                             ritz_solver="bisect_f32")
                 _, _, hp, mpsp, _ = _setup(Np, chip)
                 hp = jax.device_put(hp, device)
                 mpsp = jax.device_put(mpsp, device)
@@ -122,14 +133,19 @@ def run(median_time):
                 def big():
                     e, _ = dmrg_run(hp, mpsp, n_sweeps=sweeps,
                                     lanczos_iters=lanc,
-                                    sweep_dtype=sweep_dtype,
-                                    coarse_sweeps=coarse)
+                                    sweep_dtype=sweep_dtype, **knobs)
                     return float(e)
 
                 ep = big()  # compile
                 tp = median_time(big, warmup=0, reps=3)
                 fl = dmrg_sweep_flops(Np, chip, 2, hp.shape[1],
-                                      lanc, sweeps, coarse_sweeps=coarse)
+                                      lanc, sweeps,
+                                      coarse_sweeps=sweeps - 1,
+                                      coarse_lanczos_iters=8,
+                                      coarse_reortho=False,
+                                      coarse_ns_split=True,
+                                      fine_reortho=False,
+                                      gemm2_apply=True)
                 tflops = fl / tp / 1e12
                 key = f"dmrg_N32_chi{chip}"
                 prod.update({

@@ -69,7 +69,7 @@ def pad_mpo(cores: List[jnp.ndarray]) -> jnp.ndarray:
 
 
 def _tridiag_ground(diag: jnp.ndarray, offd: jnp.ndarray,
-                    n_grid: int = 64, n_rounds: int = 5,
+                    n_grid: int = 64, n_rounds: Optional[int] = None,
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Ground eigenpair of a symmetric tridiagonal matrix, TPU-fast.
 
@@ -105,6 +105,11 @@ def _tridiag_ground(diag: jnp.ndarray, offd: jnp.ndarray,
     """
     m = diag.shape[0]
     dt = diag.dtype
+    if n_rounds is None:
+        # bracket shrink is (n_grid+1)^rounds; 4 rounds already exceed
+        # f32 resolution (65^4 ~ 1.8e7 > 1/eps_f32 relevant range), the
+        # 5th only pays off in f64
+        n_rounds = 5 if dt == jnp.float64 else 4
     b = offd.at[m - 1].set(0.0)
     b2 = b * b
     r = jnp.abs(b) + jnp.abs(jnp.concatenate([jnp.zeros((1,), dt),
@@ -285,10 +290,14 @@ def dmrg_run(
         costs ~1e-9 in the final energy at N=8 — leave False when the
         reference's 1e-12 energy-parity contract matters. Coarse sweeps
         always use NS inner steps (self-correcting).
-      ritz_solver: 'bisect' (default) solves the m x m tridiagonal Ritz
-        problem by Sturm bisection + inverse iteration (_tridiag_ground;
-        ~555 us/update cheaper than the TPU's iterative eigh, identical
-        ground pair to ~1e-13); 'eigh' keeps the LAPACK-style kernel.
+      ritz_solver: solver for the m x m tridiagonal Ritz problem, once
+        per two-site update inside the sweep scan. 'bisect' (default):
+        Sturm bisection + inverse iteration (_tridiag_ground) in f64,
+        ground pair identical to eigh to ~1e-13. 'bisect_f32': the same
+        in native f32 (f64 elementwise is emulated on TPU; coefficient
+        error ~eps_f32 matches the f32 basis grade — the final energy is
+        an f64 Rayleigh quotient either way). 'eigh': the LAPACK-style
+        iterative kernel (~555 us/update on a v5e).
     Returns (energy, optimized padded MPS in sweep_dtype).
     """
     coarse_sweeps = min(coarse_sweeps, n_sweeps)
@@ -442,6 +451,16 @@ def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype,
         diag = jnp.where(amask > 0, alphas, pad)
         if ritz == "bisect":
             e0, coef = _tridiag_ground(diag, betas)
+        elif ritz == "bisect_f32":
+            # f64 elementwise is EMULATED on TPU and the bisect unrolls
+            # ~hundreds of tiny scalar/vector ops: running them native
+            # f32 halves the per-op cost. Ritz-coefficient error ~eps_f32
+            # enters the state linearly (same grade as the f32 basis
+            # itself); the reported e0 is refreshed by the final f64
+            # Rayleigh quotient regardless.
+            e0, coef = _tridiag_ground(diag.astype(jnp.float32),
+                                       betas.astype(jnp.float32))
+            e0 = e0.astype(jnp.float64)
         else:
             T = (jnp.diag(diag) + jnp.diag(betas[:-1], 1)
                  + jnp.diag(betas[:-1], -1))

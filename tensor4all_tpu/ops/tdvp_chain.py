@@ -172,11 +172,18 @@ def _tdvp_sweeps(h, mps0, t, nsteps, order, krylov_m, sweep_dtype,
         # carry zero diag/offd and decouple; masked below for safety).
         # Imaginary time keeps real arithmetic — the path that runs on
         # TPUs without complex kernels.
+        # the small solve runs at the SWEEP grade (f32 when sweeping
+        # f32): f64 matmuls are emulated on TPU, so the 12-term Horner +
+        # squarings chain of m x m products was ~100x off its MXU cost
+        # in f64, once per bond per propagator. Coefficient error
+        # ~eps(real_st) enters the state linearly — the same grade as
+        # the Krylov basis itself. f64 sweeps keep the f64 solve.
         if jnp.issubdtype(st, jnp.complexfloating):
-            c = jnp.asarray(coeff, jnp.complex128)
+            c = jnp.asarray(coeff, jnp.result_type(real_st, jnp.complex64))
         else:
-            c = jnp.real(jnp.asarray(coeff, jnp.float64))
-        coef = _expm_tridiag_e0(alphas, betas, c)
+            c = jnp.real(jnp.asarray(coeff, real_st))
+        coef = _expm_tridiag_e0(alphas.astype(real_st),
+                                betas.astype(real_st), c)
         coef = coef * amask
         out = jnp.einsum("m,m...->...", coef.astype(st), basis)
         return out * n0.astype(st)

@@ -355,8 +355,13 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
         (basis_r, basis_i, alphas, betas, amask, *_) = jax.lax.fori_loop(
             0, m, body, carry)
         # exp((c_re + i c_im) T) e0 by pair-arithmetic scaling-and-
-        # squaring (dead slots carry zero diag/offd and decouple)
-        coef_r, coef_i = _expm_tridiag_pair_e0(alphas, betas, c_re, c_im)
+        # squaring (dead slots carry zero diag/offd and decouple). The
+        # solve runs at the sweep grade: f64 matmuls are emulated on TPU
+        # (the Horner+squaring chain was ~100x off its MXU cost in f64),
+        # and eps(st)-grade coefficients match the st-grade basis.
+        coef_r, coef_i = _expm_tridiag_pair_e0(
+            alphas.astype(st), betas.astype(st),
+            jnp.asarray(c_re, st), jnp.asarray(c_im, st))
         coef_r, coef_i = coef_r * amask, coef_i * amask
         cr, ci = coef_r.astype(st), coef_i.astype(st)
         out_r = (jnp.einsum("m,m...->...", cr, basis_r)
