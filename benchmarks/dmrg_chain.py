@@ -120,12 +120,17 @@ def run(median_time):
                 # is an f64 Rayleigh quotient regardless. Ritz pairs by
                 # native-f32 Sturm bisection (f64 elementwise is
                 # emulated on TPU).
+                # energy_precision='mixed': the final Rayleigh quotient
+                # runs at f32-'highest' grade (~1e-6 relative; the f64
+                # scan is 525 ms of emulated GEMMs at chi=512 — 38% of
+                # the run — while the optimized STATE is identical)
                 knobs = dict(coarse_sweeps=sweeps - 1,
                              coarse_lanczos_iters=8, coarse_bf16=True,
                              coarse_reortho=False, coarse_ns_split=True,
                              gemm2_apply=True, fine_reortho=False,
                              fine_precision="high",
-                             ritz_solver="bisect_f32")
+                             ritz_solver="bisect_f32",
+                             energy_precision="mixed")
                 _, _, hp, mpsp, _ = _setup(Np, chip)
                 hp = jax.device_put(hp, device)
                 mpsp = jax.device_put(mpsp, device)

@@ -217,7 +217,8 @@ def _rayleigh_chain(h: jnp.ndarray, mps: jnp.ndarray) -> jnp.ndarray:
                               "coarse_bf16", "coarse_reortho",
                               "coarse_ns_split", "fine_precision",
                               "fine_reortho", "gemm2_apply",
-                              "fine_ns_inner", "ritz_solver")
+                              "fine_ns_inner", "ritz_solver",
+                              "energy_precision")
 )
 def dmrg_run(
     h: jnp.ndarray,
@@ -235,6 +236,7 @@ def dmrg_run(
     gemm2_apply: bool = False,
     fine_ns_inner: bool = False,
     ritz_solver: str = "bisect",
+    energy_precision: str = "f64",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run `n_sweeps` full (left-right-left) two-site DMRG sweeps.
 
@@ -298,6 +300,18 @@ def dmrg_run(
         error ~eps_f32 matches the f32 basis grade — the final energy is
         an f64 Rayleigh quotient either way). 'eigh': the LAPACK-style
         iterative kernel (~555 us/update on a v5e).
+      energy_precision: dtype of the FINAL global Rayleigh quotient.
+        'f64' (default): emulated-f64 einsums — evaluation error ~eps_f64
+        so the reported energy carries the full O(eps_sweep^2) variational
+        grade (the 1e-12 parity contract at small sizes; cheap there).
+        'mixed': the transfer scan runs in f32 with 6-pass 'highest'
+        matmuls and f64 final scalars — evaluation error ~sqrt(N K) eps_f32
+        ~1e-6 RELATIVE, which DOMINATES the eps^2 state term. At N=32
+        chi=512 the f64 scan costs 525 ms of emulated-f64 GEMMs (measured,
+        benchmarks/probe_rayleigh.py) vs 51 ms mixed — 38% of the whole
+        4-sweep production run — so 'mixed' is the production setting
+        wherever ~1e-6-relative energies suffice (the state itself is
+        identical; re-evaluate with 'f64' offline when needed).
     Returns (energy, optimized padded MPS in sweep_dtype).
     """
     coarse_sweeps = min(coarse_sweeps, n_sweeps)
@@ -324,14 +338,15 @@ def dmrg_run(
                             reortho=fine_reortho,
                             ns_inner=fine_ns_inner,
                             gemm2_apply=gemm2_apply,
-                            ritz=ritz_solver)
+                            ritz=ritz_solver,
+                            energy_precision=energy_precision)
 
 
 def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype,
                  split_iters: int = 2, store_bf16: bool = False,
                  reortho: bool = True, ns_split: bool = False,
                  ns_inner: bool = False, gemm2_apply: bool = False,
-                 ritz: str = "eigh"):
+                 ritz: str = "eigh", energy_precision: str = "f64"):
     N, chi, d, _ = mps0.shape
     w = h.shape[1]
     hi_dtype = mps0.dtype
@@ -643,8 +658,18 @@ def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype,
         0, n_sweeps, one_sweep, (mps, jnp.float64(0.0))
     )
     # Full-precision global Rayleigh quotient: a sweep-dtype state error
-    # eps costs only O(eps^2) here (variational bound).
-    energy = _rayleigh_chain(h.astype(hi_dtype), mps.astype(hi_dtype))
+    # eps costs only O(eps^2) here (variational bound). Under 'mixed' the
+    # quotient itself is evaluated at f32-'highest' grade (~1e-6 relative,
+    # see dmrg_run docstring) — 51 ms vs 525 ms of emulated f64 at N=32
+    # chi=512.
+    if energy_precision == "mixed":
+        lo = (jnp.complex64
+              if jnp.issubdtype(hi_dtype, jnp.complexfloating)
+              else jnp.float32)
+        with jax.default_matmul_precision("highest"):
+            energy = _rayleigh_chain(h.astype(lo), mps.astype(lo))
+    else:
+        energy = _rayleigh_chain(h.astype(hi_dtype), mps.astype(hi_dtype))
     return energy.astype(jnp.float64), mps
 
 

@@ -281,3 +281,28 @@ def test_dmrg_ritz_bisect_matches_eigh_run():
     e_e, _ = dmrg_run(h, mps0, n_sweeps=4, lanczos_iters=12,
                       ritz_solver="eigh")
     assert abs(float(e_b) - float(e_e)) < 1e-12
+
+
+def test_dmrg_energy_precision_mixed():
+    """energy_precision='mixed' evaluates the final Rayleigh quotient in
+    f32-'highest' — same optimized state, energy within ~1e-6 relative of
+    the f64 evaluation (the documented evaluation-error grade)."""
+    from tensor4all_tpu.ops.dmrg_chain import dmrg_run
+
+    g = chain(8)
+    cores = hamiltonian_cores(g, heisenberg)
+    h = pad_mpo([jnp.asarray(c) for c in cores])
+    from tensor4all_tpu.tt.compression import right_orthogonalize
+    from tensor4all_tpu.tt.tensortrain import TensorTrain
+
+    tt = right_orthogonalize(TensorTrain.random(
+        jax.random.PRNGKey(0), [2] * 8, rank=16, dtype=jnp.float64))
+    c0 = list(tt.cores)
+    c0[0] = c0[0] / jnp.sqrt(jnp.sum(c0[0] ** 2))
+    mps0 = pad_mps(c0, 16)
+    e_f64, mps_a = dmrg_run(h, mps0, n_sweeps=4, lanczos_iters=12)
+    e_mix, mps_b = dmrg_run(h, mps0, n_sweeps=4, lanczos_iters=12,
+                            energy_precision="mixed")
+    # identical state (the knob only changes the energy EVALUATION)
+    np.testing.assert_array_equal(np.asarray(mps_a), np.asarray(mps_b))
+    assert abs(float(e_mix) - float(e_f64)) < 1e-5 * abs(float(e_f64))
