@@ -107,7 +107,8 @@ def run(median_time):
         from benchmarks.mxu import PEAK_BF16_TFLOPS
         from tensor4all_tpu.ops.dmrg_chain import dmrg_sweep_flops
 
-        for chip, sweeps, lanc in ((256, 6, 16), (512, 4, 16)):
+        for chip, sweeps, lanc in ((256, 6, 16), (512, 4, 16),
+                                   (1024, 3, 16)):
             try:
                 Np = 32
                 # r3 production schedule ("3c-b32", dmrg_speed_grid3):

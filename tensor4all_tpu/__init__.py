@@ -30,6 +30,23 @@ import jax
 if not os.environ.get("T4A_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache (T4A_COMPILE_CACHE=<dir>): the heavy
+# one-program engines compile in 30-130 s per (shape, knob) signature on
+# TPU (e.g. the blocked-rook device rrLU, the multi-sweep DMRG/TDVP
+# programs); the disk cache makes every signature a one-time cost across
+# processes/sessions. Opt-in because the default tempdir policy varies
+# across deployments (the reference's analog is the process-global
+# GraphCompiler plan cache, context.rs:73-85 — persistence is the
+# TPU-native upgrade).
+_cc = os.environ.get("T4A_COMPILE_CACHE")
+if _cc:
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # noqa: BLE001 — older jax: knob absent
+        pass
+del _cc
+
 # Some TPU plugins ignore the JAX_PLATFORMS env var: they pre-set the
 # jax_platforms *config* at import time (e.g. "axon,cpu"), which shadows
 # an explicit `JAX_PLATFORMS=cpu` env pin. Honor the env var here iff it
