@@ -36,19 +36,19 @@ from .dmrg_chain import pad_mpo, pad_mps  # noqa: F401 (re-export)
 
 
 
-def _cmul_ein(expr, ar, ai, br, bi):
+def _cmul_ein(expr, ar, ai, br, bi, precision=None):
     """Complex pairwise einsum (4 real einsums)."""
-    rr = jnp.einsum(expr, ar, br, optimize=True)
-    ii = jnp.einsum(expr, ai, bi, optimize=True)
-    ri = jnp.einsum(expr, ar, bi, optimize=True)
-    ir = jnp.einsum(expr, ai, br, optimize=True)
+    rr = jnp.einsum(expr, ar, br, optimize=True, precision=precision)
+    ii = jnp.einsum(expr, ai, bi, optimize=True, precision=precision)
+    ri = jnp.einsum(expr, ar, bi, optimize=True, precision=precision)
+    ir = jnp.einsum(expr, ai, br, optimize=True, precision=precision)
     return rr - ii, ri + ir
 
 
-def _rmul_ein(expr, ar, ai, w):
+def _rmul_ein(expr, ar, ai, w, precision=None):
     """Einsum of a complex pair against a REAL operand (2 real einsums)."""
-    return (jnp.einsum(expr, ar, w, optimize=True),
-            jnp.einsum(expr, ai, w, optimize=True))
+    return (jnp.einsum(expr, ar, w, optimize=True, precision=precision),
+            jnp.einsum(expr, ai, w, optimize=True, precision=precision))
 
 
 
@@ -238,7 +238,9 @@ def _corth_qr(yr, yi, seed: int = 11, complete: bool = True):
 @functools.partial(
     jax.jit,
     static_argnames=("nsteps", "order", "krylov_m", "orthogonalize",
-                     "split_iters", "complete_basis"),
+                     "split_iters", "complete_basis", "precision",
+                     "reortho", "bf16_tail", "krylov_m1",
+                     "expm_max_squarings"),
 )
 def tdvp_run_split(
     h: jnp.ndarray,
@@ -252,6 +254,11 @@ def tdvp_run_split(
     orthogonalize: bool = False,
     split_iters: int = 2,
     complete_basis: bool = True,
+    precision: str = "highest",
+    reortho: bool = True,
+    bf16_tail: int = 0,
+    krylov_m1: int | None = None,
+    expm_max_squarings: int = 20,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Evolve ``exp((t_re + i t_im) * H)|mps0>`` with a REAL padded MPO
     ``h`` and a complex state given as the (real, imag) pair; returns the
@@ -261,15 +268,18 @@ def tdvp_run_split(
     """
     if order not in (1, 2):
         raise ValueError("order must be 1 or 2")
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision(precision):
         return _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps,
                                   order, krylov_m, orthogonalize,
-                                  split_iters, complete_basis)
+                                  split_iters, complete_basis, reortho,
+                                  bf16_tail, krylov_m1,
+                                  expm_max_squarings)
 
 
 def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
                        krylov_m, orthogonalize, split_iters=2,
-                       complete_basis=True):
+                       complete_basis=True, reortho=True, bf16_tail=0,
+                       krylov_m1=None, expm_max_squarings=20):
     """``complete_basis=False`` skips dead-slot junk completion in every
     orthonormalization — exact for states that keep FULL padded rank
     throughout (e.g. full-rank random inits in benchmarks); states whose
@@ -280,6 +290,12 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
     hs = h.astype(st)
     mr, mi = mps0_r.astype(st), mps0_i.astype(st)
     m = krylov_m
+    m1 = krylov_m if krylov_m1 is None else krylov_m1
+    # bf16 tail (see ops.tdvp_chain.tdvp_run docstring): the factorial
+    # decay of the propagator coefficients makes the TAIL Krylov applies
+    # bf16-tolerant; f32 sweeps only.
+    tail = bf16_tail if (bf16_tail and st == jnp.float32) else 0
+    _P1 = jax.lax.Precision.DEFAULT  # single bf16 MXU pass
 
     def norm2_of(ar, ai):
         return (jnp.sum(ar * ar) + jnp.sum(ai * ai)).astype(jnp.float64)
@@ -293,7 +309,24 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
             t3r, t3i = _rmul_ein("xpmjb,mqjr->xpqrb", t2r, t2i, Wr)
             return _cmul_ein("xpqrb,brB->xpqB", t3r, t3i, Rr, Ri)
 
-        return f
+        if not tail:
+            return f, None
+        bf = jnp.bfloat16
+        Lrc, Lic, Wlc = Lr.astype(bf), Li.astype(bf), Wl.astype(bf)
+        Wrc, Rrc, Ric = Wr.astype(bf), Rr.astype(bf), Ri.astype(bf)
+
+        def f_lo(thr, thi):
+            thr_c, thi_c = thr.astype(bf), thi.astype(bf)
+            t1r, t1i = _cmul_ein("alx,aijb->lxijb", Lrc, Lic,
+                                 thr_c, thi_c, precision=_P1)
+            t2r, t2i = _rmul_ein("lxijb,lpim->xpmjb", t1r, t1i, Wlc,
+                                 precision=_P1)
+            t3r, t3i = _rmul_ein("xpmjb,mqjr->xpqrb", t2r, t2i, Wrc,
+                                 precision=_P1)
+            outr, outi = _cmul_ein("xpqrb,brB->xpqB", t3r, t3i,
+                                   Rrc, Ric, precision=_P1)
+            return outr.astype(st), outi.astype(st)
+        return f, f_lo
 
     def apply_h1(Lr, Li, W, Rr, Ri):
         def f(ar, ai):
@@ -301,11 +334,27 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
             t2r, t2i = _rmul_ein("lxib,lpir->xprb", t1r, t1i, W)
             return _cmul_ein("xprb,brB->xpB", t2r, t2i, Rr, Ri)
 
-        return f
+        if not tail:
+            return f, None
+        bf = jnp.bfloat16
+        Lrc, Lic, Wc = Lr.astype(bf), Li.astype(bf), W.astype(bf)
+        Rrc, Ric = Rr.astype(bf), Ri.astype(bf)
 
-    def lanczos_expm(apply_h, v0r, v0i, c_re, c_im, shape):
+        def f_lo(ar, ai):
+            ar_c, ai_c = ar.astype(bf), ai.astype(bf)
+            t1r, t1i = _cmul_ein("alx,aib->lxib", Lrc, Lic, ar_c, ai_c,
+                                 precision=_P1)
+            t2r, t2i = _rmul_ein("lxib,lpir->xprb", t1r, t1i, Wc,
+                                 precision=_P1)
+            outr, outi = _cmul_ein("xprb,brB->xpB", t2r, t2i, Rrc, Ric,
+                                   precision=_P1)
+            return outr.astype(st), outi.astype(st)
+        return f, f_lo
+
+    def lanczos_expm(apply_pair, v0r, v0i, c_re, c_im, shape, m):
         """exp((c_re + i c_im) H) v0 by fixed-m Hermitian Lanczos in
         pair arithmetic (T stays real)."""
+        apply_h, apply_lo = apply_pair
         n0 = jnp.sqrt(norm2_of(v0r, v0i))
         inv = (1.0 / jnp.maximum(n0, jnp.finfo(jnp.float64).tiny)).astype(st)
         vr, vi = v0r * inv, v0i * inv
@@ -321,22 +370,31 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
             al = alive.astype(st)
             basis_r = basis_r.at[i].set(vr * al)
             basis_i = basis_i.at[i].set(vi * al)
-            hvr, hvi = apply_h(vr, vi)
+            if apply_lo is None:
+                hvr, hvi = apply_h(vr, vi)
+            else:
+                hvr, hvi = jax.lax.cond(
+                    i < tail, lambda p: apply_h(*p),
+                    lambda p: apply_lo(*p), (vr, vi))
             a = (jnp.sum(vr * hvr) + jnp.sum(vi * hvi))  # Re<v,Hv>
             bp = beta_prev.astype(st)
             hvr = hvr - a * vr - bp * pvr
             hvi = hvi - a * vi - bp * pvi
-            # full reorthogonalization: ov_m = <basis_m, hv> (complex)
-            ovr = (jnp.einsum("m...,...->m", basis_r, hvr)
-                   + jnp.einsum("m...,...->m", basis_i, hvi))
-            ovi = (jnp.einsum("m...,...->m", basis_r, hvi)
-                   - jnp.einsum("m...,...->m", basis_i, hvr))
-            mask = (jnp.arange(m) <= i).astype(st)
-            ovr, ovi = ovr * mask, ovi * mask
-            hvr = hvr - (jnp.einsum("m,m...->...", ovr, basis_r)
-                         - jnp.einsum("m,m...->...", ovi, basis_i))
-            hvi = hvi - (jnp.einsum("m,m...->...", ovr, basis_i)
-                         + jnp.einsum("m,m...->...", ovi, basis_r))
+            if reortho:
+                # full reorthogonalization: ov_m = <basis_m, hv>
+                # (complex); False keeps the plain 3-term recurrence —
+                # see ops.tdvp_chain.tdvp_run(reortho=...) for why that
+                # is safe for short-time local propagators
+                ovr = (jnp.einsum("m...,...->m", basis_r, hvr)
+                       + jnp.einsum("m...,...->m", basis_i, hvi))
+                ovi = (jnp.einsum("m...,...->m", basis_r, hvi)
+                       - jnp.einsum("m...,...->m", basis_i, hvr))
+                mask = (jnp.arange(m) <= i).astype(st)
+                ovr, ovi = ovr * mask, ovi * mask
+                hvr = hvr - (jnp.einsum("m,m...->...", ovr, basis_r)
+                             - jnp.einsum("m,m...->...", ovi, basis_i))
+                hvi = hvi - (jnp.einsum("m,m...->...", ovr, basis_i)
+                             + jnp.einsum("m,m...->...", ovi, basis_r))
             b = jnp.sqrt(norm2_of(hvr, hvi))
             binv = (1.0 / jnp.maximum(b, jnp.finfo(jnp.float64).tiny)).astype(st)
             alphas = alphas.at[i].set(
@@ -361,7 +419,8 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
         # and eps(st)-grade coefficients match the st-grade basis.
         coef_r, coef_i = _expm_tridiag_pair_e0(
             alphas.astype(st), betas.astype(st),
-            jnp.asarray(c_re, st), jnp.asarray(c_im, st))
+            jnp.asarray(c_re, st), jnp.asarray(c_im, st),
+            max_squarings=expm_max_squarings)
         coef_r, coef_i = coef_r * amask, coef_i * amask
         cr, ci = coef_r.astype(st), coef_i.astype(st)
         out_r = (jnp.einsum("m,m...->...", cr, basis_r)
@@ -484,6 +543,19 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
         return mr, mi
 
     if orthogonalize:
+        # Two-stage PER-CORE normalization before the gauge sweep (same
+        # guard as ops.tdvp_chain / _dmrg_sweeps): the QR sweep
+        # concentrates the full state norm into core 0, and raw random
+        # cores overflow f32 beyond N~20. Complex pair: one real scale
+        # per core from the joint (r, i) magnitude.
+        mag = jnp.sqrt(mr * mr + mi * mi)
+        core_scale = jnp.max(mag, axis=(1, 2, 3), keepdims=True)
+        safe = jnp.where(core_scale > 0, core_scale, 1.0)
+        mr, mi = mr / safe, mi / safe
+        core_norms = jnp.sqrt(jnp.sum(mr * mr + mi * mi, axis=(1, 2, 3),
+                                      keepdims=True))
+        safe = jnp.where(core_norms > 0, core_norms, 1.0)
+        mr, mi = mr / safe, mi / safe
         mr, mi = right_orthogonalize_padded(mr, mi)
         n0 = jnp.sqrt(norm2_of(get(mr, 0), get(mi, 0)))
         inv = (1.0 / jnp.maximum(n0, jnp.finfo(jnp.float64).tiny)).astype(st)
@@ -509,7 +581,7 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
                     + jnp.einsum("asb,btc->astc", Ai, Br))
             thr, thi = lanczos_expm(
                 apply_h2(Lr, Li, get(hs, k), get(hs, k + 1), Rkr, Rki),
-                th0r, th0i, c_re, c_im, (chi, d, d, chi))
+                th0r, th0i, c_re, c_im, (chi, d, d, chi), m)
             lr, li, rr, ri = split_theta(
                 thr, thi, Ar.reshape(chi * d, chi),
                 Ai.reshape(chi * d, chi), True)
@@ -517,7 +589,7 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
             gate = jnp.where(k < N - 2, 1.0, 0.0)
             rr, ri = lanczos_expm(
                 apply_h1(Lnr, Lni, get(hs, k + 1), Rkr, Rki), rr, ri,
-                -c_re * gate, -c_im * gate, (chi, d, chi))
+                -c_re * gate, -c_im * gate, (chi, d, chi), m1)
             mr = put(put(mr, k, lr), k + 1, rr)
             mi = put(put(mi, k, li), k + 1, ri)
             return (mr, mi, Lnr, Lni), (Lr, Li)
@@ -539,7 +611,7 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
                     + jnp.einsum("asb,btc->astc", Ai, Br))
             thr, thi = lanczos_expm(
                 apply_h2(Lkr, Lki, get(hs, k), get(hs, k + 1), Rr, Ri),
-                th0r, th0i, c_re, c_im, (chi, d, d, chi))
+                th0r, th0i, c_re, c_im, (chi, d, d, chi), m)
             lr, li, rr, ri = split_theta(
                 thr, thi, Br.reshape(chi, d * chi).T,
                 Bi.reshape(chi, d * chi).T, False)
@@ -547,7 +619,7 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
             gate = jnp.where(k > 0, 1.0, 0.0)
             lr, li = lanczos_expm(
                 apply_h1(Lkr, Lki, get(hs, k), Rnr, Rni), lr, li,
-                -c_re * gate, -c_im * gate, (chi, d, chi))
+                -c_re * gate, -c_im * gate, (chi, d, chi), m1)
             mr = put(put(mr, k, lr), k + 1, rr)
             mi = put(put(mi, k, li), k + 1, ri)
             return (mr, mi, Rnr, Rni), None

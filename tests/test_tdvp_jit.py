@@ -166,3 +166,158 @@ def test_tdvp_fast_knobs_match_default():
     expect = expm(-1j * T * H) @ psi0
     assert np.linalg.norm(got - expect) < 5e-5
     assert abs(np.linalg.norm(got) - 1.0) < 1e-8
+
+
+def test_tdvp_bf16_tail_knobs_match_default():
+    """bf16_tail + krylov_m1 + expm_max_squarings keep the trajectory
+    within the step-error contract: the propagator coefficient of
+    Krylov vector k decays factorially, so bf16-grade tail applies
+    enter the state at ~f32 grade (tdvp_run docstring)."""
+    from tensor4all_tpu.ops.dmrg_chain import pad_mpo, pad_mps
+    from tensor4all_tpu.ops.tdvp_chain import tdvp_run
+
+    N, chi = 8, 32
+    h_cores, cores0, H, psi0 = _setup(N, chi)
+    T = 0.08
+    h = pad_mpo([jnp.asarray(c, jnp.float32) for c in h_cores])
+    mps0 = pad_mps([jnp.asarray(c, jnp.float32) for c in cores0], chi)
+    # imaginary time (real arithmetic, the TPU path)
+    mps = tdvp_run(h, mps0, -T, nsteps=4, order=2, krylov_m=12,
+                   sweep_dtype=jnp.float32, orthogonalize=True,
+                   precision="high", reortho=False, gemm2_apply=True,
+                   bf16_tail=3, krylov_m1=8, expm_max_squarings=8)
+    got = _densify(mps, N)
+    expect = expm(-T * H) @ psi0
+    expect = expect / np.linalg.norm(expect)
+    got = got / np.linalg.norm(got)
+    assert np.linalg.norm(got - expect) < 5e-4
+
+
+def test_tdvp_run_orthogonalize_normalizes_large_n_f32():
+    """orthogonalize=True per-core normalization guard: raw random f32
+    cores at N=32 have state norm ~1e80, which overflowed the in-program
+    QR gauge sweep and NaN'd the whole evolution (found on TPU; the
+    production bench row was silently NaN)."""
+    from tensor4all_tpu.ops.dmrg_chain import pad_mpo, pad_mps
+    from tensor4all_tpu.ops.tdvp_chain import tdvp_run
+
+    N, chi = 32, 8
+    g = nx.path_graph(N)
+    _, si = random_treetn(jax.random.PRNGKey(0), g,
+                          {n: [2] for n in g.nodes}, bond_dim=2)
+    op = heisenberg(g, {n: si[n][0] for n in g.nodes})
+    h = pad_mpo([jnp.asarray(c, jnp.float32)
+                 for c in treeoperator_to_mpo_cores(op, list(range(N)))])
+    rng = np.random.default_rng(0)
+    cores = [jnp.asarray(rng.standard_normal(
+        (chi if k else 1, 2, chi if k < N - 1 else 1)), jnp.float32)
+        for k in range(N)]
+    mps0 = pad_mps(cores, chi)
+    out = tdvp_run(h, mps0, -0.05, nsteps=1, order=2, krylov_m=8,
+                   sweep_dtype=jnp.float32, orthogonalize=True,
+                   precision="high", reortho=False, gemm2_apply=True)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_tdvp_split_orthogonalize_normalizes_large_n_f32():
+    """Same overflow guard for the real/imag-split engine."""
+    from tensor4all_tpu.ops.dmrg_chain import pad_mpo, pad_mps
+    from tensor4all_tpu.ops.tdvp_chain_split import tdvp_run_split
+
+    N, chi = 32, 8
+    g = nx.path_graph(N)
+    _, si = random_treetn(jax.random.PRNGKey(0), g,
+                          {n: [2] for n in g.nodes}, bond_dim=2)
+    op = heisenberg(g, {n: si[n][0] for n in g.nodes})
+    h = pad_mpo([jnp.asarray(c, jnp.float32)
+                 for c in treeoperator_to_mpo_cores(op, list(range(N)))])
+    rng = np.random.default_rng(0)
+    cores = [jnp.asarray(rng.standard_normal(
+        (chi if k else 1, 2, chi if k < N - 1 else 1)), jnp.float32)
+        for k in range(N)]
+    mps0 = pad_mps(cores, chi)
+    out_r, out_i = tdvp_run_split(h, mps0, jnp.zeros_like(mps0),
+                                  0.0, -0.05, nsteps=1, order=2,
+                                  krylov_m=8, orthogonalize=True)
+    assert np.isfinite(np.asarray(out_r)).all()
+    assert np.isfinite(np.asarray(out_i)).all()
+
+
+def test_tdvp_split_fast_knobs_match_default():
+    """Split-engine speed knobs (precision/reortho/bf16_tail/krylov_m1/
+    expm_max_squarings) stay within the step-error contract."""
+    from tensor4all_tpu.ops.dmrg_chain import pad_mpo, pad_mps
+    from tensor4all_tpu.ops.tdvp_chain_split import tdvp_run_split
+
+    N, chi = 8, 32
+    h_cores, cores0, H, psi0 = _setup(N, chi)
+    T = 0.08
+    h = pad_mpo([jnp.asarray(c, jnp.float32) for c in h_cores])
+    mps0 = pad_mps([jnp.asarray(c, jnp.float32) for c in cores0], chi)
+    out_r, out_i = tdvp_run_split(h, mps0, jnp.zeros_like(mps0),
+                                  0.0, -T, nsteps=4, order=2,
+                                  krylov_m=12, orthogonalize=True,
+                                  precision="high", reortho=False,
+                                  bf16_tail=3, krylov_m1=8,
+                                  expm_max_squarings=8)
+    arrs_r = [np.asarray(out_r[k], np.float64) for k in range(N)]
+    arrs_i = [np.asarray(out_i[k], np.float64) for k in range(N)]
+    arrs = [r + 1j * im for r, im in zip(arrs_r, arrs_i)]
+    cores = [arrs[0][:1]] + arrs[1:-1] + [arrs[-1][..., :1]]
+    got = np.asarray(TensorTrain(
+        [jnp.asarray(c) for c in cores]).full_tensor()).reshape(-1)
+    expect = expm(-1j * T * H) @ psi0
+    got = got / np.linalg.norm(got)
+    expect = expect / np.linalg.norm(expect)
+    # global phase free
+    ph = np.vdot(got, expect)
+    got = got * (ph / abs(ph))
+    assert np.linalg.norm(got - expect) < 5e-4
+
+
+def test_tdvp_run_sharded_matches_single_device():
+    """chi-partitioned TDVP engine (shard_map over 8 devices) matches
+    the single-device trajectory. Tolerance note: the projector-
+    splitting + fixed-m Lanczos + warm-started subspace-split pipeline
+    on a RANDOM (maximally unstructured) state amplifies 1e-14 input
+    perturbations to ~5e-7 infidelity (measured — an einsum
+    re-association alone costs 4e-7), so parity is asserted at the
+    engine's own conditioning floor, not at f64 eps."""
+    from jax.sharding import Mesh
+    from tensor4all_tpu.ops.dmrg_chain import pad_mpo, pad_mps
+    from tensor4all_tpu.ops.tdvp_chain import tdvp_run, tdvp_run_sharded
+
+    N, chi = 8, 16
+    g = nx.path_graph(N)
+    _, si = random_treetn(jax.random.PRNGKey(0), g,
+                          {n: [2] for n in g.nodes}, bond_dim=2)
+    op = heisenberg(g, {n: si[n][0] for n in g.nodes})
+    h = pad_mpo([jnp.asarray(c, jnp.float64)
+                 for c in treeoperator_to_mpo_cores(op, list(range(N)))])
+    rng = np.random.default_rng(0)
+    cores = [jnp.asarray(rng.standard_normal(
+        (chi if k else 1, 2, chi if k < N - 1 else 1)), jnp.float64)
+        for k in range(N)]
+    mps0 = pad_mps(cores, chi)
+
+    ref = np.asarray(tdvp_run(h, mps0, -0.2, nsteps=2, order=2,
+                              krylov_m=12, sweep_dtype=jnp.float64,
+                              orthogonalize=True))
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("x",))
+    out = tdvp_run_sharded(h, mps0, -0.2, mesh, nsteps=2, order=2,
+                           krylov_m=12, sweep_dtype=jnp.float64)
+    assert len(out.sharding.device_set) == 8
+    out = np.asarray(out)
+
+    def step(T, x, y):
+        return np.einsum("ab,adr,bds->rs", T, x, y, optimize=True)
+
+    Tab = np.ones((1, 1))
+    Ta = np.ones((1, 1))
+    Tb = np.ones((1, 1))
+    for k in range(N):
+        Tab = step(Tab, out[k], ref[k])
+        Ta = step(Ta, out[k], out[k])
+        Tb = step(Tb, ref[k], ref[k])
+    fid = abs(Tab[0, 0]) / np.sqrt(abs(Ta[0, 0]) * abs(Tb[0, 0]))
+    assert fid > 1 - 1e-5, fid
