@@ -28,6 +28,34 @@ import jax.numpy as jnp
 from .dmrg_chain import pad_mpo, pad_mps  # noqa: F401 (re-export)
 
 
+def _colnorm_qr(Y):
+    """Orthonormal basis of Y's column span via column-equilibrated QR.
+
+    The subspace-iteration splits feed QR matrices whose columns span
+    11+ orders of magnitude when theta is rank-deficient (live rank r
+    << chi: the trailing chi - r columns of mat (mat^H Q0) are pure
+    rounding noise at ~1e-11..1e-14 of the leading scale). The TPU f32
+    Householder kernel loses orthonormality CATASTROPHICALLY on that
+    dynamic range (measured orth errors 7.6e2 / 6.2e1 on captured
+    failing operands at N=16 chi=128 and N=32 chi=256 — the one-site
+    expm then amplified the spurious directions by e^35 and NaN'd the
+    run). Equilibration is EXACT for subspace iteration (only the span
+    matters): columns above 10*eps(dtype) of the max norm are scaled to
+    unit; columns below it are pure noise and are ZEROED — Householder
+    assigns zero columns an orthonormal completion (verified on the
+    failing operands: orth error back to ~6e-7, span residual ~3e-6 =
+    f32 grade), and Q^H mat maps completions to ~0 so the split is
+    unchanged.
+    """
+    cn = jnp.sqrt(jnp.sum(jnp.abs(Y) ** 2, axis=0, keepdims=True))
+    scale = jnp.max(cn)
+    keep = cn > 10 * jnp.finfo(Y.dtype).eps * jnp.maximum(
+        scale, jnp.finfo(Y.dtype).tiny)
+    Yn = jnp.where(keep, Y / jnp.where(keep, cn, 1.0).astype(Y.dtype),
+                   jnp.zeros((), Y.dtype))
+    return jnp.linalg.qr(Yn)[0]
+
+
 def _expm_tridiag_e0(diag: jnp.ndarray, offd: jnp.ndarray, coeff,
                      max_squarings: int = 20) -> jnp.ndarray:
     """First column of ``exp(coeff * T)`` for symmetric tridiagonal T.
@@ -313,17 +341,13 @@ def _tdvp_sweeps(h, mps0, t, nsteps, order, krylov_m, sweep_dtype,
     def split_theta(theta, Q0, toward_right):
         mat = theta.reshape(chi * d, d * chi)
         if toward_right:
-            Y = mat @ (jnp.conj(mat).T @ Q0)
-            Q, _ = jnp.linalg.qr(Y)
-            Y = mat @ (jnp.conj(mat).T @ Q)
-            Q, _ = jnp.linalg.qr(Y)
+            Q = _colnorm_qr(mat @ (jnp.conj(mat).T @ Q0))
+            Q = _colnorm_qr(mat @ (jnp.conj(mat).T @ Q))
             left = Q.reshape(chi, d, chi)
             right = (jnp.conj(Q).T @ mat).reshape(chi, d, chi)
         else:
-            Y = jnp.conj(mat).T @ (mat @ Q0)
-            Q, _ = jnp.linalg.qr(Y)
-            Y = jnp.conj(mat).T @ (mat @ Q)
-            Q, _ = jnp.linalg.qr(Y)
+            Q = _colnorm_qr(jnp.conj(mat).T @ (mat @ Q0))
+            Q = _colnorm_qr(jnp.conj(mat).T @ (mat @ Q))
             right = jnp.conj(Q).T.reshape(chi, d, chi)
             left = (mat @ Q).reshape(chi, d, chi)
         return left, right
@@ -353,8 +377,19 @@ def _tdvp_sweeps(h, mps0, t, nsteps, order, krylov_m, sweep_dtype,
         _, Rs = jax.lax.scan(body, R_bound, jnp.arange(N - 1, 0, -1))
         return jnp.flip(Rs, axis=0)
 
-    def right_orthogonalize_padded(mps):
-        """In-program right-orthogonalization: QR gauge sweep N-1..1."""
+    def right_orthogonalize_padded(mps, renorm=False):
+        """In-program right-orthogonalization: QR gauge sweep N-1..1.
+
+        ``renorm=True`` (the INITIAL gauge, where the final core-0
+        normalization makes the state scale irrelevant) rescales the
+        carried core to unit norm at every step: the R-factor product
+        of a per-core-normalized random chain decays like c^N (c<1), so
+        by site 0 the entries reach ~1e-18 at N=32 — whose f32
+        sum-of-squares lands in the DENORMAL range that TPUs flush to
+        zero, turning the norm guard into a division by ~0 and NaN'ing
+        the whole evolution (found on TPU; CPUs keep denormals and hid
+        it). Max-abs first (flush-safe), then the 2-norm of the
+        O(1)-rescaled core."""
 
         def ortho_body(carry, k):
             mps = carry
@@ -366,6 +401,11 @@ def _tdvp_sweeps(h, mps0, t, nsteps, order, krylov_m, sweep_dtype,
             # absorb R1^H into the previous core's right bond
             # (M = R1^H Q1^H)
             prev = jnp.einsum("adb,bc->adc", prev, jnp.conj(R1).T)
+            if renorm:
+                mx = jnp.max(jnp.abs(prev))
+                prev = prev / jnp.where(mx > 0, mx, 1.0)
+                pn = jnp.sqrt(jnp.sum(jnp.abs(prev) ** 2))
+                prev = prev / jnp.where(pn > 0, pn, 1.0).astype(st)
             mps = put(put(mps, k, core), k - 1, prev)
             return mps, None
 
@@ -386,8 +426,9 @@ def _tdvp_sweeps(h, mps0, t, nsteps, order, krylov_m, sweep_dtype,
         core_norms = jnp.sqrt(jnp.sum(jnp.abs(mps) ** 2, axis=(1, 2, 3),
                                       keepdims=True))
         mps = mps / jnp.where(core_norms > 0, core_norms, 1.0)
-        # initial gauge + normalization (evolution then preserves norm)
-        mps = right_orthogonalize_padded(mps)
+        # initial gauge + normalization (evolution then preserves norm);
+        # renorm=True keeps every carried core O(1) through the sweep
+        mps = right_orthogonalize_padded(mps, renorm=True)
         n0 = jnp.sqrt(jnp.sum(jnp.abs(get(mps, 0)) ** 2))
         mps = put(mps, 0, get(mps, 0)
                   / jnp.maximum(n0, 1e-300).astype(st))
@@ -745,17 +786,13 @@ def tdvp_run_sharded(
             theta = gather(theta_l)
             mat = theta.reshape(chi * d, d * chi)
             if toward_right:
-                Y = mat @ (jnp.conj(mat).T @ Q0)
-                Q, _ = jnp.linalg.qr(Y)
-                Y = mat @ (jnp.conj(mat).T @ Q)
-                Q, _ = jnp.linalg.qr(Y)
+                Q = _colnorm_qr(mat @ (jnp.conj(mat).T @ Q0))
+                Q = _colnorm_qr(mat @ (jnp.conj(mat).T @ Q))
                 left = Q.reshape(chi, d, chi)
                 right = (jnp.conj(Q).T @ mat).reshape(chi, d, chi)
             else:
-                Y = jnp.conj(mat).T @ (mat @ Q0)
-                Q, _ = jnp.linalg.qr(Y)
-                Y = jnp.conj(mat).T @ (mat @ Q)
-                Q, _ = jnp.linalg.qr(Y)
+                Q = _colnorm_qr(jnp.conj(mat).T @ (mat @ Q0))
+                Q = _colnorm_qr(jnp.conj(mat).T @ (mat @ Q))
                 right = jnp.conj(Q).T.reshape(chi, d, chi)
                 left = (mat @ Q).reshape(chi, d, chi)
             sl = me * csh
@@ -796,7 +833,11 @@ def tdvp_run_sharded(
             _, Rs = jax.lax.scan(rbody, R_bound, jnp.arange(N - 1, 0, -1))
             return jnp.flip(Rs, axis=0)
 
-        def right_orthogonalize_padded(mps):
+        def right_orthogonalize_padded(mps, renorm=False):
+            # renorm: same TPU denormal-flush guard as the unsharded
+            # engine's initial gauge (see ops.tdvp_chain
+            # right_orthogonalize_padded docstring) with collective
+            # max/norm over the shard axis
             def obody(mps, k):
                 A_f = gather(get(mps, k))
                 M = A_f.reshape(chi, d * chi)
@@ -806,12 +847,17 @@ def tdvp_run_sharded(
                                                       csh, 0)
                 prev = jnp.einsum("adb,bc->adc", get(mps, k - 1),
                                   jnp.conj(R1).T)
+                if renorm:
+                    mx = jax.lax.pmax(jnp.max(jnp.abs(prev)), axis)
+                    prev = prev / jnp.where(mx > 0, mx, 1.0)
+                    pn = pnorm(prev)
+                    prev = prev / jnp.where(pn > 0, pn, 1.0).astype(st)
                 return put(put(mps, k, core_l), k - 1, prev), None
 
             mps, _ = jax.lax.scan(obody, mps, jnp.arange(N - 1, 0, -1))
             return mps
 
-        mps = right_orthogonalize_padded(mps_l)
+        mps = right_orthogonalize_padded(mps_l, renorm=True)
         n0 = pnorm(get(mps, 0))
         mps = put(mps, 0,
                   get(mps, 0) / jnp.maximum(n0, 1e-300).astype(st))

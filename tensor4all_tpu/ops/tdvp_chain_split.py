@@ -510,10 +510,16 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
         _, Rs = jax.lax.scan(body, (Rb_r, Zb), jnp.arange(N - 1, 0, -1))
         return (jnp.flip(Rs[0], axis=0), jnp.flip(Rs[1], axis=0))
 
-    def right_orthogonalize_padded(mr, mi):
+    def right_orthogonalize_padded(mr, mi, renorm=False):
         """QR gauge sweep via polar orthonormalization of each core's
         right unfolding (any complex-orthonormal row basis works as a
-        gauge; polar keeps it matmul+eigh only)."""
+        gauge; polar keeps it matmul+eigh only).
+
+        ``renorm=True`` (initial gauge only): rescale the carried core
+        to unit joint norm each step — the residual-factor product of a
+        per-core-normalized random chain decays like c^N, and by site 0
+        the f32 sum-of-squares lands in the denormal range that TPUs
+        FLUSH TO ZERO, NaN'ing the run (same guard as ops.tdvp_chain)."""
 
         def body(carry, k):
             mr, mi = carry
@@ -534,6 +540,14 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
                   - jnp.einsum("adb,bc->adc", pi, ri))
             ni = (jnp.einsum("adb,bc->adc", pr, ri)
                   + jnp.einsum("adb,bc->adc", pi, rr))
+            if renorm:
+                mx = jnp.maximum(jnp.max(jnp.abs(nr)),
+                                 jnp.max(jnp.abs(ni)))
+                safe = jnp.where(mx > 0, mx, 1.0)
+                nr, ni = nr / safe, ni / safe
+                pn = jnp.sqrt(jnp.sum(nr * nr) + jnp.sum(ni * ni))
+                safe = jnp.where(pn > 0, pn, 1.0).astype(st)
+                nr, ni = nr / safe, ni / safe
             mr = put(put(mr, k, core_r), k - 1, nr)
             mi = put(put(mi, k, core_i), k - 1, ni)
             return (mr, mi), None
@@ -556,7 +570,7 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
                                       keepdims=True))
         safe = jnp.where(core_norms > 0, core_norms, 1.0)
         mr, mi = mr / safe, mi / safe
-        mr, mi = right_orthogonalize_padded(mr, mi)
+        mr, mi = right_orthogonalize_padded(mr, mi, renorm=True)
         n0 = jnp.sqrt(norm2_of(get(mr, 0), get(mi, 0)))
         inv = (1.0 / jnp.maximum(n0, jnp.finfo(jnp.float64).tiny)).astype(st)
         mr = put(mr, 0, get(mr, 0) * inv)

@@ -190,7 +190,16 @@ def test_tdvp_bf16_tail_knobs_match_default():
     expect = expm(-T * H) @ psi0
     expect = expect / np.linalg.norm(expect)
     got = got / np.linalg.norm(got)
-    assert np.linalg.norm(got - expect) < 5e-4
+    # stays within the integrator's own error envelope...
+    assert np.linalg.norm(got - expect) < 2e-3
+    # ...and adds essentially NOTHING over the plain-f32 schedule (the
+    # factorial-decay claim: measured 4e-10 at these shapes)
+    base = tdvp_run(h, mps0, -T, nsteps=4, order=2, krylov_m=12,
+                    sweep_dtype=jnp.float32, orthogonalize=True,
+                    precision="high", reortho=False, gemm2_apply=True)
+    base_v = _densify(base, N)
+    base_v = base_v / np.linalg.norm(base_v)
+    assert np.linalg.norm(got - base_v) < 1e-5
 
 
 def test_tdvp_run_orthogonalize_normalizes_large_n_f32():
