@@ -75,7 +75,7 @@ def _tdvp_tpu_detail():
     from tensor4all_tpu.ops.dmrg_chain import pad_mpo, pad_mps
     from tensor4all_tpu.ops.tdvp_chain import tdvp_run, tdvp_sweep_flops
 
-    N, chi, d, m, nsteps = 32, 256, 2, 12, 4
+    N, chi, d, m, nsteps = 32, 256, 2, 12, 4  # chi extended below
     rng = np.random.default_rng(0)
     # Heisenberg MPO cores (w=5)
     from tensor4all_tpu.models.spin import heisenberg
@@ -99,28 +99,49 @@ def _tdvp_tpu_detail():
     dev = jax.devices()[0]
     h_d, mps_d = jax.device_put(h, dev), jax.device_put(mps0, dev)
 
-    def body():
-        # r3 speed knobs (436c2f0 + sweep-grade expm): 3-pass applies,
-        # 3-term-recurrence Krylov, two-GEMM apply — the production TDVP
-        # schedule; FLOP model mirrors the knobs (ADVICE r2)
-        out = tdvp_run(h_d, mps_d, -0.05, nsteps=nsteps, order=2,
-                       krylov_m=m, sweep_dtype=jnp.float32,
-                       orthogonalize=True, precision="high",
-                       reortho=False, gemm2_apply=True)
-        return float(jnp.sum(jnp.abs(out[0])))  # host sync
+    out = {"tdvp_engine": "jitted one-program, f32 imaginary-time"}
+    for chi_p, knobs in (
+        # r3 production schedules (1abf8c9 + r3 grid 2026-08-18): 3-pass
+        # applies, 3-term-recurrence Krylov, two-GEMM apply; at chi=512
+        # the bf16 Krylov TAIL + short backward Krylov win 17% more
+        # (factorial coefficient decay — tdvp_run docstring); FLOP model
+        # mirrors the knobs (ADVICE r2)
+        (256, {}),
+        (512, dict(bf16_tail=2, krylov_m1=6, expm_max_squarings=8)),
+    ):
+        if chi_p == chi:
+            h_p, mps_p = h_d, mps_d
+        else:
+            cores_p = [jnp.asarray(
+                rng.standard_normal((chi_p if k else 1, d,
+                                     chi_p if k < N - 1 else 1)),
+                jnp.float32) for k in range(N)]
+            h_p = h_d
+            mps_p = jax.device_put(pad_mps(cores_p, chi_p), dev)
 
-    body()  # compile
-    t = _median_time(body, warmup=0, reps=3)
-    fl = tdvp_sweep_flops(N, chi, d, h.shape[1], m, nsteps, order=2,
-                          reortho=False, gemm2_apply=True)
-    tflops = fl / t / 1e12
-    out = {
-        "tdvp_N32_chi256_4steps_ms": round(t * 1e3, 1),
-        "tdvp_N32_chi256_tflops": round(tflops, 2),
-        "tdvp_N32_chi256_mfu_vs_bf16_peak": round(
-            tflops / PEAK_BF16_TFLOPS, 4),
-        "tdvp_engine": "jitted one-program, f32 imaginary-time",
-    }
+        def body():
+            o = tdvp_run(h_p, mps_p, -0.05, nsteps=nsteps, order=2,
+                         krylov_m=m, sweep_dtype=jnp.float32,
+                         orthogonalize=True, precision="high",
+                         reortho=False, gemm2_apply=True, **knobs)
+            return o, float(jnp.sum(jnp.abs(o[0])))  # host sync
+
+        o, _ = body()  # compile
+        # NaN trajectories must never report throughput again
+        # (benchmarks/results/2026-08-18-tdvp-nan-fix.md)
+        assert bool(jnp.isfinite(o).all()), f"TDVP chi={chi_p} state NaN"
+        t = _median_time(lambda: body()[1], warmup=0, reps=3)
+        fl = tdvp_sweep_flops(N, chi_p, d, h.shape[1], m, nsteps,
+                              order=2, reortho=False, gemm2_apply=True,
+                              krylov_m1=knobs.get("krylov_m1"))
+        tflops = fl / t / 1e12
+        key = f"tdvp_N32_chi{chi_p}"
+        out.update({
+            f"{key}_4steps_ms": round(t * 1e3, 1),
+            f"{key}_tflops": round(tflops, 2),
+            f"{key}_mfu_vs_bf16_peak": round(tflops / PEAK_BF16_TFLOPS,
+                                             4),
+        })
     # REAL-TIME evolution via the real/imag-split engine (no complex
     # dtypes — the path that runs on this chip, VERDICT r1 #9)
     try:
@@ -131,17 +152,25 @@ def _tdvp_tpu_detail():
 
         def body_rt():
             # full-rank bench state: dead-slot completion is a no-op
-            # and may be skipped (complete_basis docstring)
+            # and may be skipped (complete_basis docstring). r3 speed
+            # knobs: 3-pass applies, no reortho, bf16 Krylov tail
+            # (grid 2026-08-18: 1.26x over the 'highest'+reortho base)
             r_, i_ = tdvp_run_split(h_d, mr, mi, 0.0, -0.05, nsteps=2,
                                     order=2, krylov_m=m,
                                     orthogonalize=True, split_iters=1,
-                                    complete_basis=False)
-            return float(jnp.sum(r_[0] ** 2 + i_[0] ** 2))
+                                    complete_basis=False,
+                                    precision="high", reortho=False,
+                                    bf16_tail=3, krylov_m1=8,
+                                    expm_max_squarings=8)
+            return r_, i_, float(jnp.sum(r_[0] ** 2 + i_[0] ** 2))
 
-        body_rt()  # compile
-        t_rt = _median_time(body_rt, warmup=0, reps=3)
+        r_, i_, _ = body_rt()  # compile
+        assert bool(jnp.isfinite(r_).all() & jnp.isfinite(i_).all()), \
+            "split TDVP state NaN"
+        t_rt = _median_time(lambda: body_rt()[2], warmup=0, reps=3)
         fl_rt = tdvp_sweep_flops(N, chi, d, h.shape[1], m, 2, order=2,
-                                 complex_dtype=True)
+                                 complex_dtype=True, reortho=False,
+                                 krylov_m1=8)
         tflops_rt = fl_rt / t_rt / 1e12
         out.update({
             "tdvp_split_realtime_N32_chi256_2steps_ms": round(

@@ -56,6 +56,34 @@ def pad_mps(cores: List[jnp.ndarray], chi: int) -> jnp.ndarray:
     return jnp.asarray(out)
 
 
+def _colnorm_qr(Y):
+    """Orthonormal basis of Y's column span via column-equilibrated QR.
+
+    The subspace-iteration splits feed QR matrices whose columns span
+    11+ orders of magnitude when theta is rank-deficient (live rank r
+    << chi: the trailing chi - r columns of mat (mat^H Q0) are pure
+    rounding noise at ~1e-11..1e-14 of the leading scale). The TPU f32
+    Householder kernel loses orthonormality CATASTROPHICALLY on that
+    dynamic range (measured orth errors 7.6e2 / 6.2e1 on captured
+    failing operands at N=16 chi=128 and N=32 chi=256 — the one-site
+    expm then amplified the spurious directions by e^35 and NaN'd the
+    run). Equilibration is EXACT for subspace iteration (only the span
+    matters): columns above 10*eps(dtype) of the max norm are scaled to
+    unit; columns below it are pure noise and are ZEROED — Householder
+    assigns zero columns an orthonormal completion (verified on the
+    failing operands: orth error back to ~6e-7, span residual ~3e-6 =
+    f32 grade), and Q^H mat maps completions to ~0 so the split is
+    unchanged.
+    """
+    cn = jnp.sqrt(jnp.sum(jnp.abs(Y) ** 2, axis=0, keepdims=True))
+    scale = jnp.max(cn)
+    keep = cn > 10 * jnp.finfo(Y.dtype).eps * jnp.maximum(
+        scale, jnp.finfo(Y.dtype).tiny)
+    Yn = jnp.where(keep, Y / jnp.where(keep, cn, 1.0).astype(Y.dtype),
+                   jnp.zeros((), Y.dtype))
+    return jnp.linalg.qr(Yn)[0]
+
+
 def pad_mpo(cores: List[jnp.ndarray]) -> jnp.ndarray:
     """Stack rank-4 MPO cores to (N, w, d, d, w), boundaries at slot 0."""
     w = max(max(c.shape[0], c.shape[-1]) for c in cores)
@@ -536,7 +564,7 @@ def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype,
                     Y, Z = Y @ T, T @ Z
                 return y @ (Z / jnp.sqrt(s))
         else:
-            orth = lambda y: jnp.linalg.qr(y)[0]
+            orth = _colnorm_qr  # column-equilibrated: rank-deficient-safe on TPU
 
         # INNER orthogonalizations only exist to keep the subspace
         # iteration's intermediates well-conditioned in the sweep dtype
@@ -565,7 +593,7 @@ def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype,
                     Y, Z = Y @ T, T @ Z
                 return y @ (Z / jnp.sqrt(s))
         else:
-            orth_inner = lambda y: jnp.linalg.qr(y)[0]
+            orth_inner = _colnorm_qr
 
         if toward_right:
             Q0_ = Q0
@@ -818,7 +846,7 @@ def dmrg_run_sharded(
             # single-device wall time on a small term
             theta = gather(theta_l)
             mat = theta.reshape(chi * d, d * chi)
-            orth = lambda y: jnp.linalg.qr(y)[0]
+            orth = _colnorm_qr  # column-equilibrated: rank-deficient-safe on TPU
             if toward_right:
                 Q_ = Q0
                 for _ in range(split_iters):

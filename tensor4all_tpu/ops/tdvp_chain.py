@@ -25,35 +25,11 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .dmrg_chain import pad_mpo, pad_mps  # noqa: F401 (re-export)
-
-
-def _colnorm_qr(Y):
-    """Orthonormal basis of Y's column span via column-equilibrated QR.
-
-    The subspace-iteration splits feed QR matrices whose columns span
-    11+ orders of magnitude when theta is rank-deficient (live rank r
-    << chi: the trailing chi - r columns of mat (mat^H Q0) are pure
-    rounding noise at ~1e-11..1e-14 of the leading scale). The TPU f32
-    Householder kernel loses orthonormality CATASTROPHICALLY on that
-    dynamic range (measured orth errors 7.6e2 / 6.2e1 on captured
-    failing operands at N=16 chi=128 and N=32 chi=256 — the one-site
-    expm then amplified the spurious directions by e^35 and NaN'd the
-    run). Equilibration is EXACT for subspace iteration (only the span
-    matters): columns above 10*eps(dtype) of the max norm are scaled to
-    unit; columns below it are pure noise and are ZEROED — Householder
-    assigns zero columns an orthonormal completion (verified on the
-    failing operands: orth error back to ~6e-7, span residual ~3e-6 =
-    f32 grade), and Q^H mat maps completions to ~0 so the split is
-    unchanged.
-    """
-    cn = jnp.sqrt(jnp.sum(jnp.abs(Y) ** 2, axis=0, keepdims=True))
-    scale = jnp.max(cn)
-    keep = cn > 10 * jnp.finfo(Y.dtype).eps * jnp.maximum(
-        scale, jnp.finfo(Y.dtype).tiny)
-    Yn = jnp.where(keep, Y / jnp.where(keep, cn, 1.0).astype(Y.dtype),
-                   jnp.zeros((), Y.dtype))
-    return jnp.linalg.qr(Yn)[0]
+from .dmrg_chain import (  # noqa: F401 (re-export)
+    _colnorm_qr,
+    pad_mpo,
+    pad_mps,
+)
 
 
 def _expm_tridiag_e0(diag: jnp.ndarray, offd: jnp.ndarray, coeff,
