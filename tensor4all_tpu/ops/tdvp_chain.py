@@ -535,6 +535,12 @@ def tdvp_sweep_flops(N: int, chi: int, d: int, w: int, krylov_m: int,
     half_sweep = (N - 1) * per_bond + (N - 1) * env_f  # + env scan
     per_step = (2 if order == 2 else 1) * half_sweep
     total = nsteps * per_step
+    if complex_dtype and gemm2_apply:
+        # pair-arithmetic precontractions multiply a complex pair by the
+        # REAL MPO core (2 real einsums, not 4) — don't inflate them
+        pre_total = nsteps * (2 if order == 2 else 1) * (N - 1) * (
+            pre2_f + pre1_f)
+        return (total - pre_total) * 4.0 + pre_total * 2.0
     return total * (4.0 if complex_dtype else 1.0)
 
 

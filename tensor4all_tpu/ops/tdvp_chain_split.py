@@ -240,7 +240,7 @@ def _corth_qr(yr, yi, seed: int = 11, complete: bool = True):
     static_argnames=("nsteps", "order", "krylov_m", "orthogonalize",
                      "split_iters", "complete_basis", "precision",
                      "reortho", "bf16_tail", "krylov_m1",
-                     "expm_max_squarings"),
+                     "expm_max_squarings", "gemm2_apply"),
 )
 def tdvp_run_split(
     h: jnp.ndarray,
@@ -259,6 +259,7 @@ def tdvp_run_split(
     bf16_tail: int = 0,
     krylov_m1: int | None = None,
     expm_max_squarings: int = 20,
+    gemm2_apply: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Evolve ``exp((t_re + i t_im) * H)|mps0>`` with a REAL padded MPO
     ``h`` and a complex state given as the (real, imag) pair; returns the
@@ -273,13 +274,14 @@ def tdvp_run_split(
                                   order, krylov_m, orthogonalize,
                                   split_iters, complete_basis, reortho,
                                   bf16_tail, krylov_m1,
-                                  expm_max_squarings)
+                                  expm_max_squarings, gemm2_apply)
 
 
 def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
                        krylov_m, orthogonalize, split_iters=2,
                        complete_basis=True, reortho=True, bf16_tail=0,
-                       krylov_m1=None, expm_max_squarings=20):
+                       krylov_m1=None, expm_max_squarings=20,
+                       gemm2_apply=False):
     """``complete_basis=False`` skips dead-slot junk completion in every
     orthonormalization — exact for states that keep FULL padded rank
     throughout (e.g. full-rank random inits in benchmarks); states whose
@@ -302,6 +304,37 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
 
     def apply_h2(Lr, Li, Wl, Wr, Rr, Ri):
         """theta' = L Wl Wr theta R with complex L, theta, R, real W."""
+
+        if gemm2_apply:
+            # per-bond precontraction (complex pair x REAL MPO core = 2
+            # real einsums each), amortized over the m Krylov
+            # iterations: every iteration is then TWO complex GEMMs =
+            # 8 real GEMMs with every M/N/K >= chi d — no (w d)-sized
+            # contraction pass touches the MXU (same trade as
+            # ops.tdvp_chain.tdvp_run(gemm2_apply=True))
+            LWr, LWi = _rmul_ein("alx,lpim->aixpm", Lr, Li, Wl)
+            RWr, RWi = _rmul_ein("brB,mqjr->mjbqB", Rr, Ri, Wr)
+
+            def f2(thr, thi):
+                t1r, t1i = _cmul_ein("aixpm,aijb->xpmjb", LWr, LWi,
+                                     thr, thi)
+                return _cmul_ein("xpmjb,mjbqB->xpqB", t1r, t1i,
+                                 RWr, RWi)
+
+            if not tail:
+                return f2, None
+            bf16 = jnp.bfloat16
+            LWrc, LWic = LWr.astype(bf16), LWi.astype(bf16)
+            RWrc, RWic = RWr.astype(bf16), RWi.astype(bf16)
+
+            def f2_lo(thr, thi):
+                thr_c, thi_c = thr.astype(bf16), thi.astype(bf16)
+                t1r, t1i = _cmul_ein("aixpm,aijb->xpmjb", LWrc, LWic,
+                                     thr_c, thi_c, precision=_P1)
+                outr, outi = _cmul_ein("xpmjb,mjbqB->xpqB", t1r, t1i,
+                                       RWrc, RWic, precision=_P1)
+                return outr.astype(st), outi.astype(st)
+            return f2, f2_lo
 
         def f(thr, thi):
             t1r, t1i = _cmul_ein("alx,aijb->lxijb", Lr, Li, thr, thi)
@@ -329,6 +362,29 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
         return f, f_lo
 
     def apply_h1(Lr, Li, W, Rr, Ri):
+        if gemm2_apply:
+            LWr, LWi = _rmul_ein("alx,lpir->aixpr", Lr, Li, W)
+
+            def f1(ar, ai):
+                t1r, t1i = _cmul_ein("aixpr,aib->xprb", LWr, LWi,
+                                     ar, ai)
+                return _cmul_ein("xprb,brB->xpB", t1r, t1i, Rr, Ri)
+
+            if not tail:
+                return f1, None
+            bf16 = jnp.bfloat16
+            LWrc, LWic = LWr.astype(bf16), LWi.astype(bf16)
+            Rrc, Ric = Rr.astype(bf16), Ri.astype(bf16)
+
+            def f1_lo(ar, ai):
+                ar_c, ai_c = ar.astype(bf16), ai.astype(bf16)
+                t1r, t1i = _cmul_ein("aixpr,aib->xprb", LWrc, LWic,
+                                     ar_c, ai_c, precision=_P1)
+                outr, outi = _cmul_ein("xprb,brB->xpB", t1r, t1i,
+                                       Rrc, Ric, precision=_P1)
+                return outr.astype(st), outi.astype(st)
+            return f1, f1_lo
+
         def f(ar, ai):
             t1r, t1i = _cmul_ein("alx,aib->lxib", Lr, Li, ar, ai)
             t2r, t2i = _rmul_ein("lxib,lpir->xprb", t1r, t1i, W)

@@ -269,3 +269,75 @@ def test_fuzz_split_tdvp_random_states(seed):
     ph = np.vdot(got, ref)
     got = got * ph / abs(ph)
     assert np.linalg.norm(got - ref) < 1e-8, seed
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_tdvp_speed_knobs_random_configs(seed):
+    """Random (bf16_tail, krylov_m1, expm_max_squarings, reortho,
+    gemm2_apply, precision) knob combinations on random chains must stay
+    FINITE and within the integrator's error envelope of the
+    all-defaults trajectory (the knobs are approximation-grade choices,
+    never correctness switches; the TPU NaN episode in
+    benchmarks/results/2026-08-18-tdvp-nan-fix.md is the motivating
+    regression class)."""
+    import jax.numpy as jnp
+
+    from tensor4all_tpu.models.spin import heisenberg
+    from tensor4all_tpu.ops.dmrg_chain import (
+        pad_mpo,
+        pad_mps,
+        treeoperator_to_mpo_cores,
+    )
+    from tensor4all_tpu.ops.tdvp_chain import tdvp_run
+
+    rng = np.random.default_rng(seed)
+    N = int(rng.integers(4, 9))
+    chi = int(2 ** rng.integers(2, 5))
+    g = nx.path_graph(N)
+    tn, si = random_treetn(jax.random.PRNGKey(seed), g,
+                           {v: [2] for v in g.nodes}, bond_dim=2)
+    op = heisenberg(g, {v: si[v][0] for v in g.nodes})
+    h = pad_mpo([jnp.asarray(c, jnp.float32)
+                 for c in treeoperator_to_mpo_cores(op, list(range(N)))])
+    cores = [jnp.asarray(rng.standard_normal(
+        (chi if k else 1, 2, chi if k < N - 1 else 1)), jnp.float32)
+        for k in range(N)]
+    mps0 = pad_mps(cores, chi)
+
+    ref = np.asarray(tdvp_run(h, mps0, -0.1, nsteps=2, order=2,
+                              krylov_m=10, sweep_dtype=jnp.float32,
+                              orthogonalize=True))
+
+    def fid(a, b):
+        Tab = np.ones((1, 1))
+        Ta = np.ones((1, 1))
+        Tb = np.ones((1, 1))
+        for k in range(N):
+            Tab = np.einsum("ab,adr,bds->rs", Tab, a[k], b[k],
+                            optimize=True)
+            Ta = np.einsum("ab,adr,bds->rs", Ta, a[k], a[k],
+                           optimize=True)
+            Tb = np.einsum("ab,adr,bds->rs", Tb, b[k], b[k],
+                           optimize=True)
+        return abs(Tab[0, 0]) / np.sqrt(abs(Ta[0, 0]) * abs(Tb[0, 0]))
+
+    for _ in range(3):
+        m = int(rng.integers(6, 13))
+        knobs = dict(
+            krylov_m=m,
+            precision=str(rng.choice(["default", "high", "highest"])),
+            reortho=bool(rng.integers(0, 2)),
+            gemm2_apply=bool(rng.integers(0, 2)),
+            bf16_tail=int(rng.integers(0, 5)),
+            krylov_m1=int(rng.integers(4, m + 1)),
+            expm_max_squarings=int(rng.choice([6, 8, 20])),
+        )
+        out = np.asarray(tdvp_run(h, mps0, -0.1, nsteps=2, order=2,
+                                  sweep_dtype=jnp.float32,
+                                  orthogonalize=True, **knobs))
+        assert np.isfinite(out).all(), knobs
+        f = fid(out, ref)
+        # 'default' precision = single bf16 pass everywhere (~1e-3
+        # grade); everything else must stay f32-grade-ish
+        bar = 5e-3 if knobs["precision"] == "default" else 5e-4
+        assert f > 1 - bar, (f, knobs)

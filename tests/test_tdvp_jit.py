@@ -4,6 +4,7 @@ import jax
 import jax.numpy as jnp
 import networkx as nx
 import numpy as np
+import pytest
 from scipy.linalg import expm
 
 from tensor4all_tpu.models.spin import dense_heisenberg, heisenberg
@@ -252,9 +253,11 @@ def test_tdvp_split_orthogonalize_normalizes_large_n_f32():
     assert np.isfinite(np.asarray(out_i)).all()
 
 
-def test_tdvp_split_fast_knobs_match_default():
+@pytest.mark.parametrize("gemm2", [False, True])
+def test_tdvp_split_fast_knobs_match_default(gemm2):
     """Split-engine speed knobs (precision/reortho/bf16_tail/krylov_m1/
-    expm_max_squarings) stay within the step-error contract."""
+    expm_max_squarings/gemm2_apply) stay within the step-error
+    contract."""
     from tensor4all_tpu.ops.dmrg_chain import pad_mpo, pad_mps
     from tensor4all_tpu.ops.tdvp_chain_split import tdvp_run_split
 
@@ -268,7 +271,8 @@ def test_tdvp_split_fast_knobs_match_default():
                                   krylov_m=12, orthogonalize=True,
                                   precision="high", reortho=False,
                                   bf16_tail=3, krylov_m1=8,
-                                  expm_max_squarings=8)
+                                  expm_max_squarings=8,
+                                  gemm2_apply=gemm2)
     arrs_r = [np.asarray(out_r[k], np.float64) for k in range(N)]
     arrs_i = [np.asarray(out_i[k], np.float64) for k in range(N)]
     arrs = [r + 1j * im for r, im in zip(arrs_r, arrs_i)]
