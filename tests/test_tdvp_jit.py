@@ -334,3 +334,34 @@ def test_tdvp_run_sharded_matches_single_device():
         Tb = step(Tb, ref[k], ref[k])
     fid = abs(Tab[0, 0]) / np.sqrt(abs(Ta[0, 0]) * abs(Tb[0, 0]))
     assert fid > 1 - 1e-5, fid
+
+
+def test_tdvp_run_sharded_program_has_collectives():
+    """The sharded TDVP engine's HLO must contain explicit collectives
+    (reduce-scatter/all-reduce/all-gather) — proof the Krylov applies
+    and environments live sharded (same contract as the DMRG test)."""
+    from jax.sharding import Mesh
+    from tensor4all_tpu.ops.dmrg_chain import pad_mpo, pad_mps
+    from tensor4all_tpu.ops.tdvp_chain import tdvp_run_sharded
+
+    N, chi = 6, 8
+    W = np.zeros((3, 2, 2, 3))
+    sz = np.diag([0.5, -0.5])
+    W[0, :, :, 0] = np.eye(2)
+    W[2, :, :, 2] = np.eye(2)
+    W[0, :, :, 1] = sz
+    W[1, :, :, 2] = sz
+    h = pad_mpo([jnp.asarray(c) for c in [W[0:1]] + [W] * (N - 2)
+                 + [W[:, :, :, 2:3]]])
+    tt = TensorTrain.random(jax.random.PRNGKey(1), [2] * N, rank=chi,
+                            dtype=jnp.float64)
+    mps0 = pad_mps(tt.cores, chi)
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("x",))
+    lowered = jax.jit(
+        lambda: tdvp_run_sharded(h, mps0, -0.05, mesh, nsteps=1,
+                                 order=2, krylov_m=4,
+                                 sweep_dtype=jnp.float64)
+    ).lower()
+    txt = lowered.compile().as_text()
+    assert ("reduce-scatter" in txt or "all-reduce" in txt)
+    assert "all-gather" in txt
