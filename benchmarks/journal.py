@@ -615,9 +615,13 @@ def main():
     print(f"\n== benchmark journal ({device}; {thread_note}) ==")
     hdr = f"{'metric':38s} {'value':>12s} {'unit':>5s} {'baseline':>10s} {'vs':>8s}"
     print(hdr)
+    import os as _os
     lines = ["# Benchmark journal", "",
              f"Device: {device}",
-             f"Threads: {thread_note}", "",
+             f"Threads: {thread_note}",
+             f"Host CPUs: {_os.cpu_count()} "
+             "(CPU rows scale with the VM's core count — compare "
+             "journals only at equal topology)", "",
              "| metric | value | unit | baseline | vs_baseline |",
              "|---|---|---|---|---|"]
     for r in records:
