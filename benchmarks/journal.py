@@ -145,16 +145,36 @@ def bench_dmrg_star(quick=False):
 
     t = _median(body, warmup=1, reps=2 if quick else 3)
     err = abs(out["res"].energy - e_exact)
-    return {"metric": "treetn_dmrg_star_N8_chi32", "value": t * 1e3,
-            "unit": "ms", "baseline": 242.8,
-            "vs_baseline": 242.8 / (t * 1e3),
-            "detail": {"energy_abs_err": err, "exact": e_exact,
-                       "note": ("above baseline since the r3 "
-                                "TT-factorized dressed region cores + "
-                                "contract promotion (projected.py): the "
-                                "hub's 5^7*4 dressed center core is "
-                                "never materialized dense; each local "
-                                "apply rides the factorized form")}}
+    rows = [{"metric": "treetn_dmrg_star_N8_chi32", "value": t * 1e3,
+             "unit": "ms", "baseline": 242.8,
+             "vs_baseline": 242.8 / (t * 1e3),
+             "detail": {"energy_abs_err": err, "exact": e_exact,
+                        "note": ("above baseline since the r3 "
+                                 "TT-factorized dressed region cores + "
+                                 "contract promotion (projected.py): the "
+                                 "hub's 5^7*4 dressed center core is "
+                                 "never materialized dense; each local "
+                                 "apply rides the factorized form")}}]
+    # The jitted ONE-PROGRAM star engine (ops/dmrg_star.py): same
+    # problem, whole multi-sweep run in one XLA program — the
+    # bucket-and-mask chain-engine design applied to the star.
+    from tensor4all_tpu.ops.dmrg_star import dmrg_star_heisenberg
+
+    def body_jit():
+        e, _, _ = dmrg_star_heisenberg(7, n_sweeps=3, lanczos_iters=16)
+        out["e_jit"] = float(e)
+
+    body_jit()  # compile
+    t_jit = _median(body_jit, warmup=0, reps=3 if quick else 5)
+    rows.append({
+        "metric": "dmrg_star_jit_N8", "value": t_jit * 1e3,
+        "unit": "ms", "baseline": 242.8,
+        "vs_baseline": 242.8 / (t_jit * 1e3),
+        "detail": {"energy_abs_err": abs(out["e_jit"] - e_exact),
+                   "engine": "ops/dmrg_star.py jitted one-program "
+                             "(factorized per-edge H, exact d-bond "
+                             "splits)"}})
+    return rows
 
 
 def bench_rrlu64(quick=False):

@@ -1,0 +1,280 @@
+"""Fully-jitted two-site DMRG engine for STAR topologies (hub + K
+leaves) — the reference's flagship tree benchmark shape
+(ref tensor4all-treetn benchmarks, results/2026-06-27-treetn-dmrg-
+itensornetworks.md: DMRG on the hub star is its headline tree result).
+
+The framework path (`treetn/dmrg.py`) wins the star row through
+TT-factorized dressed cores, but still pays one host dispatch per local
+operation — hundreds of sub-millisecond ops per sweep. Here the ENTIRE
+multi-sweep run is ONE XLA program, the `ops.dmrg_chain` design applied
+to the star:
+
+- every leaf bond has dimension d (a single-site leg's Schmidt rank is
+  bounded by its site dimension), so the hub core is a STATIC
+  (d, d, ..., d) tensor with K+1 axes and nothing is padded or dynamic;
+- the Hamiltonian is given per edge in factorized two-site form
+  ``H_k = sum_a A[k,a] (x) B[k,a]`` (plus a pure-hub field), so the
+  projected H_eff applies through per-leaf (R, d, d) environments
+  ``E[j,a] = leaf_j B[j,a] leaf_j^H`` — the 5^K dressed MPO center that
+  the generic path must avoid factorizing is never formed at all;
+- each edge solve is a fixed-m Lanczos with the GEMM-only
+  Sturm-bisection ground pair (`_tridiag_ground`), and the exact
+  (bond = d, no truncation) split keeps the canonical center at the
+  hub via one tiny SVD.
+
+Scope: single-site legs (the benchmark shape). Longer legs reduce to
+chains hanging off the hub and are served by the framework engine.
+"""
+
+from __future__ import annotations
+
+import string
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dmrg_chain import _tridiag_ground
+
+_BOND_LETTERS = string.ascii_lowercase
+
+
+def _edge_einsum_specs(K: int):
+    """Static einsum strings for each edge k of a K-leaf star.
+
+    Hub axes: 's' (site) then one bond letter per leaf. theta for edge k
+    replaces bond letter k with the leaf site letter 't'.
+    """
+    bonds = _BOND_LETTERS[:K]
+    specs = []
+    for k in range(K):
+        hub_sub = "s" + bonds
+        theta_sub = "s" + bonds[:k] + "t" + bonds[k + 1:]
+        # hub (x) leaf_k over bond k:  hub[s,..b_k..], leaf[b_k, t]
+        contract = f"{hub_sub},{bonds[k]}t->{theta_sub}"
+        # direct two-site term: A on s, B on t
+        direct = f"xs,yt,{theta_sub}->" + theta_sub.replace("s", "x") \
+            .replace("t", "y")
+        # environment term on leg j != k: A on s, E_j on bond j
+        envs = []
+        for j in range(K):
+            if j == k:
+                envs.append("")
+                continue
+            out = theta_sub.replace("s", "x").replace(bonds[j], "y")
+            envs.append(f"xs,y{bonds[j]},{theta_sub}->{out}")
+        # hub field
+        field = f"xs,{theta_sub}->" + theta_sub.replace("s", "x")
+        # split: merge all non-t axes
+        specs.append((contract, direct, envs, field, theta_sub))
+    return specs
+
+
+def star_pair_terms(
+    pass_ops: Sequence[np.ndarray],
+    complete_ops: Sequence[np.ndarray],
+    K: int,
+    onsite_hub: np.ndarray | None = None,
+    onsite_leaf: np.ndarray | None = None,
+    dtype=jnp.float64,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Build the engine's (A, B, h_hub) from the `tree_nn_operator`
+    spec (models/spin.py:33): per edge,
+    ``H_k = sum_a complete_ops[a](hub) (x) pass_ops[a](leaf)``, leaf
+    onsite fields folded in as an extra (I_hub, h_leaf) term so every
+    term lives on some edge and the projected H_eff stays a plain sum.
+    """
+    d = np.asarray(pass_ops[0]).shape[0]
+    terms_A = [np.asarray(c, np.float64) for c in complete_ops]
+    terms_B = [np.asarray(p, np.float64) for p in pass_ops]
+    if onsite_leaf is not None:
+        terms_A.append(np.eye(d))
+        terms_B.append(np.asarray(onsite_leaf, np.float64))
+    A = jnp.asarray(np.broadcast_to(np.stack(terms_A),
+                                    (K, len(terms_A), d, d)), dtype)
+    B = jnp.asarray(np.broadcast_to(np.stack(terms_B),
+                                    (K, len(terms_B), d, d)), dtype)
+    h_hub = jnp.asarray(
+        np.zeros((d, d)) if onsite_hub is None
+        else np.asarray(onsite_hub, np.float64), dtype)
+    return A, B, h_hub
+
+
+def dmrg_star_run(
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    h_hub: jnp.ndarray,
+    hub0: jnp.ndarray,
+    leaves0: jnp.ndarray,
+    n_sweeps: int = 4,
+    lanczos_iters: int = 12,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Ground state of ``sum_k sum_a A[k,a] (x) B[k,a] + h_hub`` on a
+    K-leaf star. Returns (energy, hub, leaves).
+
+    Args:
+      A, B: (K, R, d, d) hub-side / leaf-side factors per edge term.
+      h_hub: (d, d) pure-hub field.
+      hub0: (d,) + (d,) * K initial hub core (site axis first).
+      leaves0: (K, d, d) initial leaf cores as (bond, site).
+
+    The whole run (gauge + environments + all sweeps + final energy) is
+    one jitted program; edges are unrolled (K is static and small), the
+    Lanczos is a fori_loop.
+    """
+    return _dmrg_star_jit(A, B, h_hub, hub0, leaves0,
+                          int(n_sweeps), int(lanczos_iters))
+
+
+def _star_engine(A, B, h_hub, hub0, leaves0, n_sweeps, m):
+    K = A.shape[0]
+    R = A.shape[1]
+    d = A.shape[2]
+    dt = A.dtype
+    specs = _edge_einsum_specs(K)
+
+    def norm_of(x):
+        return jnp.sqrt(jnp.sum(jnp.abs(x) ** 2).astype(jnp.float64))
+
+    # gauge: orthonormalize each leaf's rows (bond toward hub), absorb
+    # the factor into the hub bond
+    def gauge(hub, leaves):
+        new_leaves = []
+        for k in range(K):
+            Lk = leaves[k]  # (bond, site)
+            U, S, Vh = jnp.linalg.svd(Lk, full_matrices=False)
+            new_leaves.append(Vh)  # orthonormal rows
+            M = U * S[None, :]  # (bond_old, bond_new)
+            bonds = _BOND_LETTERS[:K]
+            sub = "s" + bonds
+            out = sub.replace(bonds[k], "z")
+            hub = jnp.einsum(f"{sub},{bonds[k]}z->{out}", hub, M)
+        hub = hub / jnp.maximum(norm_of(hub), 1e-300).astype(dt)
+        return hub, jnp.stack(new_leaves)
+
+    def envs_of(leaves):
+        # E[k, a] = leaf_k B[k,a] leaf_k^H   (bond', bond)
+        return jnp.einsum("kbs,kast,kct->kabc", leaves, B,
+                          jnp.conj(leaves))
+
+    def solve_edge(k, hub, leaves, E):
+        contract, direct, env_specs, field, theta_sub = specs[k]
+        theta0 = jnp.einsum(contract, hub, leaves[k])
+
+        def apply_h(th):
+            # one einsum per term GROUP (the R factor axis contracts in
+            # the same product — 4x fewer ops than per-term einsums,
+            # which matters at these tiny sizes where per-op overhead
+            # dominates)
+            y = jnp.einsum(field, h_hub, th)
+            y = y + jnp.einsum("r" + direct.replace(",", ",r", 1),
+                               A[k], B[k], th)
+            for j in range(K):
+                if j == k:
+                    continue
+                y = y + jnp.einsum(
+                    "r" + env_specs[j].replace(",", ",r", 1),
+                    A[j], E[j], th)
+            return y
+
+        # fixed-m Lanczos with full reorthogonalization (tiny state)
+        v0 = theta0 / jnp.maximum(norm_of(theta0), 1e-300).astype(dt)
+        basis = jnp.zeros((m,) + v0.shape, dt)
+        alphas = jnp.zeros((m,), jnp.float64)
+        betas = jnp.zeros((m,), jnp.float64)
+        amask = jnp.zeros((m,), jnp.float64)
+
+        def body(i, carry):
+            basis, alphas, betas, amask, v, v_prev, b_prev, alive = carry
+            basis = basis.at[i].set(v * alive.astype(dt))
+            hv = apply_h(v)
+            a_ = jnp.real(jnp.sum(jnp.conj(v) * hv))
+            hv = hv - a_.astype(dt) * v - b_prev.astype(dt) * v_prev
+            ov = jnp.einsum("m...,...->m", jnp.conj(basis), hv)
+            mask = (jnp.arange(m) <= i).astype(dt)
+            hv = hv - jnp.einsum("m,m...->...", ov * mask, basis)
+            b = norm_of(hv)
+            v_next = hv / jnp.maximum(b, 1e-300).astype(dt)
+            alphas = alphas.at[i].set(
+                jnp.where(alive > 0, a_.astype(jnp.float64), 0.0))
+            amask = amask.at[i].set(alive)
+            eps = jnp.asarray(10 * jnp.finfo(dt).eps, jnp.float64)
+            next_alive = alive * (b > eps * jnp.maximum(
+                1.0, jnp.abs(a_).astype(jnp.float64)))
+            betas = betas.at[i].set(b * (i + 1 < m) * next_alive)
+            return (basis, alphas, betas, amask, v_next, v,
+                    b * alive, next_alive)
+
+        carry = (basis, alphas, betas, amask, v0, jnp.zeros_like(v0),
+                 jnp.float64(0.0), jnp.float64(1.0))
+        basis, alphas, betas, amask, _, _, _, _ = jax.lax.fori_loop(
+            0, m, body, carry)
+        big = jnp.where(amask > 0, alphas, -jnp.inf).max()
+        small = jnp.where(amask > 0, alphas, jnp.inf).min()
+        pad = big + (big - small) + 4.0 * jnp.abs(betas).max() + 1.0
+        diag = jnp.where(amask > 0, alphas, pad)
+        e0, coef = _tridiag_ground(diag, betas)
+        theta = jnp.einsum("m,m...->...", coef.astype(dt), basis)
+        theta = theta / jnp.maximum(norm_of(theta), 1e-300).astype(dt)
+
+        # exact split (bond = d): theta[(rest), t] = M; M = U S Vh,
+        # leaf = Vh (orthonormal rows), hub slots = U S
+        perm = theta_sub.index("t")
+        th_mat = jnp.moveaxis(theta, perm, -1).reshape(-1, d)
+        U, S, Vh = jnp.linalg.svd(th_mat, full_matrices=False)
+        leaf_new = Vh  # (d_bond, d_site)
+        hub_new = (U * S[None, :]).reshape(
+            theta.shape[:perm] + theta.shape[perm + 1:] + (d,))
+        # axis order: put the new bond back at position k+1 of the hub
+        hub_new = jnp.moveaxis(hub_new, -1, perm)
+        leaves = leaves.at[k].set(leaf_new)
+        E_new = jnp.einsum("bs,ast,ct->abc", leaf_new, B[k],
+                           jnp.conj(leaf_new))
+        return e0, hub_new, leaves, E_new
+
+    def run(hub, leaves):
+        hub, leaves = gauge(hub, leaves)
+        E = envs_of(leaves)
+
+        def one_sweep(_, state):
+            hub, leaves, E, energy = state
+            for k in range(K):
+                e0, hub, leaves, E_k = solve_edge(k, hub, leaves, E)
+                E = E.at[k].set(E_k)
+                energy = e0
+            return hub, leaves, E, energy
+
+        hub, leaves, E, energy = jax.lax.fori_loop(
+            0, n_sweeps, one_sweep,
+            (hub, leaves, E, jnp.float64(0.0)))
+        return energy, hub, leaves
+
+    return run(hub0.astype(dt), leaves0.astype(dt))
+
+
+_dmrg_star_jit = jax.jit(_star_engine, static_argnames=("n_sweeps", "m"))
+
+
+def dmrg_star_heisenberg(K: int, J: float = 1.0, h: float = 0.0,
+                         n_sweeps: int = 4, lanczos_iters: int = 12,
+                         seed: int = 0, dtype=jnp.float64):
+    """Convenience driver: Heisenberg on a K-leaf star from a random
+    product-ish start (the journal benchmark shape). Returns
+    (energy, hub, leaves)."""
+    from ..models.spin import SM, SP, SZ
+
+    A, B, h_hub = star_pair_terms(
+        pass_ops=[SZ, SP, SM],
+        complete_ops=[J * SZ, (J / 2) * SM, (J / 2) * SP],
+        K=K,
+        onsite_hub=(h * SZ if h else None),
+        onsite_leaf=(h * SZ if h else None),
+        dtype=dtype,
+    )
+    rng = np.random.default_rng(seed)
+    d = 2
+    hub0 = jnp.asarray(rng.standard_normal((d,) * (K + 1)), dtype)
+    leaves0 = jnp.asarray(rng.standard_normal((K, d, d)), dtype)
+    return dmrg_star_run(A, B, h_hub, hub0, leaves0,
+                         n_sweeps=n_sweeps, lanczos_iters=lanczos_iters)
