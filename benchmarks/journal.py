@@ -314,9 +314,31 @@ def bench_tdvp(topology: str, quick=False):
         tdvp(op, tn, t=-1j * 0.08, options=opts)
 
     t = _median(body, warmup=1, reps=2 if quick else 3)
-    return {"metric": f"treetn_tdvp_{topology}_N8_chi32",
-            "value": t * 1e3, "unit": "ms", "baseline": baseline,
-            "vs_baseline": baseline / (t * 1e3)}
+    rows = [{"metric": f"treetn_tdvp_{topology}_N8_chi32",
+             "value": t * 1e3, "unit": "ms", "baseline": baseline,
+             "vs_baseline": baseline / (t * 1e3)}]
+    if topology == "star":
+        # jitted ONE-PROGRAM star TDVP engine (ops/tdvp_star.py): the
+        # same 4-step order-2 evolution in one XLA program
+        from tensor4all_tpu.ops.tdvp_star import tdvp_star_heisenberg
+
+        def body_jit():
+            hub, _ = tdvp_star_heisenberg(7, -1j * 0.08, nsteps=4,
+                                          order=2, krylov_m=10)
+            return float(jnp.sum(jnp.abs(hub)))
+
+        import jax.numpy as jnp
+
+        body_jit()  # compile
+        t_jit = _median(body_jit, warmup=0, reps=3 if quick else 5)
+        rows.append({
+            "metric": "tdvp_star_jit_N8", "value": t_jit * 1e3,
+            "unit": "ms", "baseline": baseline,
+            "vs_baseline": baseline / (t_jit * 1e3),
+            "detail": {"engine": "ops/tdvp_star.py jitted one-program "
+                                 "(factorized per-edge H, exact "
+                                 "d-bond splits)"}})
+    return rows
 
 
 def bench_tdvp_chain_host(quick=False):
