@@ -278,3 +278,126 @@ def dmrg_star_heisenberg(K: int, J: float = 1.0, h: float = 0.0,
     leaves0 = jnp.asarray(rng.standard_normal((K, d, d)), dtype)
     return dmrg_star_run(A, B, h_hub, hub0, leaves0,
                          n_sweeps=n_sweeps, lanczos_iters=lanczos_iters)
+
+
+def star_terms_from_dense(H: np.ndarray, K: int, d: int = 2,
+                          tol: float = 1e-10, dtype=jnp.float64):
+    """Extract the engine's ``(A, B, h_hub)`` from a DENSE star-local
+    Hamiltonian (site order: hub first, then leaves 1..K).
+
+    Hilbert-Schmidt orthogonal projection onto an orthonormal per-site
+    operator basis {B_i} (B_0 = I/sqrt(d), the rest traceless): any
+    star-local H decomposes UNIQUELY as
+
+        H = c0 I + f_hub + sum_k f_k + sum_k sum_ij g[k,i,j] B_i (x) B_j
+
+    Leaf fields and the scalar fold into edge terms (I (x) f_k and
+    (c0/K) I (x) I) so the engine sees per-edge (A, B) stacks plus the
+    pure-hub field — its exact input format. Raises if H carries any
+    leaf-leaf or >2-site component (not star-local), and verifies the
+    reconstruction bit-for-bit, so TreeOperator integration cannot
+    silently mis-solve.
+    """
+    N = K + 1
+    D = d ** N
+    H = np.asarray(H, np.float64)
+    if H.shape != (D, D):
+        raise ValueError(f"H must be {D}x{D} for a {K}-leaf star of "
+                         f"d={d} sites")
+
+    # orthonormal real basis of d x d under <X,Y> = Tr(X^T Y):
+    # identity/sqrt(d), diagonal-traceless, symmetric and antisymmetric
+    # off-diagonal pairs
+    basis = [np.eye(d) / np.sqrt(d)]
+    for i in range(d - 1):
+        v = np.zeros(d)
+        v[: i + 1] = 1.0
+        v[i + 1] = -(i + 1)
+        basis.append(np.diag(v) / np.linalg.norm(v))
+    for i in range(d):
+        for j in range(i + 1, d):
+            Bm = np.zeros((d, d))
+            Bm[i, j] = Bm[j, i] = 1.0 / np.sqrt(2)
+            basis.append(Bm)
+            Bm = np.zeros((d, d))
+            Bm[i, j] = 1.0 / np.sqrt(2)
+            Bm[j, i] = -1.0 / np.sqrt(2)
+            basis.append(Bm)
+    stack = np.stack(basis)  # (d^2, d, d)
+
+    # coefficient tensor c[i0..iK] = <(x)_s B_{i_s}, H>_HS
+    coef = H.reshape([d] * N + [d] * N)
+    for site in range(N):
+        n_rem = N - site
+        # out axis of the current site at `site`, its in axis n_rem later
+        coef = np.tensordot(stack, coef,
+                            axes=([1, 2], [site, site + n_rem]))
+        coef = np.moveaxis(coef, 0, site)
+
+    idx = np.argwhere(np.abs(coef) > tol * max(1.0, np.abs(coef).max()))
+    A_terms = [[] for _ in range(K)]
+    B_terms = [[] for _ in range(K)]
+    h_hub = np.zeros((d, d))
+    c_iden = 0.0
+    for ix in idx:
+        nz = [s for s in range(N) if ix[s] != 0]
+        c = float(coef[tuple(ix)])
+        if len(nz) == 0:
+            c_iden = c * d ** (-N / 2)  # scalar shift of H
+        elif len(nz) == 1:
+            s = nz[0]
+            op_ = c * basis[ix[s]] * d ** (-(N - 1) / 2)
+            if s == 0:
+                h_hub += op_
+            else:
+                A_terms[s - 1].append(np.eye(d))
+                B_terms[s - 1].append(op_)
+        elif len(nz) == 2 and 0 in nz:
+            s = [v for v in nz if v != 0][0]
+            w = c * d ** (-(N - 2) / 2)
+            A_terms[s - 1].append(w * basis[ix[0]])
+            B_terms[s - 1].append(basis[ix[s]])
+        else:
+            raise ValueError(
+                "H is not star-local: found a term on sites "
+                f"{nz} (leaf-leaf or >2-site support)")
+    if abs(c_iden) > tol:
+        for k in range(K):
+            A_terms[k].append((c_iden / K) * np.eye(d))
+            B_terms[k].append(np.eye(d))
+    R = max(max((len(a) for a in A_terms), default=1), 1)
+    A = np.zeros((K, R, d, d))
+    B = np.zeros((K, R, d, d))
+    for k in range(K):
+        for r, (a_, b_) in enumerate(zip(A_terms[k], B_terms[k])):
+            A[k, r] = a_
+            B[k, r] = b_
+
+    # exactness check: reconstruct and compare
+    def kron_at(ops):
+        out = np.eye(1)
+        for v in range(N):
+            out = np.kron(out, ops.get(v, np.eye(d)))
+        return out
+
+    rec = kron_at({0: h_hub})
+    for k in range(K):
+        for r in range(R):
+            rec = rec + kron_at({0: A[k, r], k + 1: B[k, r]})
+    err = np.abs(rec - H).max()
+    if err > 1e-8 * max(1.0, np.abs(H).max()):
+        raise ValueError(f"star term extraction failed: {err:.2e}")
+    return (jnp.asarray(A, dtype), jnp.asarray(B, dtype),
+            jnp.asarray(h_hub, dtype))
+
+
+def star_terms_from_treeoperator(op, hub, leaves, dtype=jnp.float64):
+    """(A, B, h_hub) for the star engines from a library TreeOperator:
+    densify (the star engines' domain is K <~ 12 where this is cheap —
+    the hub core itself is d^(K+1)), then Hilbert-Schmidt-project onto
+    star-local terms with an exactness assert (star_terms_from_dense).
+    Site order: hub first, then `leaves` in engine leg order."""
+    order = [hub] + list(leaves)
+    H = np.asarray(op.to_dense_matrix(order=order))
+    d = op.site_in[hub].dim
+    return star_terms_from_dense(H, K=len(leaves), d=d, dtype=dtype)

@@ -366,3 +366,44 @@ def test_dmrg_star_engine_general_terms():
         H -= 0.7 * kron_at({v: X})
     e_exact = np.linalg.eigvalsh(H)[0]
     assert abs(float(e) - e_exact) < 1e-10, (float(e), e_exact)
+
+
+def test_star_terms_from_treeoperator_roundtrip():
+    """TreeOperator -> (A, B, h_hub) extraction (Hilbert-Schmidt
+    projection with exactness assert) feeds the star engine: energy
+    matches dense ED; non-star operators are rejected."""
+    import networkx as nx
+
+    from tensor4all_tpu.models.spin import dense_heisenberg, heisenberg
+    from tensor4all_tpu.ops.dmrg_star import (
+        dmrg_star_run,
+        star_terms_from_dense,
+        star_terms_from_treeoperator,
+    )
+    from tensor4all_tpu.treetn.network import random_treetn
+
+    K = 5
+    g = nx.star_graph(K)
+    _, si = random_treetn(jax.random.PRNGKey(0), g,
+                          {n: [2] for n in g.nodes}, bond_dim=2)
+    op = heisenberg(g, {n: si[n][0] for n in g.nodes}, h=0.3)
+    A, B, h_hub = star_terms_from_treeoperator(
+        op, hub=0, leaves=list(range(1, K + 1)))
+    rng = np.random.default_rng(0)
+    hub0 = jnp.asarray(rng.standard_normal((2,) * (K + 1)))
+    leaves0 = jnp.asarray(rng.standard_normal((K, 2, 2)))
+    e, _, _ = dmrg_star_run(A, B, h_hub, hub0, leaves0, n_sweeps=8,
+                            lanczos_iters=12)
+    e0 = np.linalg.eigvalsh(
+        np.asarray(dense_heisenberg(g, list(g.nodes), h=0.3)))[0]
+    assert abs(float(e) - e0) < 1e-10
+
+    # a CHAIN operator mislabeled as a star must be rejected (it has a
+    # leaf-leaf term)
+    g2 = nx.path_graph(4)
+    _, si2 = random_treetn(jax.random.PRNGKey(1), g2,
+                           {n: [2] for n in g2.nodes}, bond_dim=2)
+    op2 = heisenberg(g2, {n: si2[n][0] for n in g2.nodes})
+    H2 = np.asarray(op2.to_dense_matrix(order=[1, 0, 2, 3]))
+    with pytest.raises(ValueError, match="not star-local"):
+        star_terms_from_dense(H2, K=3)
