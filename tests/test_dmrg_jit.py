@@ -407,3 +407,42 @@ def test_star_terms_from_treeoperator_roundtrip():
     H2 = np.asarray(op2.to_dense_matrix(order=[1, 0, 2, 3]))
     with pytest.raises(ValueError, match="not star-local"):
         star_terms_from_dense(H2, K=3)
+
+
+def test_dmrg_star_engine_qutrit_random_star_local():
+    """General d (qutrit) star: random star-local Hermitian terms,
+    extraction + engine vs dense ED — exercises the general-d operator
+    basis and the d-bond exact splits beyond spin-1/2."""
+    from tensor4all_tpu.ops.dmrg_star import (
+        dmrg_star_run,
+        star_terms_from_dense,
+    )
+
+    rng = np.random.default_rng(0)
+    K, d = 3, 3
+    N = K + 1
+
+    def kron_at(ops):
+        out = np.eye(1)
+        for v in range(N):
+            out = np.kron(out, ops.get(v, np.eye(d)))
+        return out
+
+    def rand_herm():
+        X = rng.standard_normal((d, d))
+        return (X + X.T) / 2
+
+    H = kron_at({0: rand_herm()})
+    for k in range(1, N):
+        for _ in range(2):
+            H += kron_at({0: rand_herm(), k: rand_herm()})
+        H += kron_at({k: rand_herm()})
+    H += 0.37 * np.eye(d ** N)
+
+    A, B, h_hub = star_terms_from_dense(H, K=K, d=d)
+    hub0 = jnp.asarray(rng.standard_normal((d,) * (K + 1)))
+    leaves0 = jnp.asarray(rng.standard_normal((K, d, d)))
+    e, _, _ = dmrg_star_run(A, B, h_hub, hub0, leaves0, n_sweeps=10,
+                            lanczos_iters=16)
+    e0 = np.linalg.eigvalsh(H)[0]
+    assert abs(float(e) - e0) < 1e-10
