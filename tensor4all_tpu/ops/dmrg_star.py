@@ -24,6 +24,14 @@ to the star:
 
 Scope: single-site legs (the benchmark shape). Longer legs reduce to
 chains hanging off the hub and are served by the framework engine.
+
+Backend note: this is a LATENCY-bound engine for tiny tensors (the
+K=7 benchmark state is 256 elements) — run it on the CPU backend,
+where the whole multi-sweep program executes in ~15 ms. Dispatching a
+256-element problem to an accelerator buys nothing, and the tunneled
+TPU compile service additionally rejects deeply-unrolled programs of
+tiny decompositions (SIGABRT in the AOT helper, 2026-08-18); large-chi
+work belongs to ops/dmrg_chain.py, which is the TPU path.
 """
 
 from __future__ import annotations

@@ -13,9 +13,10 @@ GEMM-only tridiagonal exp(cT)e0 (`ops.tdvp_chain._expm_tridiag_e0`);
 splits are exact (leaf Schmidt rank <= d) and keep the center at the
 hub. The whole multi-step run is ONE XLA program.
 
-Real `sweep dtype` serves imaginary time on complex-less TPUs; complex
-dtypes serve real time (CPU / complex-capable backends) — same contract
-as `ops.tdvp_chain.tdvp_run`.
+Real `sweep dtype` serves imaginary time in real arithmetic; complex
+dtypes serve real time — same contract as `ops.tdvp_chain.tdvp_run`.
+Like ops.dmrg_star this is a latency-bound CPU-first engine (see the
+backend note there); large-chi evolution belongs to ops/tdvp_chain.py.
 """
 
 from __future__ import annotations
