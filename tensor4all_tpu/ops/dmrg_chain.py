@@ -246,7 +246,7 @@ def _rayleigh_chain(h: jnp.ndarray, mps: jnp.ndarray) -> jnp.ndarray:
                               "coarse_ns_split", "fine_precision",
                               "fine_reortho", "gemm2_apply",
                               "fine_ns_inner", "ritz_solver",
-                              "energy_precision")
+                              "energy_precision", "fine_half_sweep")
 )
 def dmrg_run(
     h: jnp.ndarray,
@@ -265,6 +265,7 @@ def dmrg_run(
     fine_ns_inner: bool = False,
     ritz_solver: str = "bisect",
     energy_precision: str = "f64",
+    fine_half_sweep: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run `n_sweeps` full (left-right-left) two-site DMRG sweeps.
 
@@ -367,14 +368,16 @@ def dmrg_run(
                             ns_inner=fine_ns_inner,
                             gemm2_apply=gemm2_apply,
                             ritz=ritz_solver,
-                            energy_precision=energy_precision)
+                            energy_precision=energy_precision,
+                            half_sweep=fine_half_sweep)
 
 
 def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype,
                  split_iters: int = 2, store_bf16: bool = False,
                  reortho: bool = True, ns_split: bool = False,
                  ns_inner: bool = False, gemm2_apply: bool = False,
-                 ritz: str = "eigh", energy_precision: str = "f64"):
+                 ritz: str = "eigh", energy_precision: str = "f64",
+                 half_sweep: bool = False):
     N, chi, d, _ = mps0.shape
     w = h.shape[1]
     hi_dtype = mps0.dtype
@@ -634,14 +637,26 @@ def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype,
         return jax.lax.dynamic_update_index_in_dim(stacked, val, k, axis=0)
 
     def right_env_scan(mps):
-        """Rs[k] = env right of bond (k, k+1), k = 0..N-2."""
+        """Rs[k] = env right of the TWO-SITE block (k, k+1): cores
+        k+2..N-1 (Rs[N-2] is the boundary). The previous version was
+        off by one (env{k+1..}): the forward half-sweeps optimized /
+        evolved against an H_eff with site k+1 double-counted — a
+        dense-H_eff probe shows that operator has spurious states BELOW
+        the true constrained optimum. DMRG still converged because the
+        BACKWARD half-sweep (whose env carry is built incrementally and
+        was always correct) re-solves every bond variationally each
+        sweep; the fwd half was wasted work. Found 2026-08-18 while
+        validating a fine_half_sweep knob: a forward half-sweep on a
+        CONVERGED state moved the energy by 2e-3 instead of being the
+        identity."""
 
         def body(R, k):
             Rn = update_right_env(R, get(mps, k), get(hs, k))
             return Rn, Rn
 
-        _, Rs = jax.lax.scan(body, R_bound, jnp.arange(N - 1, 0, -1))
-        return jnp.flip(Rs, axis=0)
+        _, Rs = jax.lax.scan(body, R_bound, jnp.arange(N - 1, 1, -1))
+        Rs = jnp.flip(Rs, axis=0)
+        return jnp.concatenate([Rs, R_bound[None]], axis=0)
 
     def one_sweep(_, state):
         mps, energy = state
@@ -683,8 +698,39 @@ def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype,
         return mps, energy
 
     mps, _ = jax.lax.fori_loop(
-        0, n_sweeps, one_sweep, (mps, jnp.float64(0.0))
+        0, n_sweeps - (1 if half_sweep else 0), one_sweep,
+        (mps, jnp.float64(0.0))
     )
+    if half_sweep:
+        # final FORWARD half only: after coarse convergence one pass
+        # re-factorizes every core at the fine grade; the mirror half
+        # re-solves bonds the forward half just solved (roofline note
+        # 2026-08-18: the fine sweep is 64% of the chi=512 run, its
+        # mirror half buys ~0 energy at the contract grade). The state
+        # ends LEFT-canonical; the Rayleigh epilogue is gauge-free.
+        def fwd_only(state):
+            mps, energy = state
+
+            def fwd_body(carry, x):
+                k, Rk = x
+                mps, L, _ = carry
+                A, B = get(mps, k), get(mps, k + 1)
+                theta0 = jnp.einsum("asb,btc->astc", A, B)
+                e, theta = lanczos_ground(theta0, L, get(hs, k),
+                                          get(hs, k + 1), Rk)
+                left, right = split_theta(
+                    theta, A.reshape(chi * d, chi), toward_right=True)
+                mps = put(put(mps, k, left), k + 1, right)
+                L_next = update_left_env(L, left, get(hs, k))
+                return (mps, L_next, e), None
+
+            Rs = right_env_scan(mps)
+            (mps, _, energy), _ = jax.lax.scan(
+                fwd_body, (mps, L_bound, energy),
+                (jnp.arange(N - 1), Rs))
+            return mps, energy
+
+        mps, _ = fwd_only((mps, jnp.float64(0.0)))
     # Full-precision global Rayleigh quotient: a sweep-dtype state error
     # eps costs only O(eps^2) here (variational bound). Under 'mixed' the
     # quotient itself is evaluated at f32-'highest' grade (~1e-6 relative,
@@ -895,12 +941,15 @@ def dmrg_run_sharded(
                                                        axis=0)
 
         def right_env_scan(mps):
+            # Rs[k] = env of cores k+2..N-1 (right of block (k, k+1));
+            # see the unsharded right_env_scan for the off-by-one note
             def rbody(R, k):
                 Rn = update_right_env(R, get(mps, k), get(hs_r, k))
                 return Rn, Rn
 
-            _, Rs = jax.lax.scan(rbody, R_bound, jnp.arange(N - 1, 0, -1))
-            return jnp.flip(Rs, axis=0)
+            _, Rs = jax.lax.scan(rbody, R_bound, jnp.arange(N - 1, 1, -1))
+            Rs = jnp.flip(Rs, axis=0)
+            return jnp.concatenate([Rs, R_bound[None]], axis=0)
 
         def one_sweep(_, state):
             mps, energy = state

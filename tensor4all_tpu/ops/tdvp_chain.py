@@ -346,12 +346,15 @@ def _tdvp_sweeps(h, mps0, t, nsteps, order, krylov_m, sweep_dtype,
         return jax.lax.dynamic_update_index_in_dim(stacked, val, k, axis=0)
 
     def right_env_scan(mps):
+        # Rs[k] = env of cores k+2..N-1 (right of block (k, k+1));
+        # see ops.dmrg_chain.right_env_scan for the off-by-one history
         def body(R, k):
             Rn = update_right_env(R, get(mps, k), get(hs, k))
             return Rn, Rn
 
-        _, Rs = jax.lax.scan(body, R_bound, jnp.arange(N - 1, 0, -1))
-        return jnp.flip(Rs, axis=0)
+        _, Rs = jax.lax.scan(body, R_bound, jnp.arange(N - 1, 1, -1))
+        Rs = jnp.flip(Rs, axis=0)
+        return jnp.concatenate([Rs, R_bound[None]], axis=0)
 
     def right_orthogonalize_padded(mps, renorm=False):
         """In-program right-orthogonalization: QR gauge sweep N-1..1.
@@ -808,12 +811,15 @@ def tdvp_run_sharded(
                                                        axis=0)
 
         def right_env_scan(mps):
+            # Rs[k] = env of cores k+2..N-1 (right of block (k, k+1));
+            # see the unsharded right_env_scan for the off-by-one note
             def rbody(R, k):
                 Rn = update_right_env(R, get(mps, k), get(hs_r, k))
                 return Rn, Rn
 
-            _, Rs = jax.lax.scan(rbody, R_bound, jnp.arange(N - 1, 0, -1))
-            return jnp.flip(Rs, axis=0)
+            _, Rs = jax.lax.scan(rbody, R_bound, jnp.arange(N - 1, 1, -1))
+            Rs = jnp.flip(Rs, axis=0)
+            return jnp.concatenate([Rs, R_bound[None]], axis=0)
 
         def right_orthogonalize_padded(mps, renorm=False):
             # renorm: same TPU denormal-flush guard as the unsharded

@@ -558,13 +558,19 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
         return jax.lax.dynamic_update_index_in_dim(stacked, val, k, axis=0)
 
     def right_env_scan(mr, mi):
+        # Rs[k] = env of cores k+2..N-1 (right of block (k, k+1));
+        # see ops.dmrg_chain.right_env_scan for the off-by-one history
         def body(R, k):
             Rn = update_right_env(R[0], R[1], get(mr, k), get(mi, k),
                                   get(hs, k))
             return Rn, Rn
 
-        _, Rs = jax.lax.scan(body, (Rb_r, Zb), jnp.arange(N - 1, 0, -1))
-        return (jnp.flip(Rs[0], axis=0), jnp.flip(Rs[1], axis=0))
+        _, Rs = jax.lax.scan(body, (Rb_r, Zb), jnp.arange(N - 1, 1, -1))
+        Rr = jnp.concatenate([jnp.flip(Rs[0], axis=0), Rb_r[None]],
+                             axis=0)
+        Ri = jnp.concatenate([jnp.flip(Rs[1], axis=0), Zb[None]],
+                             axis=0)
+        return (Rr, Ri)
 
     def right_orthogonalize_padded(mr, mi, renorm=False):
         """QR gauge sweep via polar orthonormalization of each core's

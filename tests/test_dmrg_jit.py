@@ -446,3 +446,34 @@ def test_dmrg_star_engine_qutrit_random_star_local():
                             lanczos_iters=16)
     e0 = np.linalg.eigvalsh(H)[0]
     assert abs(float(e) - e0) < 1e-10
+
+
+def test_dmrg_fwd_half_sweep_is_identity_on_converged_state():
+    """Regression for the right-environment off-by-one (2026-08-18): the
+    forward half-sweep optimized against an H_eff with site k+1
+    double-counted (a dense probe showed that operator has spurious
+    states BELOW the true constrained optimum — a forward half-sweep on
+    a CONVERGED state moved the energy by 2e-3). With correct envs a
+    half-sweep on a converged state is the identity, which also makes
+    fine_half_sweep a valid production schedule."""
+    from tensor4all_tpu.ops.dmrg_chain import dmrg_run
+
+    g = nx.path_graph(8)
+    _, si = random_treetn(jax.random.PRNGKey(0), g,
+                          {n: [2] for n in g.nodes}, bond_dim=2)
+    op = heisenberg(g, {n: si[n][0] for n in g.nodes})
+    from tensor4all_tpu.ops.dmrg_chain import pad_mpo, pad_mps
+    from tensor4all_tpu.tt.tensortrain import TensorTrain
+
+    h = pad_mpo([jnp.asarray(c) for c in
+                 treeoperator_to_mpo_cores(op, list(range(8)))])
+    tt = TensorTrain.random(jax.random.PRNGKey(1), [2] * 8, rank=32,
+                            dtype=jnp.float64)
+    mps0 = pad_mps(tt.cores, 32)
+    e0 = np.linalg.eigvalsh(
+        np.asarray(dense_heisenberg(g, list(g.nodes))))[0]
+    _, mps = dmrg_run(h, mps0, n_sweeps=4, lanczos_iters=16)
+    for m in (2, 16):
+        e_h, _ = dmrg_run(h, mps, n_sweeps=1, lanczos_iters=m,
+                          fine_half_sweep=True)
+        assert abs(float(e_h) - e0) < 1e-10, (m, float(e_h), e0)
