@@ -107,7 +107,13 @@ def run(median_time):
         from benchmarks.mxu import PEAK_BF16_TFLOPS
         from tensor4all_tpu.ops.dmrg_chain import dmrg_sweep_flops
 
-        for chip, sweeps, lanc in ((256, 6, 16), (512, 4, 16),
+        # sweep counts re-tuned after the right-env off-by-one fix
+        # (ccbcd5b): the forward half-sweeps now do real optimization,
+        # so the same 1e-8-grade e/site needs 2 FEWER sweeps at
+        # chi=256/512 (grid 2026-08-18: chi=256 ns=4 -0.43741605,
+        # chi=512 ns=3 -0.43741620, both matching the old 6/4-sweep
+        # energies; chi=512 even converges at ns=2 / 712 ms).
+        for chip, sweeps, lanc in ((256, 4, 16), (512, 3, 16),
                                    (1024, 3, 16)):
             try:
                 Np = 32

@@ -1015,7 +1015,8 @@ def dmrg_sweep_flops(N: int, chi: int, d: int, w: int,
                      coarse_ns_split: bool = False,
                      fine_reortho: bool = True,
                      gemm2_apply: bool = False,
-                     fine_ns_inner: bool = False) -> float:
+                     fine_ns_inner: bool = False,
+                     fine_half_sweep: bool = False) -> float:
     """Analytic FLOP count of ``dmrg_run``'s sweep loop (VERDICT r1 #1:
     MFU must be measured on the REAL engine, not a synthetic kernel).
 
@@ -1085,7 +1086,12 @@ def dmrg_sweep_flops(N: int, chi: int, d: int, w: int,
     per_sweep = 2 * (N - 1) * per_update + (N - 1) * env_f
     per_sweep_coarse = 2 * (N - 1) * per_update_coarse + (N - 1) * env_f
     fine = max(0, n_sweeps - coarse_sweeps)
-    return fine * per_sweep + min(coarse_sweeps, n_sweeps) * per_sweep_coarse
+    total = fine * per_sweep + min(coarse_sweeps, n_sweeps) * per_sweep_coarse
+    if fine_half_sweep and fine > 0:
+        # the LAST fine sweep runs its forward half only: (N-1) updates
+        # instead of 2(N-1); the env scan still runs once
+        total -= (N - 1) * per_update
+    return total
 
 
 def treeoperator_to_mpo_cores(op, order) -> List[np.ndarray]:
