@@ -465,9 +465,47 @@ def bench_local_linsolve(quick=False):
         square_linsolve(op, bb, x0, options=opts)
 
     t = _median(body, warmup=1, reps=2)
-    return {"metric": "local_linsolve_N38_chi32_1sweep", "value": t,
-            "unit": "s", "baseline": 6.89 / 2,  # ref runs 2 sweeps/74 steps
-            "vs_baseline": (6.89 / 2) / t}
+    rows = [{"metric": "local_linsolve_N38_chi32_1sweep", "value": t,
+             "unit": "s", "baseline": 6.89 / 2,  # ref runs 2 sweeps/74 steps
+             "vs_baseline": (6.89 / 2) / t}]
+    # jitted ONE-PROGRAM chain linsolve engine (ops/linsolve_chain.py):
+    # the same 1-sweep (a0 + a1 H)x = b solve in one XLA program with
+    # fixed-m MINRES local solves
+    import jax.numpy as jnp
+
+    from tensor4all_tpu.ops.dmrg_chain import treeoperator_to_mpo_cores
+    from tensor4all_tpu.ops.linsolve_chain import (
+        linsolve_run,
+        pad_mpo,
+        pad_mps,
+    )
+    from tensor4all_tpu.tt.tensortrain import TensorTrain
+
+    h = pad_mpo([jnp.asarray(c, jnp.float64) for c in
+                 treeoperator_to_mpo_cores(op, list(range(N)))])
+    bt = TensorTrain.random(jax.random.PRNGKey(11), [2] * N, rank=16,
+                            dtype=jnp.float64)
+    bpad = pad_mps(list(bt.cores), 16)
+    xt = TensorTrain.random(jax.random.PRNGKey(12), [2] * N, rank=16,
+                            dtype=jnp.float64)
+    xpad = pad_mps(list(xt.cores), 32)
+    out_jit = {}
+
+    def body_jit():
+        rel, _ = linsolve_run(h, bpad, xpad, 1.0, 0.05, n_sweeps=1,
+                              minres_m=10)
+        out_jit["rel"] = float(rel)
+
+    body_jit()  # compile
+    t_jit = _median(body_jit, warmup=0, reps=3 if quick else 5)
+    rows.append({
+        "metric": "linsolve_chain_jit_N38", "value": t_jit,
+        "unit": "s", "baseline": 6.89 / 2,
+        "vs_baseline": (6.89 / 2) / t_jit,
+        "detail": {"rel_residual_report": out_jit["rel"],
+                   "engine": "ops/linsolve_chain.py jitted one-program "
+                             "(fixed-m MINRES local solves)"}})
+    return rows
 
 
 def _aci_deterministic_tt(input_index: int, n_sites: int, d: int, chi: int):

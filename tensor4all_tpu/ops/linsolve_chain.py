@@ -1,0 +1,362 @@
+"""Fully-jitted two-site linear-system solver for chains:
+variational ``(a0 + a1 H) x = b`` sweeps in ONE XLA program — the
+`ops.dmrg_chain` bucket-and-mask design applied to the reference's
+third sweeping solver (ref tensor4all-treetn/src/linsolve.rs; the
+framework path is `treetn/linsolve.py::square_linsolve`).
+
+Per two-site block (canonical gauge, so the local metric is the
+identity): solve ``A_loc theta = b_loc`` with
+``A_loc = a0 I + a1 H_eff`` (H_eff through the same L/W/W/R
+environments as DMRG) and ``b_loc`` the projection of b through mixed
+<x|b> environments. The local solver is fixed-m MINRES (Lanczos on the
+SYMMETRIC A_loc + a dense least-squares on the (m+1, m) tridiagonal —
+A_loc is symmetric but generally indefinite, so CG is out and MINRES is
+the Krylov method of choice; the reference uses GMRES, which reduces to
+MINRES for symmetric operators). Splits reuse the column-equilibrated
+subspace-QR (`_colnorm_qr`).
+
+Everything is padded/static: the whole multi-sweep solve (gauge +
+environments + sweeps + final residual report) is one device program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .dmrg_chain import _colnorm_qr, pad_mpo, pad_mps  # noqa: F401
+
+
+def pad_rhs(cores, chi_b: int) -> jnp.ndarray:
+    """Pad a right-hand-side TT's cores to a (N, chi_b, d, chi_b) stack."""
+    return pad_mps(cores, chi_b)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_sweeps", "minres_m", "sweep_dtype"),
+)
+def linsolve_run(
+    h: jnp.ndarray,
+    b: jnp.ndarray,
+    x0: jnp.ndarray,
+    a0: float,
+    a1: float,
+    n_sweeps: int = 2,
+    minres_m: int = 10,
+    sweep_dtype=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sweep-solve ``(a0 + a1 H) x = b``; returns (rel_residual, x).
+
+    Args:
+      h: (N, w, d, d, w) padded MPO.
+      b: (N, chi_b, d, chi_b) padded right-hand side.
+      x0: (N, chi, d, chi) padded initial guess (gauged inside).
+      a0, a1: the affine operator coefficients (traced — re-solving with
+        new coefficients does not recompile).
+      n_sweeps: full (left-right-left) two-site sweeps.
+      minres_m: fixed Krylov dimension of each local MINRES solve.
+
+    The returned rel_residual is the GLOBAL ||(a0 + a1 H) x - b|| /
+    ||b|| evaluated by transfer contractions at the sweep dtype.
+    """
+    st = jnp.dtype(sweep_dtype) if sweep_dtype is not None else x0.dtype
+    return _linsolve_sweeps(h.astype(st), b.astype(st), x0.astype(st),
+                            jnp.asarray(a0, st), jnp.asarray(a1, st),
+                            int(n_sweeps), int(minres_m))
+
+
+def _linsolve_sweeps(h, b, x, a0, a1, n_sweeps, m):
+    N, chi, d, _ = x.shape
+    chib = b.shape[1]
+    w = h.shape[1]
+    st = x.dtype
+    hs = h
+
+    def norm_of(A):
+        return jnp.sqrt(jnp.sum(jnp.abs(A) ** 2).astype(jnp.float64))
+
+    def get(stacked, k):
+        return jax.lax.dynamic_index_in_dim(stacked, k, keepdims=False)
+
+    def put(stacked, k, val):
+        return jax.lax.dynamic_update_index_in_dim(stacked, val, k,
+                                                   axis=0)
+
+    # ---- initial gauge: right-orthogonalize x (same denormal-safe
+    # per-step renorm as ops.tdvp_chain — scale is irrelevant for the
+    # SOLUTION of a linear system only up to the rhs, so the absorbed
+    # scale is tracked and folded back into core 0)
+    core_scale = jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True)
+    x = x / jnp.where(core_scale > 0, core_scale, 1.0)
+    core_norms = jnp.sqrt(jnp.sum(jnp.abs(x) ** 2, axis=(1, 2, 3),
+                                  keepdims=True))
+    x = x / jnp.where(core_norms > 0, core_norms, 1.0)
+
+    def right_orthogonalize(x):
+        def body(carry, k):
+            x = carry
+            A = get(x, k)
+            M = A.reshape(chi, d * chi)
+            Q1, R1 = jnp.linalg.qr(jnp.conj(M).T)
+            core = jnp.conj(Q1).T.reshape(chi, d, chi)
+            prev = jnp.einsum("adb,bc->adc", get(x, k - 1),
+                              jnp.conj(R1).T)
+            mx = jnp.max(jnp.abs(prev))
+            prev = prev / jnp.where(mx > 0, mx, 1.0)
+            pn = jnp.sqrt(jnp.sum(jnp.abs(prev) ** 2))
+            prev = prev / jnp.where(pn > 0, pn, 1.0).astype(st)
+            return put(put(x, k, core), k - 1, prev), None
+
+        x, _ = jax.lax.scan(body, x, jnp.arange(N - 1, 0, -1))
+        return x
+
+    x = right_orthogonalize(x)
+
+    # ---- environments
+    L_bound = jnp.zeros((chi, w, chi), st).at[0, 0, 0].set(1.0)
+    R_bound = jnp.zeros((chi, w, chi), st).at[0, 0, 0].set(1.0)
+    Lb_bound = jnp.zeros((chi, chib), st).at[0, 0].set(1.0)
+    Rb_bound = jnp.zeros((chi, chib), st).at[0, 0].set(1.0)
+
+    def update_left_env(L, A, W):
+        return jnp.einsum("alx,aib,loir,xoB->brB", L, A, W,
+                          jnp.conj(A), optimize=True)
+
+    def update_right_env(R, A, W):
+        return jnp.einsum("brB,aib,loir,xoB->alx", R, A, W,
+                          jnp.conj(A), optimize=True)
+
+    def update_left_benv(Lb, A, Bc):
+        # Lb[x-bond, b-bond]: contract conj(x core) with b core
+        return jnp.einsum("pB,piq,BiC->qC", Lb, jnp.conj(A), Bc,
+                          optimize=True)
+
+    def update_right_benv(Rb, A, Bc):
+        return jnp.einsum("aB,qia,CiB->qC", Rb, jnp.conj(A), Bc,
+                          optimize=True)
+
+    def right_env_scan(x):
+        # Rs[k] = H-env of cores k+2..N-1 (see ops.dmrg_chain)
+        def body(R, k):
+            Rn = update_right_env(R, get(x, k), get(hs, k))
+            return Rn, Rn
+
+        _, Rs = jax.lax.scan(body, R_bound, jnp.arange(N - 1, 1, -1))
+        Rs = jnp.flip(Rs, axis=0)
+        return jnp.concatenate([Rs, R_bound[None]], axis=0)
+
+    def right_benv_scan(x):
+        def body(Rb, k):
+            Rn = update_right_benv(Rb, get(x, k), get(b, k))
+            return Rn, Rn
+
+        _, Rbs = jax.lax.scan(body, Rb_bound, jnp.arange(N - 1, 1, -1))
+        Rbs = jnp.flip(Rbs, axis=0)
+        return jnp.concatenate([Rbs, Rb_bound[None]], axis=0)
+
+    def apply_local(th, L, Wl, Wr, R):
+        y = jnp.einsum("alx,lpim,mqjr,aijb,brB->xpqB",
+                       L, Wl, Wr, th, R, optimize=True)
+        return a0 * th + a1 * y
+
+    def local_rhs(Lb, bk, bk1, Rb):
+        return jnp.einsum("aB,BiC,CjD,eD->aije", Lb, bk, bk1, Rb,
+                          optimize=True)
+
+    def minres(theta0, b_loc, L, Wl, Wr, R):
+        """Fixed-m MINRES: Lanczos on A_loc from r0, then the dense
+        (m+1, m) tridiagonal least squares (solved via its normal
+        equations — T^T T is m x m SPD, well-conditioned at these m)."""
+        r0 = b_loc - apply_local(theta0, L, Wl, Wr, R)
+        beta = norm_of(r0)
+        v = r0 / jnp.maximum(beta, 1e-300).astype(st)
+        basis = jnp.zeros((m,) + theta0.shape, st)
+        alphas = jnp.zeros((m,), jnp.float64)
+        betas = jnp.zeros((m + 1,), jnp.float64)
+
+        def body(i, carry):
+            basis, alphas, betas, v, v_prev, b_prev = carry
+            basis = basis.at[i].set(v)
+            hv = apply_local(v, L, Wl, Wr, R)
+            a_ = jnp.real(jnp.sum(jnp.conj(v) * hv))
+            hv = hv - a_.astype(st) * v - b_prev.astype(st) * v_prev
+            # full reorthogonalization (m is small; keeps T faithful)
+            ov = jnp.einsum("m...,...->m", jnp.conj(basis), hv)
+            mask = (jnp.arange(m) <= i).astype(st)
+            hv = hv - jnp.einsum("m,m...->...", ov * mask, basis)
+            b_ = norm_of(hv)
+            v_next = hv / jnp.maximum(b_, 1e-300).astype(st)
+            alphas = alphas.at[i].set(a_.astype(jnp.float64))
+            betas = betas.at[i + 1].set(b_)
+            return (basis, alphas, betas, v_next, v, b_)
+
+        carry = (basis, alphas, betas, v, jnp.zeros_like(v),
+                 jnp.float64(0.0))
+        basis, alphas, betas, _, _, _ = jax.lax.fori_loop(
+            0, m, body, carry)
+        # T_bar ((m+1) x m): diag alphas, super/sub betas[1..m]
+        Tb = jnp.zeros((m + 1, m), jnp.float64)
+        Tb = Tb.at[jnp.arange(m), jnp.arange(m)].set(alphas)
+        Tb = Tb.at[jnp.arange(1, m + 1), jnp.arange(m)].set(betas[1:])
+        Tb = Tb.at[jnp.arange(m - 1), jnp.arange(1, m)].set(betas[1:m])
+        rhs = jnp.zeros((m + 1,), jnp.float64).at[0].set(beta)
+        G = Tb.T @ Tb
+        G = G + 1e-14 * jnp.trace(G) / m * jnp.eye(m, dtype=jnp.float64)
+        y = jnp.linalg.solve(G, Tb.T @ rhs)
+        dtheta = jnp.einsum("m,m...->...", y.astype(st), basis)
+        return theta0 + dtheta
+
+    def split_theta(theta, Q0, toward_right):
+        mat = theta.reshape(chi * d, d * chi)
+        if toward_right:
+            Q = _colnorm_qr(mat @ (jnp.conj(mat).T @ Q0))
+            Q = _colnorm_qr(mat @ (jnp.conj(mat).T @ Q))
+            left = Q.reshape(chi, d, chi)
+            right = (jnp.conj(Q).T @ mat).reshape(chi, d, chi)
+        else:
+            Q = _colnorm_qr(jnp.conj(mat).T @ (mat @ Q0))
+            Q = _colnorm_qr(jnp.conj(mat).T @ (mat @ Q))
+            right = jnp.conj(Q).T.reshape(chi, d, chi)
+            left = (mat @ Q).reshape(chi, d, chi)
+        return left, right
+
+    def one_sweep(_, x):
+        Rs = right_env_scan(x)
+        Rbs = right_benv_scan(x)
+
+        def fwd(carry, k):
+            x, L, Lb = carry
+            A, B2 = get(x, k), get(x, k + 1)
+            theta0 = jnp.einsum("asb,btc->astc", A, B2)
+            theta = minres(
+                theta0,
+                local_rhs(Lb, get(b, k), get(b, k + 1), get(Rbs, k)),
+                L, get(hs, k), get(hs, k + 1), get(Rs, k))
+            left, right = split_theta(theta, A.reshape(chi * d, chi),
+                                      toward_right=True)
+            x = put(put(x, k, left), k + 1, right)
+            L = update_left_env(L, left, get(hs, k))
+            Lb = update_left_benv(Lb, left, get(b, k))
+            return (x, L, Lb), (L, Lb)
+
+        (x, _, _), (Ls, Lbs) = jax.lax.scan(
+            fwd, (x, L_bound, Lb_bound), jnp.arange(N - 1))
+
+        def bwd(carry, xk):
+            k, Lk, Lbk = xk
+            x, R, Rb = carry
+            A, B2 = get(x, k), get(x, k + 1)
+            theta0 = jnp.einsum("asb,btc->astc", A, B2)
+            theta = minres(theta0,
+                           local_rhs(Lbk, get(b, k), get(b, k + 1), Rb),
+                           Lk, get(hs, k), get(hs, k + 1), R)
+            left, right = split_theta(
+                theta, B2.reshape(chi, d * chi).T, toward_right=False)
+            x = put(put(x, k, left), k + 1, right)
+            R = update_right_env(R, right, get(hs, k + 1))
+            Rb = update_right_benv(Rb, right, get(b, k + 1))
+            return (x, R, Rb), None
+
+        # bwd at bond k needs the PRE-update left envs of bond k: those
+        # are the envs EMITTED at bond k-1 of the fwd scan (env of
+        # cores 0..k-1); bond 0 uses the boundaries
+        Ls_pre = jnp.concatenate([L_bound[None], Ls[:-1]], axis=0)
+        Lbs_pre = jnp.concatenate([Lb_bound[None], Lbs[:-1]], axis=0)
+        ks_bwd = jnp.arange(N - 2, -1, -1)
+        (x, _, _), _ = jax.lax.scan(
+            bwd, (x, R_bound, Rb_bound),
+            (ks_bwd, Ls_pre[ks_bwd], Lbs_pre[ks_bwd]))
+        return x
+
+    x = jax.lax.fori_loop(0, n_sweeps, one_sweep, x)
+
+    # ---- global relative residual ||(a0 + a1 H) x - b|| / ||b||
+    # via transfer contractions: ||r||^2 = <x|(a0+a1H)^2|x>
+    #   - 2 <b|(a0+a1H)|x> + <b|b>  expanded into H-moment scans
+    def scan_xx():
+        T = jnp.zeros((chi, chi), st).at[0, 0].set(1.0)
+
+        def body(T, k):
+            A = get(x, k)
+            return jnp.einsum("ax,aib,xiB->bB", T, A, jnp.conj(A),
+                              optimize=True), None
+
+        T, _ = jax.lax.scan(body, T, jnp.arange(N))
+        return jnp.real(T[0, 0])
+
+    def scan_bb():
+        T = jnp.zeros((chib, chib), st).at[0, 0].set(1.0)
+
+        def body(T, k):
+            Bc = get(b, k)
+            return jnp.einsum("ax,aib,xiB->bB", T, Bc, jnp.conj(Bc),
+                              optimize=True), None
+
+        T, _ = jax.lax.scan(body, T, jnp.arange(N))
+        return jnp.real(T[0, 0])
+
+    def scan_xhx():
+        T = jnp.zeros((chi, w, chi), st).at[0, 0, 0].set(1.0)
+
+        def body(T, k):
+            A = get(x, k)
+            return update_left_env(T, A, get(hs, k)), None
+
+        T, _ = jax.lax.scan(body, T, jnp.arange(N))
+        return jnp.real(T[0, 0, 0])
+
+    def scan_xhhx():
+        T = jnp.zeros((chi, w, w, chi), st)
+        T = T.at[0, 0, 0, 0].set(1.0)
+
+        def body(T, k):
+            A = get(x, k)
+            W = get(hs, k)
+            return jnp.einsum("almx,aib,loir,mpoq,xpB->brqB",
+                              T, A, W, W, jnp.conj(A),
+                              optimize=True), None
+
+        T, _ = jax.lax.scan(body, T, jnp.arange(N))
+        return jnp.real(T[0, 0, 0, 0])
+
+    def scan_bhx():
+        T = jnp.zeros((chi, w, chib), st).at[0, 0, 0].set(1.0)
+
+        def body(T, k):
+            A = get(x, k)
+            W = get(hs, k)
+            Bc = get(b, k)
+            return jnp.einsum("alc,aib,loir,coC->brC", T, A, W,
+                              jnp.conj(Bc), optimize=True), None
+
+        T, _ = jax.lax.scan(body, T, jnp.arange(N))
+        return jnp.real(T[0, 0, 0])
+
+    def scan_bx():
+        T = jnp.zeros((chi, chib), st).at[0, 0].set(1.0)
+
+        def body(T, k):
+            A = get(x, k)
+            Bc = get(b, k)
+            return jnp.einsum("ac,aib,ciC->bC", T, A, jnp.conj(Bc),
+                              optimize=True), None
+
+        T, _ = jax.lax.scan(body, T, jnp.arange(N))
+        return jnp.real(T[0, 0])
+
+    xx = scan_xx()
+    bb = scan_bb()
+    xhx = scan_xhx()
+    xhhx = scan_xhhx()
+    bx = scan_bx()
+    bhx = scan_bhx()
+    a0r = jnp.real(a0).astype(jnp.float64)
+    a1r = jnp.real(a1).astype(jnp.float64)
+    r2 = (a0r ** 2 * xx + 2 * a0r * a1r * xhx + a1r ** 2 * xhhx
+          - 2 * (a0r * bx + a1r * bhx) + bb)
+    rel = jnp.sqrt(jnp.maximum(r2, 0.0) / jnp.maximum(bb, 1e-300))
+    return rel.astype(jnp.float64), x
