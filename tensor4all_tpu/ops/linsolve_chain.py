@@ -204,9 +204,37 @@ def _linsolve_sweeps(h, b, x, a0, a1, n_sweeps, m):
         Tb = Tb.at[jnp.arange(1, m + 1), jnp.arange(m)].set(betas[1:])
         Tb = Tb.at[jnp.arange(m - 1), jnp.arange(1, m)].set(betas[1:m])
         rhs = jnp.zeros((m + 1,), jnp.float64).at[0].set(beta)
-        G = Tb.T @ Tb
-        G = G + 1e-14 * jnp.trace(G) / m * jnp.eye(m, dtype=jnp.float64)
-        y = jnp.linalg.solve(G, Tb.T @ rhs)
+        # least squares min ||Tb y - rhs|| by UNROLLED Givens QR + back
+        # substitution: m is tiny and this stays ELEMENTWISE-only — the
+        # TPU LuDecomposition custom call supports only f32/c64, so
+        # jnp.linalg.solve on the f64 normal matrix does not compile
+        # there (and normal equations square the condition number
+        # anyway). Dead Krylov directions give zero pivots; their y
+        # components are masked to 0.
+        tiny = jnp.float64(1e-300)
+        R_ = Tb
+        g_ = rhs
+        for i in range(m):
+            a_ = R_[i, i]
+            b2 = R_[i + 1, i]
+            r_ = jnp.sqrt(a_ * a_ + b2 * b2)
+            c_ = a_ / jnp.maximum(r_, tiny)
+            s_ = b2 / jnp.maximum(r_, tiny)
+            Ri = c_ * R_[i] + s_ * R_[i + 1]
+            Ri1 = -s_ * R_[i] + c_ * R_[i + 1]
+            R_ = R_.at[i].set(Ri).at[i + 1].set(Ri1)
+            gi = c_ * g_[i] + s_ * g_[i + 1]
+            gi1 = -s_ * g_[i] + c_ * g_[i + 1]
+            g_ = g_.at[i].set(gi).at[i + 1].set(gi1)
+        y = jnp.zeros((m,), jnp.float64)
+        for i in range(m - 1, -1, -1):
+            upper = R_[i, i + 1:] @ y[i + 1:] if i + 1 < m else 0.0
+            pivot = R_[i, i]
+            yi = jnp.where(jnp.abs(pivot) > 1e-14 * jnp.abs(R_[0, 0]),
+                           (g_[i] - upper)
+                           / jnp.where(jnp.abs(pivot) > 0, pivot, 1.0),
+                           0.0)
+            y = y.at[i].set(yi)
         dtheta = jnp.einsum("m,m...->...", y.astype(st), basis)
         return theta0 + dtheta
 
@@ -360,3 +388,40 @@ def _linsolve_sweeps(h, b, x, a0, a1, n_sweeps, m):
           - 2 * (a0r * bx + a1r * bhx) + bb)
     rel = jnp.sqrt(jnp.maximum(r2, 0.0) / jnp.maximum(bb, 1e-300))
     return rel.astype(jnp.float64), x
+
+
+def linsolve_sweep_flops(N: int, chi: int, chib: int, d: int, w: int,
+                         minres_m: int, n_sweeps: int) -> float:
+    """Analytic FLOP count of ``linsolve_run``'s sweep loop (same cost
+    model family as dmrg_sweep_flops/tdvp_sweep_flops; mirrors the
+    engine exactly: m+1 local applies per solve (r0 + m iterations),
+    full reorthogonalization, 2x2-pass subspace-QR splits, H- and
+    b-environment updates)."""
+    import numpy as np
+    import opt_einsum as oe
+
+    def ec(expr, shapes):
+        _, info = oe.contract_path(
+            expr, *[np.empty(s, np.float32) for s in shapes])
+        return float(info.opt_cost)
+
+    apply_f = ec("alx,lpim,mqjr,aijb,brB->xpqB",
+                 [(chi, w, chi), (w, d, d, w), (w, d, d, w),
+                  (chi, d, d, chi), (chi, w, chi)])
+    rhs_f = ec("aB,BiC,CjD,eD->aije",
+               [(chi, chib), (chib, d, chib), (chib, d, chib),
+                (chi, chib)])
+    envh_f = ec("alx,aib,loir,xoB->brB",
+                [(chi, w, chi), (chi, d, chi), (w, d, d, w),
+                 (chi, d, chi)])
+    envb_f = ec("pB,piq,BiC->qC",
+                [(chi, chib), (chi, d, chi), (chib, d, chib)])
+    td = chi * d * d * chi
+    m = minres_m
+    lan = (m + 1) * (apply_f + 2 * td) + m * (4 * td + 4 * m * td)
+    theta0_f = 2.0 * chi ** 3 * d ** 2
+    qr_f = 4 * 2.0 * (chi * d) * chi ** 2
+    mm_f = 4 * 2.0 * (chi * d) * (d * chi) * chi
+    per_bond = theta0_f + rhs_f + lan + qr_f + mm_f + envh_f + envb_f
+    per_sweep = 2 * (N - 1) * per_bond + (N - 1) * (envh_f + envb_f)
+    return n_sweeps * per_sweep
