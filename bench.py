@@ -71,7 +71,62 @@ def bench_dmrg():
             result["detail"].update(_tdvp_tpu_detail())
     except Exception as e:  # noqa: BLE001
         result["detail"]["tdvp_tpu_error"] = f"{type(e).__name__}: {e}"
+    # the THIRD sweeping solver (ops/linsolve_chain.py): production-
+    # scale (a0 + a1 H) x = b with a raw random rhs (exercises the
+    # engine's internal b-gauge scale management)
+    try:
+        import jax
+
+        if jax.default_backend() != "cpu":
+            result["detail"].update(_linsolve_tpu_detail())
+    except Exception as e:  # noqa: BLE001
+        result["detail"]["linsolve_tpu_error"] = f"{type(e).__name__}: {e}"
     return result
+
+
+def _linsolve_tpu_detail():
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.dmrg_chain import _setup
+    from benchmarks.mxu import PEAK_BF16_TFLOPS
+    from tensor4all_tpu.ops.dmrg_chain import pad_mps
+    from tensor4all_tpu.ops.linsolve_chain import (
+        linsolve_run,
+        linsolve_sweep_flops,
+    )
+    from tensor4all_tpu.tt.tensortrain import TensorTrain
+
+    N, m, ns = 32, 10, 2
+    dev = jax.devices()[0]
+    out = {"linsolve_engine": "jitted one-program MINRES sweeps, f32"}
+    for chi, chib in ((256, 128), (512, 256)):
+        _, _, h, mps0, _ = _setup(N, chi)
+        h = jax.device_put(h.astype(jnp.float32), dev)
+        x0 = jax.device_put(mps0.astype(jnp.float32), dev)
+        bt = TensorTrain.random(jax.random.PRNGKey(1), [2] * N,
+                                rank=chib, dtype=jnp.float32)
+        b = jax.device_put(pad_mps(list(bt.cores), chib), dev)
+
+        def body():
+            rel, x = linsolve_run(h, b, x0, 1.0, 0.05, n_sweeps=ns,
+                                  minres_m=m)
+            return float(rel), x
+
+        rel, x = body()  # compile
+        assert bool(jnp.isfinite(x).all()), f"linsolve chi={chi} NaN"
+        t = _median_time(lambda: body()[0], warmup=0, reps=3)
+        fl = linsolve_sweep_flops(N, chi, chib, 2, h.shape[1], m, ns)
+        tflops = fl / t / 1e12
+        key = f"linsolve_N32_chi{chi}_chib{chib}"
+        out.update({
+            f"{key}_{ns}sweeps_ms": round(t * 1e3, 1),
+            f"{key}_rel_residual": float(rel),
+            f"{key}_tflops": round(tflops, 2),
+            f"{key}_mfu_vs_bf16_peak": round(tflops / PEAK_BF16_TFLOPS,
+                                             4),
+        })
+    return out
 
 
 def _tdvp_tpu_detail():

@@ -62,6 +62,14 @@ def linsolve_run(
 
     The returned rel_residual is the GLOBAL ||(a0 + a1 H) x - b|| /
     ||b|| evaluated by transfer contractions at the sweep dtype.
+
+    Scale management: b is right-orthogonalized INSIDE the program with
+    per-step renormalization, accumulating log||b|| in f64 — random
+    unnormalized rhs cores over N=32 sites overflow/underflow f32
+    transfer scans by 2^±100s otherwise (found on TPU). The solve runs
+    against the unit-norm b and the scale is folded back into x evenly,
+    one factor ||b||^(1/N) per core, so every returned core stays
+    representable at the sweep dtype.
     """
     st = jnp.dtype(sweep_dtype) if sweep_dtype is not None else x0.dtype
     return _linsolve_sweeps(h.astype(st), b.astype(st), x0.astype(st),
@@ -87,9 +95,9 @@ def _linsolve_sweeps(h, b, x, a0, a1, n_sweeps, m):
                                                    axis=0)
 
     # ---- initial gauge: right-orthogonalize x (same denormal-safe
-    # per-step renorm as ops.tdvp_chain — scale is irrelevant for the
-    # SOLUTION of a linear system only up to the rhs, so the absorbed
-    # scale is tracked and folded back into core 0)
+    # per-step renorm as ops.tdvp_chain). x0's absorbed scale is
+    # DISCARDED: it only conditions the initial guess — the first local
+    # MINRES solve restores the true local scale from b_loc.
     core_scale = jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True)
     x = x / jnp.where(core_scale > 0, core_scale, 1.0)
     core_norms = jnp.sqrt(jnp.sum(jnp.abs(x) ** 2, axis=(1, 2, 3),
@@ -115,6 +123,40 @@ def _linsolve_sweeps(h, b, x, a0, a1, n_sweeps, m):
         return x
 
     x = right_orthogonalize(x)
+
+    # ---- gauge b: right-orthogonalize with log-scale tracking so the
+    # solve sees a UNIT-norm rhs (see linsolve_run docstring). All
+    # discarded factors accumulate into log_bscale (f64; immune to the
+    # 2^±100s swings that break f32 transfer scans).
+    def safe_log(v):
+        return jnp.where(v > 0, jnp.log(jnp.maximum(v, 1e-300)), 0.0)
+
+    bmax = jnp.max(jnp.abs(b), axis=(1, 2, 3), keepdims=True)
+    b = b / jnp.where(bmax > 0, bmax, 1.0)
+    log_bscale = jnp.sum(safe_log(bmax.astype(jnp.float64)))
+
+    def right_orthogonalize_b(b, log_bscale):
+        def body(carry, k):
+            b, ls = carry
+            A = get(b, k)
+            M = A.reshape(chib, d * chib)
+            Q1, R1 = jnp.linalg.qr(jnp.conj(M).T)
+            core = jnp.conj(Q1).T.reshape(chib, d, chib)
+            prev = jnp.einsum("adb,bc->adc", get(b, k - 1),
+                              jnp.conj(R1).T)
+            mx = jnp.max(jnp.abs(prev)).astype(jnp.float64)
+            prev = prev / jnp.where(mx > 0, mx, 1.0).astype(st)
+            pn = jnp.sqrt(jnp.sum(jnp.abs(prev) ** 2)
+                          .astype(jnp.float64))
+            prev = prev / jnp.where(pn > 0, pn, 1.0).astype(st)
+            ls = ls + safe_log(mx) + safe_log(pn)
+            return (put(put(b, k, core), k - 1, prev), ls), None
+
+        (b, log_bscale), _ = jax.lax.scan(
+            body, (b, log_bscale), jnp.arange(N - 1, 0, -1))
+        return b, log_bscale
+
+    b, log_bscale = right_orthogonalize_b(b, log_bscale)
 
     # ---- environments
     L_bound = jnp.zeros((chi, w, chi), st).at[0, 0, 0].set(1.0)
@@ -387,6 +429,9 @@ def _linsolve_sweeps(h, b, x, a0, a1, n_sweeps, m):
     r2 = (a0r ** 2 * xx + 2 * a0r * a1r * xhx + a1r ** 2 * xhhx
           - 2 * (a0r * bx + a1r * bhx) + bb)
     rel = jnp.sqrt(jnp.maximum(r2, 0.0) / jnp.maximum(bb, 1e-300))
+    # fold ||b|| back into x, one ||b||^(1/N) factor per core (the
+    # residual above is scale-invariant, so it is computed pre-fold)
+    x = x * jnp.exp(log_bscale / N).astype(st)
     return rel.astype(jnp.float64), x
 
 

@@ -85,3 +85,27 @@ def test_linsolve_chain_residual_decreases_truncating():
     # cancellation; agreement at sqrt-eps grade is the contract
     assert abs(true_rel - rels[2]) < 1e-6 + 0.1 * true_rel, (
         true_rel, rels[2])
+
+
+def test_linsolve_chain_extreme_rhs_scale():
+    """Internal b-gauge with log-scale tracking: rhs cores scaled by
+    1e30 PER CORE (||b|| ~ 1e180 — transfer scans overflow even f64
+    without the gauge) must give the same solution as the unit-scale
+    solve, times the scale. Regression for the TPU f32 NaN found at
+    N=32 production scale."""
+    N, chi, chib = 6, 8, 4
+    a0, a1 = 1.0, 0.05
+    h, b, x0, H, bv = _setup(N, chi, chib)
+    scale = 1e30
+    xv = np.linalg.solve(a0 * np.eye(2 ** N) + a1 * H, bv)
+    for s in (scale, 1.0 / scale):
+        rel_s, x_s = linsolve_run(h, b * s, x0, a0, a1, n_sweeps=3,
+                                  minres_m=20)
+        assert np.isfinite(float(rel_s))
+        assert bool(jnp.isfinite(x_s).all())
+        # each returned core carries one s factor (scale fold is
+        # per-core); compare in unit-scale space — the dense vector at
+        # s**N itself overflows/underflows f64
+        got = _densify(x_s / s, N)
+        assert np.linalg.norm(got - xv) / np.linalg.norm(xv) < 1e-10, s
+        assert float(rel_s) < 1e-10, s
