@@ -37,7 +37,8 @@ def pad_rhs(cores, chi_b: int) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_sweeps", "minres_m", "sweep_dtype"),
+    static_argnames=("n_sweeps", "minres_m", "sweep_dtype",
+                     "gemm2_apply", "reortho", "bf16"),
 )
 def linsolve_run(
     h: jnp.ndarray,
@@ -48,6 +49,9 @@ def linsolve_run(
     n_sweeps: int = 2,
     minres_m: int = 10,
     sweep_dtype=None,
+    gemm2_apply: bool = False,
+    reortho: bool = True,
+    bf16: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sweep-solve ``(a0 + a1 H) x = b``; returns (rel_residual, x).
 
@@ -59,6 +63,17 @@ def linsolve_run(
         new coefficients does not recompile).
       n_sweeps: full (left-right-left) two-site sweeps.
       minres_m: fixed Krylov dimension of each local MINRES solve.
+      gemm2_apply: precontract the environments with their MPO cores
+        once per local solve so each Lanczos apply is exactly two large
+        GEMMs with every M/N/K >= chi*d (same trick and shapes as
+        ops.dmrg_chain's gemm2_apply — see its docstring).
+      reortho: full reorthogonalization of the Lanczos basis (default).
+        MINRES's 3-term recurrence is exact in exact arithmetic; at
+        small m dropping reortho trades a little residual for skipping
+        the O(m^2 chi^2 d^2) basis sweeps.
+      bf16: store the Lanczos basis and apply operands in bfloat16
+        (f32 sweeps only): halves the bandwidth bound of the hot loop;
+        accumulation stays f32 on the MXU via mixed-dtype einsums.
 
     The returned rel_residual is the GLOBAL ||(a0 + a1 H) x - b|| /
     ||b|| evaluated by transfer contractions at the sweep dtype.
@@ -74,10 +89,12 @@ def linsolve_run(
     st = jnp.dtype(sweep_dtype) if sweep_dtype is not None else x0.dtype
     return _linsolve_sweeps(h.astype(st), b.astype(st), x0.astype(st),
                             jnp.asarray(a0, st), jnp.asarray(a1, st),
-                            int(n_sweeps), int(minres_m))
+                            int(n_sweeps), int(minres_m),
+                            bool(gemm2_apply), bool(reortho), bool(bf16))
 
 
-def _linsolve_sweeps(h, b, x, a0, a1, n_sweeps, m):
+def _linsolve_sweeps(h, b, x, a0, a1, n_sweeps, m,
+                     gemm2_apply=False, reortho=True, bf16=False):
     N, chi, d, _ = x.shape
     chib = b.shape[1]
     w = h.shape[1]
@@ -200,10 +217,8 @@ def _linsolve_sweeps(h, b, x, a0, a1, n_sweeps, m):
         Rbs = jnp.flip(Rbs, axis=0)
         return jnp.concatenate([Rbs, Rb_bound[None]], axis=0)
 
-    def apply_local(th, L, Wl, Wr, R):
-        y = jnp.einsum("alx,lpim,mqjr,aijb,brB->xpqB",
-                       L, Wl, Wr, th, R, optimize=True)
-        return a0 * th + a1 * y
+    # compute/storage dtype of the MINRES hot loop (see linsolve_run)
+    ct = jnp.bfloat16 if (bf16 and st == jnp.float32) else st
 
     def local_rhs(Lb, bk, bk1, Rb):
         return jnp.einsum("aB,BiC,CjD,eD->aije", Lb, bk, bk1, Rb,
@@ -211,25 +226,45 @@ def _linsolve_sweeps(h, b, x, a0, a1, n_sweeps, m):
 
     def minres(theta0, b_loc, L, Wl, Wr, R):
         """Fixed-m MINRES: Lanczos on A_loc from r0, then the dense
-        (m+1, m) tridiagonal least squares (solved via its normal
-        equations — T^T T is m x m SPD, well-conditioned at these m)."""
-        r0 = b_loc - apply_local(theta0, L, Wl, Wr, R)
+        (m+1, m) tridiagonal least squares by unrolled Givens QR."""
+        Lc, Wlc = L.astype(ct), Wl.astype(ct)
+        Wrc, Rc = Wr.astype(ct), R.astype(ct)
+        if gemm2_apply:
+            # same two-GEMM apply as ops.dmrg_chain.lanczos_ground:
+            # every M/N/K >= chi*d, no (w d)-sized MXU pass
+            LW = jnp.einsum("alx,lpim->aixpm", Lc, Wlc)
+            RW = jnp.einsum("mqjr,brB->mjbqB", Wrc, Rc)
+
+            def apply_A(th):
+                t1 = jnp.einsum("aixpm,aijb->xpmjb", LW, th.astype(ct))
+                y = jnp.einsum("xpmjb,mjbqB->xpqB", t1, RW).astype(st)
+                return a0 * th + a1 * y
+        else:
+            def apply_A(th):
+                y = jnp.einsum("alx,lpim,mqjr,aijb,brB->xpqB",
+                               Lc, Wlc, Wrc, th.astype(ct), Rc,
+                               optimize=True).astype(st)
+                return a0 * th + a1 * y
+
+        r0 = b_loc - apply_A(theta0)
         beta = norm_of(r0)
         v = r0 / jnp.maximum(beta, 1e-300).astype(st)
-        basis = jnp.zeros((m,) + theta0.shape, st)
+        basis = jnp.zeros((m,) + theta0.shape, ct)
         alphas = jnp.zeros((m,), jnp.float64)
         betas = jnp.zeros((m + 1,), jnp.float64)
 
         def body(i, carry):
             basis, alphas, betas, v, v_prev, b_prev = carry
-            basis = basis.at[i].set(v)
-            hv = apply_local(v, L, Wl, Wr, R)
+            basis = basis.at[i].set(v.astype(ct))
+            hv = apply_A(v)
             a_ = jnp.real(jnp.sum(jnp.conj(v) * hv))
             hv = hv - a_.astype(st) * v - b_prev.astype(st) * v_prev
-            # full reorthogonalization (m is small; keeps T faithful)
-            ov = jnp.einsum("m...,...->m", jnp.conj(basis), hv)
-            mask = (jnp.arange(m) <= i).astype(st)
-            hv = hv - jnp.einsum("m,m...->...", ov * mask, basis)
+            if reortho:
+                # full reorthogonalization (m is small; keeps T
+                # faithful); mixed-dtype einsums keep bf16 basis reads
+                ov = jnp.einsum("m...,...->m", jnp.conj(basis), hv)
+                mask = (jnp.arange(m) <= i).astype(hv.dtype)
+                hv = hv - jnp.einsum("m,m...->...", ov * mask, basis)
             b_ = norm_of(hv)
             v_next = hv / jnp.maximum(b_, 1e-300).astype(st)
             alphas = alphas.at[i].set(a_.astype(jnp.float64))
@@ -436,11 +471,13 @@ def _linsolve_sweeps(h, b, x, a0, a1, n_sweeps, m):
 
 
 def linsolve_sweep_flops(N: int, chi: int, chib: int, d: int, w: int,
-                         minres_m: int, n_sweeps: int) -> float:
+                         minres_m: int, n_sweeps: int,
+                         gemm2_apply: bool = False,
+                         reortho: bool = True) -> float:
     """Analytic FLOP count of ``linsolve_run``'s sweep loop (same cost
     model family as dmrg_sweep_flops/tdvp_sweep_flops; mirrors the
     engine exactly: m+1 local applies per solve (r0 + m iterations),
-    full reorthogonalization, 2x2-pass subspace-QR splits, H- and
+    knob-aware apply/reortho costs, 2x2-pass subspace-QR splits, H- and
     b-environment updates)."""
     import numpy as np
     import opt_einsum as oe
@@ -450,9 +487,20 @@ def linsolve_sweep_flops(N: int, chi: int, chib: int, d: int, w: int,
             expr, *[np.empty(s, np.float32) for s in shapes])
         return float(info.opt_cost)
 
-    apply_f = ec("alx,lpim,mqjr,aijb,brB->xpqB",
-                 [(chi, w, chi), (w, d, d, w), (w, d, d, w),
-                  (chi, d, d, chi), (chi, w, chi)])
+    if gemm2_apply:
+        pre_f = (ec("alx,lpim->aixpm",
+                    [(chi, w, chi), (w, d, d, w)])
+                 + ec("mqjr,brB->mjbqB",
+                      [(w, d, d, w), (chi, w, chi)]))
+        apply_f = (ec("aixpm,aijb->xpmjb",
+                      [(chi, d, chi, d, w), (chi, d, d, chi)])
+                   + ec("xpmjb,mjbqB->xpqB",
+                        [(chi, d, w, d, chi), (w, d, chi, d, chi)]))
+    else:
+        pre_f = 0.0
+        apply_f = ec("alx,lpim,mqjr,aijb,brB->xpqB",
+                     [(chi, w, chi), (w, d, d, w), (w, d, d, w),
+                      (chi, d, d, chi), (chi, w, chi)])
     rhs_f = ec("aB,BiC,CjD,eD->aije",
                [(chi, chib), (chib, d, chib), (chib, d, chib),
                 (chi, chib)])
@@ -463,7 +511,9 @@ def linsolve_sweep_flops(N: int, chi: int, chib: int, d: int, w: int,
                 [(chi, chib), (chi, d, chi), (chib, d, chib)])
     td = chi * d * d * chi
     m = minres_m
-    lan = (m + 1) * (apply_f + 2 * td) + m * (4 * td + 4 * m * td)
+    lan = pre_f + (m + 1) * (apply_f + 2 * td) + m * 4 * td
+    if reortho:
+        lan += m * 4 * m * td
     theta0_f = 2.0 * chi ** 3 * d ** 2
     qr_f = 4 * 2.0 * (chi * d) * chi ** 2
     mm_f = 4 * 2.0 * (chi * d) * (d * chi) * chi
