@@ -109,14 +109,20 @@ def _linsolve_tpu_detail():
         b = jax.device_put(pad_mps(list(bt.cores), chib), dev)
 
         def body():
+            # r3 grid 2026-08-18: gemm2+bf16 at the 'high'-precision
+            # default is the accuracy/speed knee (chi=512: 627 ms
+            # rel 8.6e-3 vs 948 ms plain; 'default' sweeps save only
+            # 4% wall for 2x the residual)
             rel, x = linsolve_run(h, b, x0, 1.0, 0.05, n_sweeps=ns,
-                                  minres_m=m)
+                                  minres_m=m, gemm2_apply=True,
+                                  bf16=True)
             return float(rel), x
 
         rel, x = body()  # compile
         assert bool(jnp.isfinite(x).all()), f"linsolve chi={chi} NaN"
         t = _median_time(lambda: body()[0], warmup=0, reps=3)
-        fl = linsolve_sweep_flops(N, chi, chib, 2, h.shape[1], m, ns)
+        fl = linsolve_sweep_flops(N, chi, chib, 2, h.shape[1], m, ns,
+                                  gemm2_apply=True)
         tflops = fl / t / 1e12
         key = f"linsolve_N32_chi{chi}_chib{chib}"
         out.update({

@@ -38,7 +38,7 @@ def pad_rhs(cores, chi_b: int) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("n_sweeps", "minres_m", "sweep_dtype",
-                     "gemm2_apply", "reortho", "bf16"),
+                     "gemm2_apply", "reortho", "bf16", "precision"),
 )
 def linsolve_run(
     h: jnp.ndarray,
@@ -52,6 +52,7 @@ def linsolve_run(
     gemm2_apply: bool = False,
     reortho: bool = True,
     bf16: bool = False,
+    precision: str = "high",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sweep-solve ``(a0 + a1 H) x = b``; returns (rel_residual, x).
 
@@ -74,9 +75,17 @@ def linsolve_run(
       bf16: store the Lanczos basis and apply operands in bfloat16
         (f32 sweeps only): halves the bandwidth bound of the hot loop;
         accumulation stays f32 on the MXU via mixed-dtype einsums.
+      precision: matmul precision for the whole program ('default' =
+        one bf16 MXU pass per f32 matmul, 'high' = 3 passes, 'highest'
+        = 6). TPU f32 einsums default to ONE bf16 pass (~1e-3), which
+        caps the attainable residual well above the f32 floor — 'high'
+        is the engine default, matching ops.dmrg_chain's fine sweeps.
 
     The returned rel_residual is the GLOBAL ||(a0 + a1 H) x - b|| /
-    ||b|| evaluated by transfer contractions at the sweep dtype.
+    ||b|| evaluated by H-moment transfer contractions at the sweep
+    dtype (always at >= 3-pass matmul precision), clamped to the
+    expansion's ~sqrt(eps) cancellation floor — a report AT the floor
+    means "at or below".
 
     Scale management: b is right-orthogonalized INSIDE the program with
     per-step renormalization, accumulating log||b|| in f64 — random
@@ -87,10 +96,12 @@ def linsolve_run(
     representable at the sweep dtype.
     """
     st = jnp.dtype(sweep_dtype) if sweep_dtype is not None else x0.dtype
-    return _linsolve_sweeps(h.astype(st), b.astype(st), x0.astype(st),
-                            jnp.asarray(a0, st), jnp.asarray(a1, st),
-                            int(n_sweeps), int(minres_m),
-                            bool(gemm2_apply), bool(reortho), bool(bf16))
+    with jax.default_matmul_precision(precision):
+        return _linsolve_sweeps(h.astype(st), b.astype(st),
+                                x0.astype(st), jnp.asarray(a0, st),
+                                jnp.asarray(a1, st), int(n_sweeps),
+                                int(minres_m), bool(gemm2_apply),
+                                bool(reortho), bool(bf16))
 
 
 def _linsolve_sweeps(h, b, x, a0, a1, n_sweeps, m,
@@ -379,9 +390,28 @@ def _linsolve_sweeps(h, b, x, a0, a1, n_sweeps, m,
 
     x = jax.lax.fori_loop(0, n_sweeps, one_sweep, x)
 
+    return _residual_and_fold(h, b, x, a0, a1, log_bscale)
+
+
+def _residual_and_fold(hs, b, x, a0, a1, log_bscale):
     # ---- global relative residual ||(a0 + a1 H) x - b|| / ||b||
     # via transfer contractions: ||r||^2 = <x|(a0+a1H)^2|x>
-    #   - 2 <b|(a0+a1H)|x> + <b|b>  expanded into H-moment scans
+    #   - 2 <b|(a0+a1H)|x> + <b|b>  expanded into H-moment scans.
+    # Separate function so the scans run at >= 'high' matmul precision
+    # REGARDLESS of the sweep precision: one-bf16-pass moment scans
+    # measure pure noise (rel reports of 0.0/0.12 on converged states,
+    # grid 2026-08-18) while costing a negligible share of the solve.
+    N, chi, d, _ = x.shape
+    chib = b.shape[1]
+    w = hs.shape[1]
+    st = x.dtype
+
+    def get(stacked, k):
+        return jax.lax.dynamic_index_in_dim(stacked, k, keepdims=False)
+
+    def update_left_env(L, A, W):
+        return jnp.einsum("alx,aib,loir,xoB->brB", L, A, W,
+                          jnp.conj(A), optimize=True)
     def scan_xx():
         T = jnp.zeros((chi, chi), st).at[0, 0].set(1.0)
 
@@ -453,17 +483,28 @@ def _linsolve_sweeps(h, b, x, a0, a1, n_sweeps, m,
         T, _ = jax.lax.scan(body, T, jnp.arange(N))
         return jnp.real(T[0, 0])
 
-    xx = scan_xx()
-    bb = scan_bb()
-    xhx = scan_xhx()
-    xhhx = scan_xhhx()
-    bx = scan_bx()
-    bhx = scan_bhx()
+    with jax.default_matmul_precision("high"):
+        xx = scan_xx()
+        bb = scan_bb()
+        xhx = scan_xhx()
+        xhhx = scan_xhhx()
+        bx = scan_bx()
+        bhx = scan_bhx()
     a0r = jnp.real(a0).astype(jnp.float64)
     a1r = jnp.real(a1).astype(jnp.float64)
     r2 = (a0r ** 2 * xx + 2 * a0r * a1r * xhx + a1r ** 2 * xhhx
           - 2 * (a0r * bx + a1r * bhx) + bb)
-    rel = jnp.sqrt(jnp.maximum(r2, 0.0) / jnp.maximum(bb, 1e-300))
+    # the moment expansion cancels catastrophically near convergence:
+    # its absolute error is ~eps(st) * the MAGNITUDE sum of the terms,
+    # so clamp the report to that measurement floor instead of letting
+    # a slightly-negative r2 read as an (impossible) exact 0. A report
+    # AT the floor means "at or below" — same contract as
+    # treetn.linsolve._verify's documented ~sqrt(eps)*||b|| floor.
+    mag = (a0r ** 2 * jnp.abs(xx) + 2 * jnp.abs(a0r * a1r * xhx)
+           + a1r ** 2 * jnp.abs(xhhx)
+           + 2 * (jnp.abs(a0r * bx) + jnp.abs(a1r * bhx)) + jnp.abs(bb))
+    r2_floor = 10.0 * jnp.finfo(st).eps * mag
+    rel = jnp.sqrt(jnp.maximum(r2, r2_floor) / jnp.maximum(bb, 1e-300))
     # fold ||b|| back into x, one ||b||^(1/N) factor per core (the
     # residual above is scale-invariant, so it is computed pre-fold)
     x = x * jnp.exp(log_bscale / N).astype(st)

@@ -108,4 +108,5 @@ def test_linsolve_chain_extreme_rhs_scale():
         # s**N itself overflows/underflows f64
         got = _densify(x_s / s, N)
         assert np.linalg.norm(got - xv) / np.linalg.norm(xv) < 1e-10, s
-        assert float(rel_s) < 1e-10, s
+        # the rel report clamps to its ~sqrt(eps) measurement floor
+        assert float(rel_s) < 1e-6, s
