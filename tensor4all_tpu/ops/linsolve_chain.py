@@ -503,7 +503,9 @@ def _residual_and_fold(hs, b, x, a0, a1, log_bscale):
     mag = (a0r ** 2 * jnp.abs(xx) + 2 * jnp.abs(a0r * a1r * xhx)
            + a1r ** 2 * jnp.abs(xhhx)
            + 2 * (jnp.abs(a0r * bx) + jnp.abs(a1r * bhx)) + jnp.abs(bb))
-    r2_floor = 10.0 * jnp.finfo(st).eps * mag
+    # roundoff adds in quadrature across the N-site scans, so the
+    # magnitude sum x eps is already a conservative bound
+    r2_floor = jnp.finfo(st).eps * mag
     rel = jnp.sqrt(jnp.maximum(r2, r2_floor) / jnp.maximum(bb, 1e-300))
     # fold ||b|| back into x, one ||b||^(1/N) factor per core (the
     # residual above is scale-invariant, so it is computed pre-fold)

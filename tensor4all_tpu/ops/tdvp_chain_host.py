@@ -290,3 +290,194 @@ def dmrg_chain_host(
             R = _update_right_env(R, A[k + 1], W[k + 1])
         energies.append(float(energy))
     return float(energy), A, energies
+
+
+def _update_left_benv(Lb, A, Bc):
+    # Lb (p,B) x conj(A) (p,i,q) x Bc (B,i,C) -> (q,C)
+    t1 = np.tensordot(Lb, Bc, axes=([1], [0]))            # (p,i,C)
+    return np.tensordot(A.conj(), t1, axes=([0, 1], [0, 1]))
+
+
+def _update_right_benv(Rb, A, Bc):
+    # Rb (a,B) x conj(A) (q,i,a) x Bc (C,i,B) -> (q,C)
+    t1 = np.tensordot(Rb, Bc, axes=([1], [2]))            # (a,C,i)
+    return np.tensordot(A.conj(), t1, axes=([2, 1], [0, 2]))
+
+
+def _local_rhs(Lb, Bk, Bk1, Rb):
+    # Lb (a,B) x Bk (B,i,C) x Bk1 (C,j,D) x Rb (e,D) -> (a,i,j,e)
+    t1 = np.tensordot(Lb, Bk, axes=([1], [0]))            # (a,i,C)
+    t2 = np.tensordot(t1, Bk1, axes=([2], [0]))           # (a,i,j,D)
+    return np.tensordot(t2, Rb, axes=([3], [1]))
+
+
+def _gmres_host(apply_a, b_loc, x0, maxiter, rtol):
+    """Host GMRES (full Arnoldi — the local dims are small) on the
+    local operator: least squares on the (k+2, k+1) Hessenberg each
+    iteration, early exit on the lsq residual (= the true GMRES
+    residual norm). No symmetry assumption — arbitrary operators,
+    matching the generic square_linsolve path and the reference."""
+    shape = x0.shape
+    bnorm = np.linalg.norm(b_loc)
+    r0 = (b_loc - apply_a(x0)).reshape(-1)
+    beta = np.linalg.norm(r0)
+    if beta <= rtol * max(bnorm, 1e-300):
+        return x0
+    V = [r0 / beta]
+    Hm = np.zeros((maxiter + 1, maxiter), dtype=r0.dtype)
+    y = np.zeros((0,), dtype=r0.dtype)
+    for k in range(maxiter):
+        w = apply_a(V[k].reshape(shape)).reshape(-1)
+        for j in range(k + 1):  # modified Gram-Schmidt
+            Hm[j, k] = np.vdot(V[j], w)
+            w = w - Hm[j, k] * V[j]
+        h = np.linalg.norm(w)
+        Hm[k + 1, k] = h
+        rhs = np.zeros(k + 2, dtype=r0.dtype)
+        rhs[0] = beta
+        y = np.linalg.lstsq(Hm[:k + 2, :k + 1], rhs, rcond=None)[0]
+        resid = np.linalg.norm(Hm[:k + 2, :k + 1] @ y - rhs)
+        if resid <= rtol * max(bnorm, 1e-300) or h <= 1e-14 * beta:
+            break
+        V.append(w / h)
+    dx = np.zeros_like(V[0])
+    for c, qi in zip(y, V):
+        dx = dx + c * qi
+    return (x0.reshape(-1) + dx).reshape(shape)
+
+
+def linsolve_chain_host(
+    h_cores: Sequence[np.ndarray],
+    b_cores: Sequence[np.ndarray],
+    init_cores: Sequence[np.ndarray],
+    a0: float,
+    a1: float,
+    chi: int,
+    n_sweeps: int = 4,
+    tol: float = 1e-12,
+    gmres_rtol: float = 1e-10,
+    gmres_maxiter: int = 60,
+    residual_tol: float = 0.0,
+):
+    """Host-numpy two-site ``(a0 + a1 H) x = b`` sweeps — the adaptive
+    sibling of `ops.linsolve_chain.linsolve_run` (ref
+    tensor4all-treetn/src/linsolve.rs). Same structure as
+    `dmrg_chain_host`, with GMRES local solves against projected-rhs
+    environments (no symmetry assumption on H). Returns ``(rel_residual, cores, sweep_residuals)``;
+    stops early when `residual_tol` > 0 is reached. The rhs is
+    per-core normalized with the scale tracked in log space and folded
+    back into the result evenly (one ||b||^(1/N) factor per core)."""
+    W = [np.asarray(w) for w in h_cores]
+    dtype = np.result_type(np.float64,
+                           *[np.asarray(c).dtype for c in init_cores],
+                           *[np.asarray(c).dtype for c in b_cores])
+    A = [np.asarray(c).astype(dtype) for c in init_cores]
+    N = len(A)
+    B = []
+    log_bscale = 0.0
+    for c in b_cores:
+        c = np.asarray(c).astype(dtype)
+        nc = np.linalg.norm(c)
+        if nc > 0:
+            c = c / nc
+            log_bscale += float(np.log(nc))
+        B.append(c)
+    A = _right_orthogonalize(A)
+    n0 = np.linalg.norm(A[0])
+    A[0] = A[0] / (n0 if n0 > 0 else 1.0)
+    one = np.ones((1, 1, 1), dtype)
+    oneb = np.ones((1, 1), dtype)
+
+    def rel_residual():
+        # H-moment transfer scans (see ops.linsolve_chain), f64 host
+        Txx = oneb.copy()
+        Tbb = oneb.copy()
+        Txhx = one.copy()
+        Tbx = oneb.copy()
+        Tbhx = one.copy()
+        Txhhx = np.ones((1, 1, 1, 1), dtype)
+        for k in range(N):
+            Ak, Wk, Bk = A[k], W[k], B[k]
+            t1 = np.tensordot(Txx, Ak, axes=([0], [0]))
+            Txx = np.tensordot(t1, Ak.conj(), axes=([0, 1], [0, 1]))
+            t1 = np.tensordot(Tbb, Bk, axes=([0], [0]))
+            Tbb = np.tensordot(t1, Bk.conj(), axes=([0, 1], [0, 1]))
+            Txhx = _update_left_env(Txhx, Ak, Wk)
+            t1 = np.tensordot(Tbx, Ak, axes=([0], [0]))
+            Tbx = np.tensordot(t1, Bk.conj(), axes=([0, 1], [0, 1]))
+            # pairwise BLAS chains (a single multi-operand einsum here
+            # greedily contracts W with W first, leaving a scaling-10
+            # four-way loop that numpy executes without BLAS)
+            t1 = np.tensordot(Tbhx, Ak, axes=([0], [0]))      # (l,c,i,b)
+            t2 = np.tensordot(t1, Wk, axes=([0, 2], [0, 2]))  # (c,b,o,r)
+            Tbhx = np.tensordot(t2, Bk.conj(),
+                                axes=([0, 2], [0, 1]))        # (b,r,C)
+            t1 = np.tensordot(Txhhx, Ak, axes=([0], [0]))     # (l,m,x,i,b)
+            t2 = np.tensordot(t1, Wk, axes=([0, 3], [0, 2]))  # (m,x,b,o,r)
+            t3 = np.tensordot(t2, Wk, axes=([0, 3], [0, 2]))  # (x,b,r,p,q)
+            Txhhx = np.tensordot(t3, Ak.conj(),
+                                 axes=([0, 3], [0, 1]))       # (b,r,q,B)
+        xx = float(np.real(Txx[0, 0]))
+        bb = float(np.real(Tbb[0, 0]))
+        xhx = float(np.real(Txhx[0, 0, 0]))
+        bx = float(np.real(Tbx[0, 0]))
+        bhx = float(np.real(Tbhx[0, 0, 0]))
+        xhhx = float(np.real(Txhhx[0, 0, 0, 0]))
+        r2 = (a0 ** 2 * xx + 2 * a0 * a1 * xhx + a1 ** 2 * xhhx
+              - 2 * (a0 * bx + a1 * bhx) + bb)
+        mag = (a0 ** 2 * abs(xx) + 2 * abs(a0 * a1 * xhx)
+               + a1 ** 2 * abs(xhhx)
+               + 2 * (abs(a0 * bx) + abs(a1 * bhx)) + abs(bb))
+        floor = np.finfo(np.float64).eps * mag
+        return float(np.sqrt(max(r2, floor) / max(bb, 1e-300)))
+
+    sweep_residuals = []
+    rel = None
+    for _ in range(n_sweeps):
+        Renv = [None] * (N + 1)
+        Renv[N] = one
+        Rbenv = [None] * (N + 1)
+        Rbenv[N] = oneb
+        for k in range(N - 1, 1, -1):
+            Renv[k] = _update_right_env(Renv[k + 1], A[k], W[k])
+            Rbenv[k] = _update_right_benv(Rbenv[k + 1], A[k], B[k])
+        Ls = [None] * (N - 1)
+        Lbs = [None] * (N - 1)
+        L, Lb = one, oneb
+        for k in range(N - 1):
+            Ls[k], Lbs[k] = L, Lb
+            R = Renv[k + 2] if k + 2 <= N else one
+            Rb = Rbenv[k + 2] if k + 2 <= N else oneb
+            theta0 = np.tensordot(A[k], A[k + 1], axes=([2], [0]))
+            b_loc = _local_rhs(Lb, B[k], B[k + 1], Rb)
+
+            def apply_loc(th):
+                return a0 * th + a1 * _apply_h2(L, W[k], W[k + 1], R, th)
+
+            theta = _gmres_host(apply_loc, b_loc, theta0,
+                                gmres_maxiter, gmres_rtol)
+            A[k], A[k + 1] = _split(theta, tol, chi, toward_right=True)
+            L = _update_left_env(L, A[k], W[k])
+            Lb = _update_left_benv(Lb, A[k], B[k])
+        R, Rb = one, oneb
+        for k in range(N - 2, -1, -1):
+            theta0 = np.tensordot(A[k], A[k + 1], axes=([2], [0]))
+            b_loc = _local_rhs(Lbs[k], B[k], B[k + 1], Rb)
+            Lk = Ls[k]
+
+            def apply_loc(th):
+                return a0 * th + a1 * _apply_h2(Lk, W[k], W[k + 1], R,
+                                                th)
+
+            theta = _gmres_host(apply_loc, b_loc, theta0,
+                                gmres_maxiter, gmres_rtol)
+            A[k], A[k + 1] = _split(theta, tol, chi, toward_right=False)
+            R = _update_right_env(R, A[k + 1], W[k + 1])
+            Rb = _update_right_benv(Rb, A[k + 1], B[k + 1])
+        rel = rel_residual()
+        sweep_residuals.append(rel)
+        if residual_tol > 0 and rel < residual_tol:
+            break
+    s = np.exp(log_bscale / N)
+    A = [c * s for c in A]
+    return rel, A, sweep_residuals

@@ -92,6 +92,111 @@ def _verify(op: TreeOperator, x: TreeTN, b: TreeTN,
     )
 
 
+def _extract_chain_cores(tn: TreeTN, order, sites):
+    """Host (Dl, d, Dr) cores of a chain TreeTN in `order`."""
+    import numpy as np
+
+    cores = []
+    for pos, v in enumerate(order):
+        axes = []
+        if pos > 0:
+            axes.append(tn.bond(order[pos - 1], v))
+        axes.append(sites[v])
+        if pos < len(order) - 1:
+            axes.append(tn.bond(v, order[pos + 1]))
+        arr = np.asarray(tn.tensor(v).dense(tuple(axes)))
+        if pos == 0:
+            arr = arr[None, ...]
+        if pos == len(order) - 1:
+            arr = arr[..., None]
+        cores.append(arr)
+    return cores
+
+
+def _try_chain_fast_path(op: TreeOperator, b: TreeTN, x0: TreeTN,
+                         opts: LinsolveOptions
+                         ) -> Optional[LinsolveResult]:
+    """Delegate chain topologies to the host two-site GMRES engine
+    (ops.tdvp_chain_host.linsolve_chain_host) on CPU backends — same
+    adaptive-rank sweeps, transfer-scan residuals instead of a full
+    `op.apply` verify per sweep (the dominant cost of the generic path
+    at dispatch-bound sizes). Mirrors dmrg._try_chain_fast_path."""
+    import jax
+    import numpy as np
+
+    try:
+        if jax.default_backend() != "cpu":
+            return None
+    except Exception:  # noqa: BLE001
+        return None
+    a0c, a1c = complex(opts.a0), complex(opts.a1)
+    if a0c.imag != 0 or a1c.imag != 0:
+        return None  # the moment-scan residual derivation is real
+    from .tdvp import _chain_order
+
+    order = _chain_order(x0)
+    if order is None or set(op.node_names) != set(order):
+        return None
+    if set(b.node_names) != set(order):
+        return None
+    if any(len(x0.site_indices(v)) != 1 for v in order):
+        return None
+    for v in order:
+        for tn in (x0, b):
+            if isinstance(tn.tensor(v).data, jax.core.Tracer):
+                return None
+    if set(map(frozenset, b.graph.edges)) != set(
+            frozenset((order[i], order[i + 1]))
+            for i in range(len(order) - 1)):
+        return None
+    sites = {v: x0.site_indices(v)[0] for v in order}
+    if any(tuple(b.site_indices(v)) != (sites[v],) for v in order):
+        return None
+    from ..core.index import Index
+    from ..core.tensor import Tensor
+    from ..ops.dmrg_chain import treeoperator_to_mpo_cores
+    from ..ops.tdvp_chain_host import linsolve_chain_host
+
+    try:
+        h_cores = treeoperator_to_mpo_cores(op, order)
+    except Exception:  # noqa: BLE001 — operator not a chain MPO
+        return None
+    x_cores = _extract_chain_cores(x0, order, sites)
+    b_cores = _extract_chain_cores(b, order, sites)
+    rel, out_cores, hist = linsolve_chain_host(
+        h_cores, b_cores, x_cores, float(a0c.real), float(a1c.real),
+        opts.maxdim, n_sweeps=opts.nsweeps, tol=opts.cutoff,
+        gmres_rtol=opts.gmres_rtol, gmres_maxiter=opts.gmres_maxiter,
+        residual_tol=opts.residual_tol)
+    net = TreeTN()
+    bonds = [Index(int(out_cores[k].shape[2]), tags="Link")
+             for k in range(len(order) - 1)]
+    for pos, v in enumerate(order):
+        c = out_cores[pos]
+        inds = []
+        data = c
+        if pos == 0:
+            data = data[0]
+        else:
+            inds.append(bonds[pos - 1])
+        inds.append(sites[v])
+        if pos == len(order) - 1:
+            data = data[..., 0]
+        else:
+            inds.append(bonds[pos])
+        net.add_node(v, Tensor(tuple(inds), data))
+    for pos in range(len(order) - 1):
+        net.connect(order[pos], order[pos + 1], bonds[pos])
+    # per-sweep residuals come from the engine's cheap transfer scans
+    # (floor-clamped at sqrt(eps)); the FINAL report re-contracts the
+    # residual network exactly like the generic path so both paths
+    # grade results with the same metric
+    report = _verify(op, net, b, opts)
+    converged = (opts.residual_tol > 0
+                 and report.relative_residual < opts.residual_tol)
+    return LinsolveResult(net, report, converged, hist)
+
+
 def square_linsolve(
     op: TreeOperator,
     b: TreeTN,
@@ -102,8 +207,17 @@ def square_linsolve(
     """Solve ``(a0 + a1 A) x = b`` by local GMRES sweeps (ref mod.rs:137).
 
     `b` must share the site indices of `x0` (same physical space).
+
+    Chain topologies on CPU backends route to the host two-site GMRES
+    engine (same adaptive-rank sweeps, ~dispatch-free) the way `dmrg`
+    and `tdvp` route; pass `center=` or a mesh to force the generic
+    tree path.
     """
     opts = options or LinsolveOptions()
+    if center is None and opts.mesh is None:
+        fast = _try_chain_fast_path(op, b, x0, opts)
+        if fast is not None:
+            return fast
     x = x0.copy()
     x.validate_tree()
     root = center if center is not None else x.node_names[0]

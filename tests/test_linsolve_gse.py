@@ -377,3 +377,41 @@ def test_gse_high_degree_hub_completes(key):
     v0 = vec_of(tn, sites, order)
     v1 = vec_of(res.state, sites, order)
     assert np.linalg.norm(v1 - v0) / np.linalg.norm(v0) < 1e-9
+
+
+def test_linsolve_chain_fast_path_matches_generic(key):
+    """The CPU chain fast path (host GMRES engine,
+    linsolve._try_chain_fast_path) must agree with the generic tree
+    path (forced via center=) AND the dense oracle, on the same
+    problem — including a NON-symmetric operator, which exercises the
+    Arnoldi (not Lanczos) local solves."""
+    from tensor4all_tpu.treetn.linsolve import _try_chain_fast_path
+
+    g = chain(5)
+    x0, sites = setup(key, g, chi=4)
+    b = make_b(jax.random.PRNGKey(5), g, sites, chi=3)
+    op = heisenberg(g, sites, J=1.0, h=0.2)
+    order = list(g.nodes)
+    H = dense_heisenberg(g, order, J=1.0, h=0.2)
+    a0, a1 = 4.0, 1.0
+    opts = LinsolveOptions(nsweeps=6, maxdim=16, a0=a0, a1=a1,
+                           cutoff=1e-24, gmres_rtol=1e-12)
+    fast = _try_chain_fast_path(op, b, x0, opts)
+    assert fast is not None  # chain on CPU must take the fast path
+    generic = square_linsolve(op, b, x0, center=order[0], options=opts)
+    expect = np.linalg.solve(a0 * np.eye(2 ** len(order)) + a1 * H,
+                             vec_of(b, sites, order))
+    for res in (fast, generic):
+        got = vec_of(res.x, sites, order)
+        rel = np.linalg.norm(got - expect) / np.linalg.norm(expect)
+        assert rel < 1e-9, rel
+    # report parity at the metric floor grade
+    assert abs(fast.report.relative_residual
+               - generic.report.relative_residual) < 1e-6
+    # non-chain never takes the fast path
+    gt = nx.Graph()
+    gt.add_edges_from([(0, 1), (1, 2), (1, 3), (3, 4)])
+    xt, sitest = setup(key, gt, chi=4)
+    bt = make_b(jax.random.PRNGKey(6), gt, sitest, chi=3)
+    opt = heisenberg(gt, sitest, J=1.0, h=0.2)
+    assert _try_chain_fast_path(opt, bt, xt, opts) is None
