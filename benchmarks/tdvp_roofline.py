@@ -1,0 +1,95 @@
+"""TDVP precision-roofline decomposition (companion to
+benchmarks/results/2026-08-19-tdvp-roofline.md).
+
+Splits the analytic FLOP model of ``ops.tdvp_chain.tdvp_run`` (the same
+model ``bench.py`` uses for its TFLOP/s rows — every knob mirrored) into
+the Krylov APPLY GEMMs vs everything else, and prices the applies at
+their pass-weighted bf16 light speed: the engine runs f32-grade applies
+as THREE bf16 MXU passes ('high' precision), except the bf16 Krylov
+TAIL iterations which are single-pass (factorial coefficient decay —
+see tdvp_run's docstring). The quotient
+
+    t_apply_light / t_measured
+
+is the fraction of wall time the engine spends at the precision-limited
+roofline of its own GEMM stream; the residual is per-bond fixed cost
+(two QR splits per bond at (chi*d, chi) + env refresh + small-m Krylov
+vector ops), cross-checked against the DMRG slope profile's measured
+QR panel cost (benchmarks/results/2026-08-18-roofline.md).
+
+Run: python benchmarks/tdvp_roofline.py
+"""
+from __future__ import annotations
+
+import numpy as np
+import opt_einsum as oe
+
+PEAK_BF16 = 196.9e12  # TPU v5 lite, benchmarks/mxu.py
+
+
+def _ec(expr, shapes):
+    _, info = oe.contract_path(
+        expr, *[np.empty(s, np.float32) for s in shapes])
+    return float(info.opt_cost)
+
+
+def decompose(N: int, chi: int, d: int, w: int, m: int, nsteps: int,
+              order: int = 2, m1: int | None = None,
+              bf16_tail: int = 0) -> dict:
+    """FLOP split + pass-weighted apply light-speed time.
+
+    Mirrors ops.tdvp_chain.tdvp_sweep_flops for the production knobs
+    (gemm2_apply=True, reortho=False) used by bench.py's TDVP rows.
+    """
+    apply2 = (2.0 * (chi * d * w) * (chi * d) * (d * chi)
+              + 2.0 * (chi * d) * (w * d * chi) * (d * chi))
+    apply1 = (2.0 * (chi * d * w) * chi * (d * chi)
+              + 2.0 * (chi * d) * (chi * w) * chi)
+    pre2 = (2.0 * (chi * d) * w * (chi * d * w)
+            + 2.0 * (w * d * chi) * w * (d * chi))
+    pre1 = 2.0 * (chi * d * w) * w * (d * chi)
+    env = _ec("alx,aib,loir,xoB->brB",
+              [(chi, w, chi), (chi, d, chi), (w, d, d, w), (chi, d, chi)])
+    td2, td1 = chi * d * d * chi, chi * d * chi
+    m1 = m if m1 is None else m1
+
+    theta0 = 2.0 * chi ** 3 * d ** 2
+    qr = 4 * 2.0 * (chi * d) * chi ** 2
+    mm = 4 * 2.0 * (chi * d) * (d * chi) * chi
+    apply_gemm = m * apply2 + m1 * apply1 + pre2 + pre1
+    vec = m * 8 * td2 + m1 * 8 * td1
+    other_bond = theta0 + qr + mm + env + vec
+
+    nb = (N - 1) * (2 if order == 2 else 1) * nsteps
+    env_scan = (N - 1) * env * (2 if order == 2 else 1) * nsteps
+    total = nb * (apply_gemm + other_bond) + env_scan
+
+    # pass-weighted apply time: 'high' = 3 bf16 passes; the last
+    # `bf16_tail` two-site Krylov iterations run single-pass
+    a3 = (m - bf16_tail) * apply2 + m1 * apply1 + pre2 + pre1
+    a1 = bf16_tail * apply2
+    t_apply_light = nb * (3 * a3 + a1) / PEAK_BF16
+    return {
+        "bond_visits": nb,
+        "total_tf": total / 1e12,
+        "apply_gemm_share": nb * apply_gemm / total,
+        "t_apply_light_s": t_apply_light,
+        "mfu_ceiling_nongemm_free": total / t_apply_light / PEAK_BF16,
+    }
+
+
+if __name__ == "__main__":
+    # measured rows: bench.py TDVP detail (STATUS/BENCH journal)
+    for chi, t_meas, kn in ((256, 0.403, {}),
+                            (512, 1.75, dict(m1=6, bf16_tail=2))):
+        r = decompose(32, chi, 2, 5, 12, 4, **kn)
+        resid = t_meas - r["t_apply_light_s"]
+        print(f"chi={chi}: model {r['total_tf']:.2f} TF "
+              f"(apply share {r['apply_gemm_share']:.1%}); "
+              f"apply light-speed {r['t_apply_light_s']*1e3:.0f} ms "
+              f"vs measured {t_meas*1e3:.0f} ms "
+              f"-> {r['t_apply_light_s']/t_meas:.0%} of roofline; "
+              f"residual {resid*1e3:.0f} ms over {r['bond_visits']} bonds "
+              f"= {resid/r['bond_visits']*1e3:.2f} ms/bond fixed; "
+              f"non-GEMM-free MFU ceiling "
+              f"{r['mfu_ceiling_nongemm_free']:.1%}")
