@@ -5,9 +5,15 @@ Splits the analytic FLOP model of ``ops.tdvp_chain.tdvp_run`` (the same
 model ``bench.py`` uses for its TFLOP/s rows — every knob mirrored) into
 the Krylov APPLY GEMMs vs everything else, and prices the applies at
 their pass-weighted bf16 light speed: the engine runs f32-grade applies
-as THREE bf16 MXU passes ('high' precision), except the bf16 Krylov
-TAIL iterations which are single-pass (factorial coefficient decay —
-see tdvp_run's docstring). The quotient
+as THREE bf16 MXU passes ('high' precision), EXCEPT that with
+``bf16_tail=k`` only the k LEADING Krylov iterations are full-precision
+and every iteration i >= k runs its H-apply single-pass bf16 (factorial
+coefficient decay — see tdvp_run's docstring; the engine cond is
+``i < tail ? full : single-pass``, tdvp_chain.py:192, for BOTH the
+two-site and the one-site propagators). The r4 ADVICE review caught the
+original version of this script pricing the split the other way round
+(k tail iterations cheap instead of m-k), which overstated the chi=512
+apply light speed by ~2x; the corrected weighting is below. The quotient
 
     t_apply_light / t_measured
 
@@ -21,10 +27,16 @@ Run: python benchmarks/tdvp_roofline.py
 """
 from __future__ import annotations
 
+import os
+import sys
+
 import numpy as np
 import opt_einsum as oe
 
-PEAK_BF16 = 196.9e12  # TPU v5 lite, benchmarks/mxu.py
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from benchmarks.mxu import PEAK_BF16_TFLOPS  # noqa: E402
+
+PEAK_BF16 = PEAK_BF16_TFLOPS * 1e12  # TPU v5 lite; single source of truth
 
 
 def _ec(expr, shapes):
@@ -64,10 +76,17 @@ def decompose(N: int, chi: int, d: int, w: int, m: int, nsteps: int,
     env_scan = (N - 1) * env * (2 if order == 2 else 1) * nsteps
     total = nb * (apply_gemm + other_bond) + env_scan
 
-    # pass-weighted apply time: 'high' = 3 bf16 passes; the last
-    # `bf16_tail` two-site Krylov iterations run single-pass
-    a3 = (m - bf16_tail) * apply2 + m1 * apply1 + pre2 + pre1
-    a1 = bf16_tail * apply2
+    # pass-weighted apply time: 'high' = 3 bf16 passes. Engine
+    # semantics (tdvp_chain.py:192, docstring :118-130): with
+    # bf16_tail=k the FIRST k Krylov iterations of EACH propagator
+    # (two-site m and one-site m1 alike) run full-precision; every
+    # iteration i >= k runs single-pass bf16. The per-bond
+    # precontractions (pre2/pre1) always run at 'high'.
+    a3 = (min(bf16_tail, m) * apply2 + min(bf16_tail, m1) * apply1
+          + pre2 + pre1) if bf16_tail else (
+        m * apply2 + m1 * apply1 + pre2 + pre1)
+    a1 = ((m - bf16_tail) * apply2
+          + max(m1 - bf16_tail, 0) * apply1) if bf16_tail else 0.0
     t_apply_light = nb * (3 * a3 + a1) / PEAK_BF16
     return {
         "bond_visits": nb,
