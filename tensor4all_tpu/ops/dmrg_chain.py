@@ -84,6 +84,56 @@ def _colnorm_qr(Y):
     return jnp.linalg.qr(Yn)[0]
 
 
+def _cholqr(Y, shifts=(1e-4, 1e-6, 0.0)):
+    """GEMM-only orthonormal basis of Y's column span: column-
+    equilibrated SHIFTED CholeskyQR, one pass per entry of ``shifts``.
+
+    Drop-in replacement for `_colnorm_qr` on the MXU: the Householder
+    QR of a (chi d, chi) panel costs ~2.5 ms at chi=512 on a v5e while
+    a CholeskyQR pass is 2 GEMMs + a chi x chi Cholesky + a triangular
+    solve (~0.2 ms). Numerics (Fukaya et al., shifted CholeskyQR3):
+    pass k forms the Gram G = Q^H Q at f32 HIGHEST precision
+    (independent of the surrounding sweep's matmul-precision default —
+    a bf16-pass Gram has an ~1e-3 noise floor that no safe shift
+    clears, the measured r3 failure mode), adds ``shifts[k] * tr(G)/q``
+    to the diagonal, and replaces Q by Q R^{-1}. The first generous
+    shift caps the working condition number at ~sqrt(q / shift) (inside
+    the f32 CholeskyQR2 domain cond <~ 1/sqrt(eps)); the later passes
+    restore orthonormality to f32 grade. Same dead-column contract as
+    `_colnorm_qr`: noise columns are zeroed up front and the shift-only
+    diagonal keeps the Cholesky finite, so dead columns stay exactly
+    zero (a projector completion, which is what the padded engines'
+    masked-rank convention wants) rather than Householder's arbitrary
+    orthonormal completion."""
+    eps = jnp.finfo(Y.dtype).eps
+    q = Y.shape[1]
+    cn = jnp.sqrt(jnp.sum(jnp.abs(Y) ** 2, axis=0, keepdims=True))
+    scale = jnp.max(cn)
+    keep = cn > 10 * eps * jnp.maximum(scale, jnp.finfo(Y.dtype).tiny)
+    Q = jnp.where(keep, Y / jnp.where(keep, cn, 1.0).astype(Y.dtype),
+                  jnp.zeros((), Y.dtype))
+    hi = jax.lax.Precision.HIGHEST
+    eye = jnp.eye(q, dtype=Y.dtype)
+    for s in shifts:
+        G = jnp.matmul(jnp.conj(Q).T, Q, precision=hi)
+        # cascading shift (restores weak directions pass by pass) PLUS
+        # a ||G||_inf-scaled safety floor: low-rank thetas (chain ends:
+        # rank <= d^k << chi) have CORRELATED equilibrated columns, so
+        # ||G||_2 ~ tr(G) and the Gram's rounding pushes eigenvalues
+        # ~ -eps ||G||_2 below zero — a mean-diag-only shift
+        # under-covers that and the Cholesky NaNs (measured on TPU at
+        # N=32 chi=512). The floor is ~4e-6 once G ~ I, so the
+        # cascade's tail still restores weak directions.
+        tr = jnp.trace(jnp.real(G))
+        gn = jnp.max(jnp.sum(jnp.abs(G), axis=1))
+        G = G + (s * jnp.maximum(tr, 1.0) / q + 60 * eps * gn) * eye
+        R = jnp.linalg.cholesky(G)  # lower: G = R R^H
+        Q = jax.lax.linalg.triangular_solve(
+            R, Q, left_side=False, lower=True,
+            transpose_a=True, conjugate_a=True)  # Q <- Q R^{-H}
+    return Q
+
+
 def pad_mpo(cores: List[jnp.ndarray]) -> jnp.ndarray:
     """Stack rank-4 MPO cores to (N, w, d, d, w), boundaries at slot 0."""
     w = max(max(c.shape[0], c.shape[-1]) for c in cores)
@@ -246,7 +296,8 @@ def _rayleigh_chain(h: jnp.ndarray, mps: jnp.ndarray) -> jnp.ndarray:
                               "coarse_ns_split", "fine_precision",
                               "fine_reortho", "gemm2_apply",
                               "fine_ns_inner", "ritz_solver",
-                              "energy_precision", "fine_half_sweep")
+                              "energy_precision", "fine_half_sweep",
+                              "fine_cholqr", "fine_split_iters")
 )
 def dmrg_run(
     h: jnp.ndarray,
@@ -266,6 +317,8 @@ def dmrg_run(
     ritz_solver: str = "bisect",
     energy_precision: str = "f64",
     fine_half_sweep: bool = False,
+    fine_cholqr: bool = False,
+    fine_split_iters: int = 2,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run `n_sweeps` full (left-right-left) two-site DMRG sweeps.
 
@@ -341,6 +394,21 @@ def dmrg_run(
         4-sweep production run — so 'mixed' is the production setting
         wherever ~1e-6-relative energies suffice (the state itself is
         identical; re-evaluate with 'f64' offline when needed).
+      fine_split_iters: subspace-iteration steps per fine-sweep split
+        (default 2). The splits are warm-started from the current core,
+        so on a nearly-converged state ONE step already captures the
+        dominant span; 1 halves the fine sweep's QR-panel fixed cost.
+        Accuracy bar: energy parity measured in the r4 grid.
+      fine_cholqr: orthonormalize fine-sweep splits with shifted
+        CholeskyQR (`_cholqr`, GEMM-only: Gram at f32 HIGHEST + shifted
+        Cholesky + triangular solve) instead of Householder QR panels.
+        Unlike the r3 shifted-CholeskyQR attempt (which NaN'd because
+        the coarse sweeps' single-bf16-pass default poisoned the Gram —
+        see the NOTE in split_theta), `_cholqr` pins the Gram/solve to
+        f32 HIGHEST regardless of the sweep default and equilibrates
+        columns first; the final factor reaches f32-grade orthogonality
+        for full-rank thetas. Accuracy bar: energy parity vs the
+        Householder path measured in the r4 grid.
     Returns (energy, optimized padded MPS in sweep_dtype).
     """
     coarse_sweeps = min(coarse_sweeps, n_sweeps)
@@ -369,7 +437,9 @@ def dmrg_run(
                             gemm2_apply=gemm2_apply,
                             ritz=ritz_solver,
                             energy_precision=energy_precision,
-                            half_sweep=fine_half_sweep)
+                            half_sweep=fine_half_sweep,
+                            cholqr=fine_cholqr,
+                            split_iters=fine_split_iters)
 
 
 def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype,
@@ -377,7 +447,7 @@ def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype,
                  reortho: bool = True, ns_split: bool = False,
                  ns_inner: bool = False, gemm2_apply: bool = False,
                  ritz: str = "eigh", energy_precision: str = "f64",
-                 half_sweep: bool = False):
+                 half_sweep: bool = False, cholqr: bool = False):
     N, chi, d, _ = mps0.shape
     w = h.shape[1]
     hi_dtype = mps0.dtype
@@ -447,46 +517,47 @@ def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype,
                 return y.astype(st)
 
         v0 = norm_site(theta0)
-        basis = jnp.zeros((m, chi, d, d, chi), ct)
-        alphas = jnp.zeros((m,), jnp.float64)
-        betas = jnp.zeros((m,), jnp.float64)
-        amask = jnp.zeros((m,), jnp.float64)
-
-        def body(i, carry):
-            basis, alphas, betas, amask, v, v_prev, beta_prev, alive = carry
-            alive_s = alive.astype(st)
-            basis = basis.at[i].set((v * alive_s).astype(ct))
+        # PYTHON-UNROLLED over the static Lanczos depth (r4, mirrors
+        # ops.tdvp_chain.lanczos_expm): the fori_loop form's dynamic
+        # basis update + emulated-f64 scalar chain sat on the critical
+        # path between the apply GEMMs (~66 us/iteration of non-GEMM
+        # overhead in the r3 fine-sweep slope profile). Recurrence
+        # scalars run at the sweep's real grade; the m x m Ritz solve
+        # below consumes them at its own grade as before.
+        sdt = real_st
+        eps10 = jnp.asarray(10 * jnp.finfo(real_st).eps, sdt)
+        basis, alphas, betas, amask = [], [], [], []
+        v = v0
+        v_prev = jnp.zeros_like(v0)
+        beta_prev = jnp.zeros((), sdt)
+        alive = jnp.ones((), sdt)
+        for i in range(m):
+            basis.append((v * alive.astype(st)).astype(ct))
             hv = apply_h(v)
-            a = jnp.real(jnp.sum(jnp.conj(v) * hv))
-            hv = hv - a * v - beta_prev.astype(st) * v_prev
+            a = jnp.real(jnp.sum(jnp.conj(v) * hv)).astype(sdt)
+            hv = hv - a.astype(st) * v - beta_prev.astype(st) * v_prev
             if reortho:
                 # full reorthogonalization against the stored basis;
                 # mixed-dtype einsum fuses the bf16->f32 convert into
                 # the reads (halved traffic), promotion keeps f32 out
-                ov = jnp.einsum("macuy,acuy->m", jnp.conj(basis), hv)
-                mask = (jnp.arange(m) <= i).astype(hv.dtype)
-                hv = hv - jnp.einsum("m,macuy->acuy", ov * mask, basis)
-            b = jnp.sqrt(jnp.sum(jnp.abs(hv) ** 2))
-            v_next = hv / jnp.where(b > 0, b, 1.0)
-            alphas = alphas.at[i].set(
-                jnp.where(alive > 0, a.astype(jnp.float64), 0.0))
-            amask = amask.at[i].set(alive)
-            eps = jnp.asarray(10 * jnp.finfo(real_st).eps, jnp.float64)
-            next_alive = alive * (
-                b.astype(jnp.float64) > eps * jnp.maximum(
-                    1.0, jnp.abs(a).astype(jnp.float64))
-            )
-            betas = betas.at[i].set(
-                b.astype(jnp.float64) * (i + 1 < m) * next_alive
-            )
-            return (basis, alphas, betas, amask, v_next, v,
-                    b.astype(jnp.float64) * alive, next_alive)
-
-        carry = (basis, alphas, betas, amask, v0, jnp.zeros_like(v0),
-                 jnp.float64(0.0), jnp.float64(1.0))
-        basis, alphas, betas, amask, _, _, _, _ = jax.lax.fori_loop(
-            0, m, body, carry
-        )
+                bs = jnp.stack(basis)
+                ov = jnp.einsum("macuy,acuy->m", jnp.conj(bs), hv)
+                hv = hv - jnp.einsum("m,macuy->acuy", ov, bs)
+            b = jnp.sqrt(jnp.sum(jnp.abs(hv) ** 2)).astype(sdt)
+            v_next = hv / jnp.where(b > 0, b, 1.0).astype(st)
+            alphas.append(jnp.where(alive > 0, a, jnp.zeros((), sdt)))
+            amask.append(alive)
+            next_alive = alive * (b > eps10 * jnp.maximum(1.0, jnp.abs(a))
+                                  ).astype(sdt)
+            betas.append(b * next_alive if i + 1 < m
+                         else jnp.zeros((), sdt))
+            v_prev, v = v, v_next
+            beta_prev = b * alive
+            alive = next_alive
+        basis = jnp.stack(basis)
+        alphas = jnp.stack(alphas).astype(jnp.float64)
+        betas = jnp.stack(betas).astype(jnp.float64)
+        amask = jnp.stack(amask).astype(jnp.float64)
         # well-scaled sentinel: inactive diagonal sits just above the
         # active spectrum so eigh's minimum stays in the active block
         # without wrecking its (iterative, TPU) accuracy
@@ -566,6 +637,8 @@ def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype,
                     T = 0.5 * (3.0 * eye - Z @ Y)
                     Y, Z = Y @ T, T @ Z
                 return y @ (Z / jnp.sqrt(s))
+        elif cholqr:
+            orth = _cholqr  # GEMM-only shifted CholeskyQR (fine_cholqr)
         else:
             orth = _colnorm_qr  # column-equilibrated: rank-deficient-safe on TPU
 
@@ -595,6 +668,8 @@ def _dmrg_sweeps(h, mps0, n_sweeps, lanczos_iters, sweep_dtype,
                     T = 0.5 * (3.0 * eye_i - Z @ Y)
                     Y, Z = Y @ T, T @ Z
                 return y @ (Z / jnp.sqrt(s))
+        elif cholqr:
+            orth_inner = _cholqr
         else:
             orth_inner = _colnorm_qr
 

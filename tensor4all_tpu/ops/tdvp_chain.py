@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from .dmrg_chain import (  # noqa: F401 (re-export)
+    _cholqr,
     _colnorm_qr,
     pad_mpo,
     pad_mps,
@@ -75,7 +76,7 @@ def _expm_tridiag_e0(diag: jnp.ndarray, offd: jnp.ndarray, coeff,
     static_argnames=("nsteps", "order", "krylov_m", "sweep_dtype",
                      "orthogonalize", "precision", "reortho",
                      "gemm2_apply", "bf16_tail", "krylov_m1",
-                     "expm_max_squarings"),
+                     "expm_max_squarings", "cholqr_split"),
 )
 def tdvp_run(
     h: jnp.ndarray,
@@ -92,6 +93,7 @@ def tdvp_run(
     bf16_tail: int = 0,
     krylov_m1: int | None = None,
     expm_max_squarings: int = 20,
+    cholqr_split: bool = False,
 ) -> jnp.ndarray:
     """Evolve ``exp(t*H)|mps0>``; returns the padded MPS.
 
@@ -138,6 +140,17 @@ def tdvp_run(
         have ``|dt| |H_eff| <~ 1`` so 8 suffices (each unused squaring
         still costs a masked m x m matmul in-program; 20 is the
         conservative default).
+      cholqr_split: orthonormalize the two-site splits and the initial
+        gauge sweep by shifted CholeskyQR (GEMM-only, `_cholqr`)
+        instead of Householder QR panels. The r4 slope profile
+        attributes most of the engine's ~4.9 ms/bond fixed cost at
+        chi=512 to the QR panels; CholeskyQR replaces each ~2.5 ms
+        Householder panel with ~0.2 ms of GEMMs at f32-grade
+        orthonormality. Production-validated for full-rank states
+        (random inits); states with strongly rank-deficient thetas
+        keep the Householder default (junk completion directions are
+        only orthonormal to ~1e-2 under CholeskyQR — zero-amplitude,
+        but outside the strict gauge contract).
     """
     if order not in (1, 2):
         raise ValueError("order must be 1 or 2")
@@ -145,12 +158,14 @@ def tdvp_run(
         return _tdvp_sweeps(h, mps0, t, nsteps, order, krylov_m,
                             sweep_dtype, orthogonalize, reortho,
                             gemm2_apply, bf16_tail, krylov_m1,
-                            expm_max_squarings)
+                            expm_max_squarings, cholqr_split)
 
 
 def _tdvp_sweeps(h, mps0, t, nsteps, order, krylov_m, sweep_dtype,
                  orthogonalize=False, reortho=True, gemm2_apply=False,
-                 bf16_tail=0, krylov_m1=None, expm_max_squarings=20):
+                 bf16_tail=0, krylov_m1=None, expm_max_squarings=20,
+                 cholqr_split=False):
+    orth = _cholqr if cholqr_split else _colnorm_qr
     N, chi, d, _ = mps0.shape
     w = h.shape[1]
     # real sweep dtypes are allowed for IMAGINARY-time evolution (real t)
@@ -171,47 +186,58 @@ def _tdvp_sweeps(h, mps0, t, nsteps, order, krylov_m, sweep_dtype,
         return jnp.sqrt(jnp.sum(jnp.abs(A) ** 2).astype(jnp.float64))
 
     def lanczos_expm(apply_pair, v0, coeff, shape, m):
-        """exp(coeff*H) v0 by fixed-m Lanczos (ref krylov.rs:640)."""
-        apply_h, apply_lo = apply_pair
-        n0 = norm_of(v0)
-        v = v0 / jnp.maximum(n0, 1e-300).astype(st)
-        basis = jnp.zeros((m,) + shape, st)
-        alphas = jnp.zeros((m,), jnp.float64)
-        betas = jnp.zeros((m,), jnp.float64)
-        amask = jnp.zeros((m,), jnp.float64)
+        """exp(coeff*H) v0 by fixed-m Lanczos (ref krylov.rs:640).
 
-        def body(i, carry):
-            basis, alphas, betas, amask, v, v_prev, beta_prev, alive = carry
-            basis = basis.at[i].set(v * alive.astype(st))
-            if apply_lo is None:
-                hv = apply_h(v)
-            else:
-                # factorial coefficient decay makes tail iterations
-                # bf16-tolerant (see tdvp_run docstring); lax.cond picks
-                # the single executed branch per iteration
-                hv = jax.lax.cond(i < tail, apply_h, apply_lo, v)
-            a = jnp.real(jnp.sum(jnp.conj(v) * hv))
+        PYTHON-UNROLLED over the static Krylov depth (r4): the previous
+        fori_loop + lax.cond form paid ~200 us of non-GEMM overhead per
+        two-site iteration at chi=512 (slope-measured,
+        benchmarks/profile_tdvp.py — ~60% of the engine's entire
+        fixed cost): the per-iteration dynamic basis update, the cond's
+        scheduling barrier, and emulated-f64 scalar chains all sit on
+        the critical path between GEMMs. Unrolling removes the loop and
+        cond entirely, lets XLA fuse the axpy/normalize chain into the
+        apply epilogues, and runs the recurrence scalars at the sweep's
+        real grade (f32 for f32 sweeps — the same grade the expm solve
+        and the basis already use; f64 sweeps keep f64 scalars).
+        """
+        apply_h, apply_lo = apply_pair
+        sdt = real_st  # scalar grade matches the sweep
+        tiny = jnp.asarray(jnp.finfo(sdt).tiny, sdt)
+        eps10 = jnp.asarray(10 * jnp.finfo(real_st).eps, sdt)
+        n0 = jnp.sqrt(jnp.sum(jnp.abs(v0) ** 2)).astype(sdt)
+        v = v0 / jnp.maximum(n0, tiny).astype(st)
+        basis, alphas, betas, amask = [], [], [], []
+        v_prev = jnp.zeros_like(v)
+        beta_prev = jnp.zeros((), sdt)
+        alive = jnp.ones((), sdt)
+        for i in range(m):
+            basis.append(v * alive.astype(st))
+            # factorial coefficient decay makes tail iterations
+            # bf16-tolerant (see tdvp_run docstring); the branch is
+            # STATIC per unrolled iteration — no lax.cond
+            f = apply_h if (apply_lo is None or i < tail) else apply_lo
+            hv = f(v)
+            a = jnp.real(jnp.sum(jnp.conj(v) * hv)).astype(sdt)
             hv = hv - a.astype(st) * v - beta_prev.astype(st) * v_prev
             if reortho:
-                ov = jnp.einsum("m...,...->m", jnp.conj(basis), hv)
-                mask = (jnp.arange(m) <= i).astype(st)
-                hv = hv - jnp.einsum("m,m...->...", ov * mask, basis)
-            b = norm_of(hv)
-            v_next = hv / jnp.maximum(b, 1e-300).astype(st)
-            alphas = alphas.at[i].set(
-                jnp.where(alive > 0, a.astype(jnp.float64), 0.0))
-            amask = amask.at[i].set(alive)
-            eps = jnp.asarray(10 * jnp.finfo(real_st).eps, jnp.float64)
-            next_alive = alive * (b > eps * jnp.maximum(
-                1.0, jnp.abs(a).astype(jnp.float64)))
-            betas = betas.at[i].set(b * (i + 1 < m) * next_alive)
-            return (basis, alphas, betas, amask, v_next, v,
-                    b * alive, next_alive)
-
-        carry = (basis, alphas, betas, amask, v, jnp.zeros_like(v),
-                 jnp.float64(0.0), jnp.float64(1.0))
-        basis, alphas, betas, amask, _, _, _, _ = jax.lax.fori_loop(
-            0, m, body, carry)
+                bs = jnp.stack(basis)
+                ov = jnp.einsum("m...,...->m", jnp.conj(bs), hv)
+                hv = hv - jnp.einsum("m,m...->...", ov, bs)
+            b = jnp.sqrt(jnp.sum(jnp.abs(hv) ** 2)).astype(sdt)
+            v_next = hv / jnp.maximum(b, tiny).astype(st)
+            alphas.append(jnp.where(alive > 0, a, jnp.zeros((), sdt)))
+            amask.append(alive)
+            next_alive = alive * (b > eps10 * jnp.maximum(1.0, jnp.abs(a))
+                                  ).astype(sdt)
+            betas.append(b * next_alive if i + 1 < m
+                         else jnp.zeros((), sdt))
+            v_prev, v = v, v_next
+            beta_prev = b * alive
+            alive = next_alive
+        basis = jnp.stack(basis)
+        alphas = jnp.stack(alphas)
+        betas = jnp.stack(betas)
+        amask = jnp.stack(amask)
         # exp(coeff*T) e0 by GEMM-only scaling-and-squaring (dead slots
         # carry zero diag/offd and decouple; masked below for safety).
         # Imaginary time keeps real arithmetic — the path that runs on
@@ -317,13 +343,13 @@ def _tdvp_sweeps(h, mps0, t, nsteps, order, krylov_m, sweep_dtype,
     def split_theta(theta, Q0, toward_right):
         mat = theta.reshape(chi * d, d * chi)
         if toward_right:
-            Q = _colnorm_qr(mat @ (jnp.conj(mat).T @ Q0))
-            Q = _colnorm_qr(mat @ (jnp.conj(mat).T @ Q))
+            Q = orth(mat @ (jnp.conj(mat).T @ Q0))
+            Q = orth(mat @ (jnp.conj(mat).T @ Q))
             left = Q.reshape(chi, d, chi)
             right = (jnp.conj(Q).T @ mat).reshape(chi, d, chi)
         else:
-            Q = _colnorm_qr(jnp.conj(mat).T @ (mat @ Q0))
-            Q = _colnorm_qr(jnp.conj(mat).T @ (mat @ Q))
+            Q = orth(jnp.conj(mat).T @ (mat @ Q0))
+            Q = orth(jnp.conj(mat).T @ (mat @ Q))
             right = jnp.conj(Q).T.reshape(chi, d, chi)
             left = (mat @ Q).reshape(chi, d, chi)
         return left, right
@@ -374,12 +400,19 @@ def _tdvp_sweeps(h, mps0, t, nsteps, order, krylov_m, sweep_dtype,
             mps = carry
             A = get(mps, k)
             M = A.reshape(chi, d * chi)
-            Q1, R1 = jnp.linalg.qr(jnp.conj(M).T)  # (d chi, chi)
+            if cholqr_split:
+                # GEMM-only gauge: M^H = Q1 R1 => R1^H = M Q1, so the
+                # absorbed factor never needs the triangular R at all
+                Q1 = _cholqr(jnp.conj(M).T)  # (d chi, chi)
+                R1H = M @ Q1
+            else:
+                Q1, R1 = jnp.linalg.qr(jnp.conj(M).T)  # (d chi, chi)
+                R1H = jnp.conj(R1).T
             core = jnp.conj(Q1).T.reshape(chi, d, chi)
             prev = get(mps, k - 1)
             # absorb R1^H into the previous core's right bond
             # (M = R1^H Q1^H)
-            prev = jnp.einsum("adb,bc->adc", prev, jnp.conj(R1).T)
+            prev = jnp.einsum("adb,bc->adc", prev, R1H)
             if renorm:
                 mx = jnp.max(jnp.abs(prev))
                 prev = prev / jnp.where(mx > 0, mx, 1.0)
@@ -488,11 +521,18 @@ def tdvp_sweep_flops(N: int, chi: int, d: int, w: int, krylov_m: int,
                      complex_dtype: bool = False,
                      reortho: bool = True,
                      gemm2_apply: bool = False,
-                     krylov_m1: int | None = None) -> float:
+                     krylov_m1: int | None = None,
+                     karatsuba: bool = False) -> float:
     """Analytic FLOP count of ``tdvp_run``'s sweep loop (same cost model
-    as ops.dmrg_chain.dmrg_sweep_flops; complex arithmetic counts 4x
-    the real-valued multiplies). The knob parameters MUST mirror the
-    tdvp_run call being measured (ADVICE r2)."""
+    as ops.dmrg_chain.dmrg_sweep_flops). The knob parameters MUST
+    mirror the tdvp_run call being measured (ADVICE r2).
+
+    complex_dtype (the real/imag-split engine): complex-complex GEMM
+    streams count 4x the real multiplies (3x under ``karatsuba`` —
+    ops.tdvp_chain_split._cmul_ein3), pair vector ops and the real-MPO
+    precontractions count 2x, split/QR panel terms 4x (the pair
+    orthogonalizers run two embedded real panels or an interleaved
+    2q-wide Cholesky)."""
     import numpy as np
     import opt_einsum as oe
 
@@ -538,13 +578,20 @@ def tdvp_sweep_flops(N: int, chi: int, d: int, w: int, krylov_m: int,
     half_sweep = (N - 1) * per_bond + (N - 1) * env_f  # + env scan
     per_step = (2 if order == 2 else 1) * half_sweep
     total = nsteps * per_step
-    if complex_dtype and gemm2_apply:
+    if complex_dtype:
+        nb = nsteps * (2 if order == 2 else 1) * (N - 1)
         # pair-arithmetic precontractions multiply a complex pair by the
         # REAL MPO core (2 real einsums, not 4) — don't inflate them
-        pre_total = nsteps * (2 if order == 2 else 1) * (N - 1) * (
-            pre2_f + pre1_f)
-        return (total - pre_total) * 4.0 + pre_total * 2.0
-    return total * (4.0 if complex_dtype else 1.0)
+        pre_total = nb * (pre2_f + pre1_f)
+        # pair vector ops (axpy/normalize/coef accumulation) are 2x
+        vec_total = nb * ((m * (2 + 4 + 2) + (4 * m * m if reortho
+                                              else 0)) * td2
+                          + (m1 * (2 + 4 + 2) + (4 * m1 * m1 if reortho
+                                                 else 0)) * td1)
+        cmul_total = (total - pre_total - vec_total)
+        cmul_x = 3.0 if karatsuba else 4.0
+        return cmul_total * cmul_x + pre_total * 2.0 + vec_total * 2.0
+    return total
 
 
 def tdvp_chain(h_cores, init_cores, t, chi, nsteps=1, order=2,

@@ -45,6 +45,21 @@ def _cmul_ein(expr, ar, ai, br, bi, precision=None):
     return rr - ii, ri + ir
 
 
+def _cmul_ein3(expr, ar, ai, br, bi, precision=None):
+    """Karatsuba complex pairwise einsum: THREE real einsums instead of
+    four (rr, ii, and one on the operand sums), at the cost of one
+    extra rounding in the imaginary part (|s - rr - ii| cancellation ~
+    eps * |a||b| — f32 trajectory grade, below the Trotter floor for
+    production steps; measured against the 4-einsum path in the r4
+    accuracy probe). 25% fewer MXU passes on the complex-complex hot
+    stream of the real-time engine."""
+    rr = jnp.einsum(expr, ar, br, optimize=True, precision=precision)
+    ii = jnp.einsum(expr, ai, bi, optimize=True, precision=precision)
+    sm = jnp.einsum(expr, ar + ai, br + bi, optimize=True,
+                    precision=precision)
+    return rr - ii, sm - rr - ii
+
+
 def _rmul_ein(expr, ar, ai, w, precision=None):
     """Einsum of a complex pair against a REAL operand (2 real einsums)."""
     return (jnp.einsum(expr, ar, w, optimize=True, precision=precision),
@@ -235,12 +250,63 @@ def _corth_qr(yr, yi, seed: int = 11, complete: bool = True):
     return _merge_into_dead(qr_, qi_, jr, ji)
 
 
+def _pair_cholqr(yr, yi, shifts=(1e-4, 1e-6, 0.0)):
+    """GEMM-only COMPLEX orthonormalization in pair arithmetic:
+    column-equilibrated shifted CholeskyQR through the INTERLEAVED real
+    embedding (r4; complex sibling of ops.dmrg_chain._cholqr).
+
+    Key fact: with the interleaved embedding E (each complex entry ->
+    a 2x2 block [[a, -b], [b, a]]), E is a *-algebra homomorphism whose
+    image is CLOSED under the Cholesky recursion — the diagonal blocks
+    of a Hermitian-PD embedding are positive multiples of I_2, so the
+    REAL Cholesky of E(G) is exactly E(chol(G)). One real (2q x 2q)
+    Cholesky + one real triangular solve per pass therefore implement
+    the complex CholeskyQR with no complex kernels at all (this chip
+    raises UNIMPLEMENTED for complex dtypes). The solve convention is a
+    conjugation sandwich: with row-pairs laid out as interleaved
+    columns (r0, i0, r1, i1, ...), X L^H = Y in complex is
+    conj_cols(X)_int @ E(L)^T = conj_cols(Y)_int (verified against
+    complex Cholesky). Shift cascade + ||G||_inf safety floor as in
+    `_cholqr`. Dead/noise columns are zeroed and STAY zero — projector
+    completion, so callers that need junk completion for rank growth
+    (complete_basis=True semantics) must keep `_corth_qr`."""
+    p, q = yr.shape
+    dt = yr.dtype
+    eps = jnp.finfo(dt).eps
+    cn = jnp.sqrt(jnp.sum(yr * yr + yi * yi, axis=0, keepdims=True))
+    scale = jnp.max(cn)
+    keep = cn > 10 * eps * jnp.maximum(scale, jnp.finfo(dt).tiny)
+    inv = jnp.where(keep, 1.0 / jnp.where(keep, cn, 1.0), 0.0)
+    qr_, qi_ = yr * inv, yi * inv
+    hi = jax.lax.Precision.HIGHEST
+    eye = jnp.eye(q, dtype=dt)
+    for s in shifts:
+        Gr = (jnp.matmul(qr_.T, qr_, precision=hi)
+              + jnp.matmul(qi_.T, qi_, precision=hi))
+        Gi = (jnp.matmul(qr_.T, qi_, precision=hi)
+              - jnp.matmul(qi_.T, qr_, precision=hi))
+        tr = jnp.trace(Gr)
+        gn = jnp.max(jnp.sum(jnp.abs(Gr) + jnp.abs(Gi), axis=1))
+        Gr = Gr + (s * jnp.maximum(tr, 1.0) / q + 60 * eps * gn) * eye
+        K = jnp.zeros((2 * q, 2 * q), dt)
+        K = K.at[0::2, 0::2].set(Gr).at[1::2, 1::2].set(Gr)
+        K = K.at[0::2, 1::2].set(-Gi).at[1::2, 0::2].set(Gi)
+        L = jnp.linalg.cholesky(K)
+        Qint = jnp.stack([qr_, -qi_], axis=2).reshape(p, 2 * q)
+        X = jax.lax.linalg.triangular_solve(
+            L, Qint, left_side=False, lower=True, transpose_a=True)
+        Xs = X.reshape(p, q, 2)
+        qr_, qi_ = Xs[:, :, 0], -Xs[:, :, 1]
+    return qr_, qi_
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("nsteps", "order", "krylov_m", "orthogonalize",
                      "split_iters", "complete_basis", "precision",
                      "reortho", "bf16_tail", "krylov_m1",
-                     "expm_max_squarings", "gemm2_apply"),
+                     "expm_max_squarings", "gemm2_apply", "karatsuba",
+                     "cholqr_split"),
 )
 def tdvp_run_split(
     h: jnp.ndarray,
@@ -260,6 +326,8 @@ def tdvp_run_split(
     krylov_m1: int | None = None,
     expm_max_squarings: int = 20,
     gemm2_apply: bool = False,
+    karatsuba: bool = False,
+    cholqr_split: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Evolve ``exp((t_re + i t_im) * H)|mps0>`` with a REAL padded MPO
     ``h`` and a complex state given as the (real, imag) pair; returns the
@@ -274,14 +342,16 @@ def tdvp_run_split(
                                   order, krylov_m, orthogonalize,
                                   split_iters, complete_basis, reortho,
                                   bf16_tail, krylov_m1,
-                                  expm_max_squarings, gemm2_apply)
+                                  expm_max_squarings, gemm2_apply,
+                                  karatsuba, cholqr_split)
 
 
 def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
                        krylov_m, orthogonalize, split_iters=2,
                        complete_basis=True, reortho=True, bf16_tail=0,
                        krylov_m1=None, expm_max_squarings=20,
-                       gemm2_apply=False):
+                       gemm2_apply=False, karatsuba=False,
+                       cholqr_split=False):
     """``complete_basis=False`` skips dead-slot junk completion in every
     orthonormalization — exact for states that keep FULL padded rank
     throughout (e.g. full-rank random inits in benchmarks); states whose
@@ -289,6 +359,14 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
     warm-started subspace iteration relies on full-dimensional bases)."""
     N, chi, d, _ = mps0_r.shape
     st = mps0_r.dtype
+    cmul = _cmul_ein3 if karatsuba else _cmul_ein
+    if cholqr_split:
+        def corth(yr, yi, complete=True):
+            # GEMM-only pair CholeskyQR; projector completion (dead
+            # columns stay zero) — production full-rank path
+            return _pair_cholqr(yr, yi)
+    else:
+        corth = _corth_qr
     hs = h.astype(st)
     mr, mi = mps0_r.astype(st), mps0_i.astype(st)
     m = krylov_m
@@ -316,9 +394,9 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
             RWr, RWi = _rmul_ein("brB,mqjr->mjbqB", Rr, Ri, Wr)
 
             def f2(thr, thi):
-                t1r, t1i = _cmul_ein("aixpm,aijb->xpmjb", LWr, LWi,
+                t1r, t1i = cmul("aixpm,aijb->xpmjb", LWr, LWi,
                                      thr, thi)
-                return _cmul_ein("xpmjb,mjbqB->xpqB", t1r, t1i,
+                return cmul("xpmjb,mjbqB->xpqB", t1r, t1i,
                                  RWr, RWi)
 
             if not tail:
@@ -329,18 +407,18 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
 
             def f2_lo(thr, thi):
                 thr_c, thi_c = thr.astype(bf16), thi.astype(bf16)
-                t1r, t1i = _cmul_ein("aixpm,aijb->xpmjb", LWrc, LWic,
+                t1r, t1i = cmul("aixpm,aijb->xpmjb", LWrc, LWic,
                                      thr_c, thi_c, precision=_P1)
-                outr, outi = _cmul_ein("xpmjb,mjbqB->xpqB", t1r, t1i,
+                outr, outi = cmul("xpmjb,mjbqB->xpqB", t1r, t1i,
                                        RWrc, RWic, precision=_P1)
                 return outr.astype(st), outi.astype(st)
             return f2, f2_lo
 
         def f(thr, thi):
-            t1r, t1i = _cmul_ein("alx,aijb->lxijb", Lr, Li, thr, thi)
+            t1r, t1i = cmul("alx,aijb->lxijb", Lr, Li, thr, thi)
             t2r, t2i = _rmul_ein("lxijb,lpim->xpmjb", t1r, t1i, Wl)
             t3r, t3i = _rmul_ein("xpmjb,mqjr->xpqrb", t2r, t2i, Wr)
-            return _cmul_ein("xpqrb,brB->xpqB", t3r, t3i, Rr, Ri)
+            return cmul("xpqrb,brB->xpqB", t3r, t3i, Rr, Ri)
 
         if not tail:
             return f, None
@@ -350,13 +428,13 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
 
         def f_lo(thr, thi):
             thr_c, thi_c = thr.astype(bf), thi.astype(bf)
-            t1r, t1i = _cmul_ein("alx,aijb->lxijb", Lrc, Lic,
+            t1r, t1i = cmul("alx,aijb->lxijb", Lrc, Lic,
                                  thr_c, thi_c, precision=_P1)
             t2r, t2i = _rmul_ein("lxijb,lpim->xpmjb", t1r, t1i, Wlc,
                                  precision=_P1)
             t3r, t3i = _rmul_ein("xpmjb,mqjr->xpqrb", t2r, t2i, Wrc,
                                  precision=_P1)
-            outr, outi = _cmul_ein("xpqrb,brB->xpqB", t3r, t3i,
+            outr, outi = cmul("xpqrb,brB->xpqB", t3r, t3i,
                                    Rrc, Ric, precision=_P1)
             return outr.astype(st), outi.astype(st)
         return f, f_lo
@@ -366,9 +444,9 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
             LWr, LWi = _rmul_ein("alx,lpir->aixpr", Lr, Li, W)
 
             def f1(ar, ai):
-                t1r, t1i = _cmul_ein("aixpr,aib->xprb", LWr, LWi,
+                t1r, t1i = cmul("aixpr,aib->xprb", LWr, LWi,
                                      ar, ai)
-                return _cmul_ein("xprb,brB->xpB", t1r, t1i, Rr, Ri)
+                return cmul("xprb,brB->xpB", t1r, t1i, Rr, Ri)
 
             if not tail:
                 return f1, None
@@ -378,17 +456,17 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
 
             def f1_lo(ar, ai):
                 ar_c, ai_c = ar.astype(bf16), ai.astype(bf16)
-                t1r, t1i = _cmul_ein("aixpr,aib->xprb", LWrc, LWic,
+                t1r, t1i = cmul("aixpr,aib->xprb", LWrc, LWic,
                                      ar_c, ai_c, precision=_P1)
-                outr, outi = _cmul_ein("xprb,brB->xpB", t1r, t1i,
+                outr, outi = cmul("xprb,brB->xpB", t1r, t1i,
                                        Rrc, Ric, precision=_P1)
                 return outr.astype(st), outi.astype(st)
             return f1, f1_lo
 
         def f(ar, ai):
-            t1r, t1i = _cmul_ein("alx,aib->lxib", Lr, Li, ar, ai)
+            t1r, t1i = cmul("alx,aib->lxib", Lr, Li, ar, ai)
             t2r, t2i = _rmul_ein("lxib,lpir->xprb", t1r, t1i, W)
-            return _cmul_ein("xprb,brB->xpB", t2r, t2i, Rr, Ri)
+            return cmul("xprb,brB->xpB", t2r, t2i, Rr, Ri)
 
         if not tail:
             return f, None
@@ -398,76 +476,76 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
 
         def f_lo(ar, ai):
             ar_c, ai_c = ar.astype(bf), ai.astype(bf)
-            t1r, t1i = _cmul_ein("alx,aib->lxib", Lrc, Lic, ar_c, ai_c,
+            t1r, t1i = cmul("alx,aib->lxib", Lrc, Lic, ar_c, ai_c,
                                  precision=_P1)
             t2r, t2i = _rmul_ein("lxib,lpir->xprb", t1r, t1i, Wc,
                                  precision=_P1)
-            outr, outi = _cmul_ein("xprb,brB->xpB", t2r, t2i, Rrc, Ric,
+            outr, outi = cmul("xprb,brB->xpB", t2r, t2i, Rrc, Ric,
                                    precision=_P1)
             return outr.astype(st), outi.astype(st)
         return f, f_lo
 
     def lanczos_expm(apply_pair, v0r, v0i, c_re, c_im, shape, m):
         """exp((c_re + i c_im) H) v0 by fixed-m Hermitian Lanczos in
-        pair arithmetic (T stays real)."""
+        pair arithmetic (T stays real).
+
+        PYTHON-UNROLLED over the static Krylov depth with sweep-grade
+        scalars (r4, mirrors ops.tdvp_chain.lanczos_expm): the
+        fori_loop + lax.cond form's per-iteration overhead (dynamic
+        basis updates, cond scheduling barrier, emulated-f64 scalar
+        chains) was the slope-measured bulk of the chain engine's
+        fixed cost; the pair engine pays it twice per vector op.
+        """
         apply_h, apply_lo = apply_pair
-        n0 = jnp.sqrt(norm2_of(v0r, v0i))
-        inv = (1.0 / jnp.maximum(n0, jnp.finfo(jnp.float64).tiny)).astype(st)
+        sdt = st
+        tiny = jnp.asarray(jnp.finfo(sdt).tiny, sdt)
+        eps10 = jnp.asarray(10 * jnp.finfo(st).eps, sdt)
+        n0 = jnp.sqrt(jnp.sum(v0r * v0r) + jnp.sum(v0i * v0i))
+        inv = (1.0 / jnp.maximum(n0, tiny)).astype(st)
         vr, vi = v0r * inv, v0i * inv
-        basis_r = jnp.zeros((m,) + shape, st)
-        basis_i = jnp.zeros((m,) + shape, st)
-        alphas = jnp.zeros((m,), jnp.float64)
-        betas = jnp.zeros((m,), jnp.float64)
-        amask = jnp.zeros((m,), jnp.float64)
-
-        def body(i, carry):
-            (basis_r, basis_i, alphas, betas, amask, vr, vi, pvr, pvi,
-             beta_prev, alive) = carry
+        basis_r, basis_i = [], []
+        alphas, betas, amask = [], [], []
+        pvr, pvi = jnp.zeros_like(vr), jnp.zeros_like(vi)
+        beta_prev = jnp.zeros((), sdt)
+        alive = jnp.ones((), sdt)
+        for i in range(m):
             al = alive.astype(st)
-            basis_r = basis_r.at[i].set(vr * al)
-            basis_i = basis_i.at[i].set(vi * al)
-            if apply_lo is None:
-                hvr, hvi = apply_h(vr, vi)
-            else:
-                hvr, hvi = jax.lax.cond(
-                    i < tail, lambda p: apply_h(*p),
-                    lambda p: apply_lo(*p), (vr, vi))
-            a = (jnp.sum(vr * hvr) + jnp.sum(vi * hvi))  # Re<v,Hv>
+            basis_r.append(vr * al)
+            basis_i.append(vi * al)
+            f = apply_h if (apply_lo is None or i < tail) else apply_lo
+            hvr, hvi = f(vr, vi)
+            a = (jnp.sum(vr * hvr) + jnp.sum(vi * hvi)).astype(sdt)
             bp = beta_prev.astype(st)
-            hvr = hvr - a * vr - bp * pvr
-            hvi = hvi - a * vi - bp * pvi
+            hvr = hvr - a.astype(st) * vr - bp * pvr
+            hvi = hvi - a.astype(st) * vi - bp * pvi
             if reortho:
-                # full reorthogonalization: ov_m = <basis_m, hv>
-                # (complex); False keeps the plain 3-term recurrence —
-                # see ops.tdvp_chain.tdvp_run(reortho=...) for why that
-                # is safe for short-time local propagators
-                ovr = (jnp.einsum("m...,...->m", basis_r, hvr)
-                       + jnp.einsum("m...,...->m", basis_i, hvi))
-                ovi = (jnp.einsum("m...,...->m", basis_r, hvi)
-                       - jnp.einsum("m...,...->m", basis_i, hvr))
-                mask = (jnp.arange(m) <= i).astype(st)
-                ovr, ovi = ovr * mask, ovi * mask
-                hvr = hvr - (jnp.einsum("m,m...->...", ovr, basis_r)
-                             - jnp.einsum("m,m...->...", ovi, basis_i))
-                hvi = hvi - (jnp.einsum("m,m...->...", ovr, basis_i)
-                             + jnp.einsum("m,m...->...", ovi, basis_r))
-            b = jnp.sqrt(norm2_of(hvr, hvi))
-            binv = (1.0 / jnp.maximum(b, jnp.finfo(jnp.float64).tiny)).astype(st)
-            alphas = alphas.at[i].set(
-                jnp.where(alive > 0, a.astype(jnp.float64), 0.0))
-            amask = amask.at[i].set(alive)
-            eps = jnp.asarray(10 * jnp.finfo(st).eps, jnp.float64)
-            next_alive = alive * (b > eps * jnp.maximum(
-                1.0, jnp.abs(a).astype(jnp.float64)))
-            betas = betas.at[i].set(b * (i + 1 < m) * next_alive)
-            return (basis_r, basis_i, alphas, betas, amask,
-                    hvr * binv, hvi * binv, vr, vi, b * alive, next_alive)
-
-        carry = (basis_r, basis_i, alphas, betas, amask, vr, vi,
-                 jnp.zeros_like(vr), jnp.zeros_like(vi),
-                 jnp.float64(0.0), jnp.float64(1.0))
-        (basis_r, basis_i, alphas, betas, amask, *_) = jax.lax.fori_loop(
-            0, m, body, carry)
+                bsr, bsi = jnp.stack(basis_r), jnp.stack(basis_i)
+                ovr = (jnp.einsum("m...,...->m", bsr, hvr)
+                       + jnp.einsum("m...,...->m", bsi, hvi))
+                ovi = (jnp.einsum("m...,...->m", bsr, hvi)
+                       - jnp.einsum("m...,...->m", bsi, hvr))
+                hvr = hvr - (jnp.einsum("m,m...->...", ovr, bsr)
+                             - jnp.einsum("m,m...->...", ovi, bsi))
+                hvi = hvi - (jnp.einsum("m,m...->...", ovr, bsi)
+                             + jnp.einsum("m,m...->...", ovi, bsr))
+            b = jnp.sqrt(jnp.sum(hvr * hvr) + jnp.sum(hvi * hvi)
+                         ).astype(sdt)
+            binv = (1.0 / jnp.maximum(b, tiny)).astype(st)
+            alphas.append(jnp.where(alive > 0, a, jnp.zeros((), sdt)))
+            amask.append(alive)
+            next_alive = alive * (b > eps10 * jnp.maximum(
+                1.0, jnp.abs(a))).astype(sdt)
+            betas.append(b * next_alive if i + 1 < m
+                         else jnp.zeros((), sdt))
+            pvr, pvi = vr, vi
+            vr, vi = hvr * binv, hvi * binv
+            beta_prev = b * alive
+            alive = next_alive
+        basis_r = jnp.stack(basis_r)
+        basis_i = jnp.stack(basis_i)
+        alphas = jnp.stack(alphas)
+        betas = jnp.stack(betas)
+        amask = jnp.stack(amask)
         # exp((c_re + i c_im) T) e0 by pair-arithmetic scaling-and-
         # squaring (dead slots carry zero diag/offd and decouple). The
         # solve runs at the sweep grade: f64 matmuls are emulated on TPU
@@ -486,6 +564,8 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
         s0 = n0.astype(st)
         return out_r * s0, out_i * s0
 
+
+
     def split_theta(thr, thi, q0r, q0i, toward_right):
         """Top-chi split via warm-started subspace iteration with polar
         orthonormalization after EACH half-application (keeps every
@@ -495,10 +575,10 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
         if toward_right:
             q0r_, q0i_ = q0r, q0i
             for _ in range(split_iters):
-                zr, zi = _corth_qr(mr_.T @ q0r_ + mi_.T @ q0i_,
+                zr, zi = corth(mr_.T @ q0r_ + mi_.T @ q0i_,
                                    mr_.T @ q0i_ - mi_.T @ q0r_,
                                    complete=complete_basis)  # M^H Q0
-                qr_, qi_ = _corth_qr(mr_ @ zr - mi_ @ zi,
+                qr_, qi_ = corth(mr_ @ zr - mi_ @ zi,
                                      mr_ @ zi + mi_ @ zr,
                                      complete=complete_basis)
                 q0r_, q0i_ = qr_, qi_
@@ -511,10 +591,10 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
         else:
             q0r_, q0i_ = q0r, q0i
             for _ in range(split_iters):
-                zr, zi = _corth_qr(mr_ @ q0r_ - mi_ @ q0i_,
+                zr, zi = corth(mr_ @ q0r_ - mi_ @ q0i_,
                                    mr_ @ q0i_ + mi_ @ q0r_,
                                    complete=complete_basis)
-                qr_, qi_ = _corth_qr(mr_.T @ zr + mi_.T @ zi,
+                qr_, qi_ = corth(mr_.T @ zr + mi_.T @ zi,
                                      mr_.T @ zi - mi_.T @ zr,
                                      complete=complete_basis)  # M^H Z
                 q0r_, q0i_ = qr_, qi_
@@ -529,7 +609,7 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
 
     def update_left_env(Lr, Li, Ar, Ai, W):
         # L' = sum A W conj(A): bra = conj(A)
-        t1r, t1i = _cmul_ein("alx,aib->lxib", Lr, Li, Ar, Ai)
+        t1r, t1i = cmul("alx,aib->lxib", Lr, Li, Ar, Ai)
         t2r, t2i = _rmul_ein("lxib,loir->xorb", t1r, t1i, W)
         # contract with conj(A): (x o B) over x, o
         rr = (jnp.einsum("xorb,xoB->brB", t2r, Ar)
@@ -539,7 +619,7 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
         return rr, ii
 
     def update_right_env(Rr, Ri, Ar, Ai, W):
-        t1r, t1i = _cmul_ein("brB,aib->raiB", Rr, Ri, Ar, Ai)
+        t1r, t1i = cmul("brB,aib->raiB", Rr, Ri, Ar, Ai)
         t2r, t2i = _rmul_ein("raiB,loir->laoB", t1r, t1i, W)
         rr = (jnp.einsum("laoB,xoB->alx", t2r, Ar)
               + jnp.einsum("laoB,xoB->alx", t2i, Ai))
@@ -589,7 +669,7 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
             # rows of (chi, d chi): orthonormalize columns of the dagger
             yr = ar.reshape(chi, d * chi).T
             yi = -ai.reshape(chi, d * chi).T  # conj transpose
-            qr_, qi_ = _corth_qr(yr, yi, complete=complete_basis)  # (d chi, chi)
+            qr_, qi_ = corth(yr, yi, complete=complete_basis)  # (d chi, chi)
             core_r = qr_.T.reshape(chi, d, chi)
             core_i = (-qi_.T).reshape(chi, d, chi)
             # residual R = M Q (chi x chi complex); absorb into previous
