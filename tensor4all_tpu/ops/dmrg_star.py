@@ -22,8 +22,15 @@ to the star:
   (bond = d, no truncation) split keeps the canonical center at the
   hub via one tiny SVD.
 
-Scope: single-site legs (the benchmark shape). Longer legs reduce to
-chains hanging off the hub and are served by the framework engine.
+Scope: single-site legs (the benchmark shape) natively, and chain legs
+of length L >= 2 by the exact dressed-leaf reduction
+(`star_chain_legs_terms`): each leg is coarse-grained into ONE
+composite leaf of dimension d**L (site 1 = hub-adjacent is the leading
+kron factor), intra-leg couplings fold into a leaf onsite term, and the
+engine runs unchanged with hub dimension d and leaf dimension d**L.
+The two-site (hub, composite-leaf) update with the exact d**L split
+bond spans everything a fine-grained per-edge sweep over the leg
+spans, so parity vs dense ED is exact, not variational-approximate.
 
 Backend note: this is a LATENCY-bound engine for tiny tensors (the
 K=7 benchmark state is 256 elements) — run it on the CPU backend,
@@ -107,6 +114,100 @@ def star_pair_terms(
         np.zeros((d, d)) if onsite_hub is None
         else np.asarray(onsite_hub, np.float64), dtype)
     return A, B, h_hub
+
+
+def star_chain_legs_terms(
+    pass_ops: Sequence[np.ndarray],
+    complete_ops: Sequence[np.ndarray],
+    K: int,
+    L: int,
+    onsite_hub: np.ndarray | None = None,
+    onsite_leaf: np.ndarray | None = None,
+    dtype=jnp.float64,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Dressed-leaf reduction of a star with K chain legs of length L
+    to the engine's (A, B, h_hub) format (ref: the reference's general
+    tree region plans, tensor4all-treetn/src/tdvp/plan.rs:1-379, cover
+    this family; here the legs are coarse-grained exactly instead).
+
+    Each leg becomes one composite leaf of dimension ``d**L`` with
+    site 1 (hub-adjacent) as the LEADING kron factor. Per edge k:
+
+    - hub-leg coupling:  ``A_a = complete_ops[a]`` on the hub,
+      ``B_a = pass_ops[a] (x) I**(L-1)`` on the composite leaf
+      (parent side carries the coefficients, matching
+      models.spin.tree_nn_operator's parent/child convention);
+    - intra-leg couplings ``sum_j sum_a I**(j-1) (x) complete_a (x)
+      pass_a (x) I**(L-j-1)`` and per-site leaf fields fold into ONE
+      extra term ``(I_hub, h_leaf_comp)``;
+    - ``onsite_hub`` stays the pure-hub field.
+
+    Valid for modest L (the composite dimension is d**L); the engines'
+    exact split keeps the hub-leaf bond at d**L so the reduction loses
+    nothing variationally.
+    """
+    if L < 1:
+        raise ValueError("leg length L must be >= 1")
+    if L == 1:
+        return star_pair_terms(pass_ops, complete_ops, K,
+                               onsite_hub=onsite_hub,
+                               onsite_leaf=onsite_leaf, dtype=dtype)
+    d = np.asarray(pass_ops[0]).shape[0]
+    D = d ** L
+    eyeD = {j: np.eye(d ** j) for j in range(L + 1)}
+
+    def at(j, op, span=1):
+        """kron(I**j, op, I**(L - j - span)) on the composite leaf."""
+        return np.kron(np.kron(eyeD[j], op), eyeD[L - j - span])
+
+    terms_A = [np.asarray(c, np.float64) for c in complete_ops]
+    terms_B = [np.kron(np.asarray(p, np.float64), eyeD[L - 1])
+               for p in pass_ops]
+
+    h_leaf = np.zeros((D, D))
+    for j in range(L - 1):
+        for p, c in zip(pass_ops, complete_ops):
+            h_leaf += at(j, np.kron(np.asarray(c, np.float64),
+                                    np.asarray(p, np.float64)), span=2)
+    if onsite_leaf is not None:
+        f = np.asarray(onsite_leaf, np.float64)
+        for j in range(L):
+            h_leaf += at(j, f)
+    if np.abs(h_leaf).max() > 0:
+        terms_A.append(np.eye(d))
+        terms_B.append(h_leaf)
+
+    R = len(terms_A)
+    A = jnp.asarray(np.broadcast_to(np.stack(terms_A), (K, R, d, d)),
+                    dtype)
+    B = jnp.asarray(np.broadcast_to(np.stack(terms_B), (K, R, D, D)),
+                    dtype)
+    h_hub = jnp.asarray(
+        np.zeros((d, d)) if onsite_hub is None
+        else np.asarray(onsite_hub, np.float64), dtype)
+    return A, B, h_hub
+
+
+def unfold_composite_leaf(leaf: np.ndarray, d: int, L: int):
+    """Split a converged composite leaf (bond, d**L) back into L chain
+    cores [(bond, d, r1), (r1, d, r2), ..., (r_{L-1}, d, 1)] by exact
+    sequential SVD (site 1 = hub-adjacent = leading kron factor). For
+    users who want the fine-grained TreeTN state back."""
+    leaf = np.asarray(leaf)
+    bond = leaf.shape[0]
+    cores = []
+    mat = leaf.reshape(bond, d ** L)
+    left = bond
+    for j in range(L - 1):
+        rest = d ** (L - j - 1)
+        m2 = mat.reshape(left * d, rest)
+        U, s, Vh = np.linalg.svd(m2, full_matrices=False)
+        r = int(np.sum(s > 1e-14 * max(s[0], 1e-300)))
+        cores.append(U[:, :r].reshape(left, d, r))
+        mat = (s[:r, None] * Vh[:r])
+        left = r
+    cores.append(mat.reshape(left, d, 1))
+    return cores
 
 
 def dmrg_star_run(
@@ -226,14 +327,18 @@ def _star_engine(A, B, h_hub, hub0, leaves0, n_sweeps, m):
         theta = jnp.einsum("m,m...->...", coef.astype(dt), basis)
         theta = theta / jnp.maximum(norm_of(theta), 1e-300).astype(dt)
 
-        # exact split (bond = d): theta[(rest), t] = M; M = U S Vh,
-        # leaf = Vh (orthonormal rows), hub slots = U S
+        # exact split (bond = leaf dim): theta[(rest), t] = M; M = U S
+        # Vh, leaf = Vh (orthonormal rows), hub slots = U S. The leaf
+        # site dimension is read off theta (it differs from the hub's
+        # under the chain-leg reduction, where leaves are composite
+        # d**L sites — star_chain_legs_terms).
         perm = theta_sub.index("t")
-        th_mat = jnp.moveaxis(theta, perm, -1).reshape(-1, d)
+        dl = theta.shape[perm]
+        th_mat = jnp.moveaxis(theta, perm, -1).reshape(-1, dl)
         U, S, Vh = jnp.linalg.svd(th_mat, full_matrices=False)
         leaf_new = Vh  # (d_bond, d_site)
         hub_new = (U * S[None, :]).reshape(
-            theta.shape[:perm] + theta.shape[perm + 1:] + (d,))
+            theta.shape[:perm] + theta.shape[perm + 1:] + (dl,))
         # axis order: put the new bond back at position k+1 of the hub
         hub_new = jnp.moveaxis(hub_new, -1, perm)
         leaves = leaves.at[k].set(leaf_new)
@@ -284,6 +389,32 @@ def dmrg_star_heisenberg(K: int, J: float = 1.0, h: float = 0.0,
     d = 2
     hub0 = jnp.asarray(rng.standard_normal((d,) * (K + 1)), dtype)
     leaves0 = jnp.asarray(rng.standard_normal((K, d, d)), dtype)
+    return dmrg_star_run(A, B, h_hub, hub0, leaves0,
+                         n_sweeps=n_sweeps, lanczos_iters=lanczos_iters)
+
+
+def dmrg_star_heisenberg_legs(K: int, L: int, J: float = 1.0,
+                              h: float = 0.0, n_sweeps: int = 4,
+                              lanczos_iters: int = 12, seed: int = 0,
+                              dtype=jnp.float64):
+    """Heisenberg ground state on a star with K chain legs of length L
+    via the dressed-leaf reduction. Returns (energy, hub, leaves) with
+    composite (K, d**L, d**L) leaves — `unfold_composite_leaf` recovers
+    the fine-grained leg cores."""
+    from ..models.spin import SM, SP, SZ
+
+    A, B, h_hub = star_chain_legs_terms(
+        pass_ops=[SZ, SP, SM],
+        complete_ops=[J * SZ, (J / 2) * SM, (J / 2) * SP],
+        K=K, L=L,
+        onsite_hub=(h * SZ if h else None),
+        onsite_leaf=(h * SZ if h else None),
+        dtype=dtype,
+    )
+    rng = np.random.default_rng(seed)
+    d, D = 2, 2 ** L
+    hub0 = jnp.asarray(rng.standard_normal((d,) + (D,) * K), dtype)
+    leaves0 = jnp.asarray(rng.standard_normal((K, D, D)), dtype)
     return dmrg_star_run(A, B, h_hub, hub0, leaves0,
                          n_sweeps=n_sweeps, lanczos_iters=lanczos_iters)
 

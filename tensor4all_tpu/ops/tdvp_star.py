@@ -234,3 +234,32 @@ def tdvp_star_heisenberg(K: int, t: complex, J: float = 1.0,
     leaves0 = jnp.asarray(rng.standard_normal((K, d, d)), dtype)
     return tdvp_star_run(A, B, h_hub, hub0, leaves0, t, nsteps=nsteps,
                          order=order, krylov_m=krylov_m)
+
+
+def tdvp_star_heisenberg_legs(K: int, L: int, t: complex,
+                              J: float = 1.0, h: float = 0.0,
+                              nsteps: int = 2, order: int = 2,
+                              krylov_m: int = 10, seed: int = 0,
+                              dtype=jnp.complex128):
+    """Heisenberg time evolution on a star with K chain legs of length
+    L via the exact dressed-leaf reduction
+    (ops.dmrg_star.star_chain_legs_terms): composite d**L leaves, hub
+    dimension d. Returns (hub, leaves);
+    `ops.dmrg_star.unfold_composite_leaf` recovers leg cores."""
+    from ..models.spin import SM, SP, SZ
+    from .dmrg_star import star_chain_legs_terms
+
+    A, B, h_hub = star_chain_legs_terms(
+        pass_ops=[SZ, SP, SM],
+        complete_ops=[J * SZ, (J / 2) * SM, (J / 2) * SP],
+        K=K, L=L,
+        onsite_hub=(h * SZ if h else None),
+        onsite_leaf=(h * SZ if h else None),
+        dtype=dtype,
+    )
+    rng = np.random.default_rng(seed)
+    d, D = 2, 2 ** L
+    hub0 = jnp.asarray(rng.standard_normal((d,) + (D,) * K), dtype)
+    leaves0 = jnp.asarray(rng.standard_normal((K, D, D)), dtype)
+    return tdvp_star_run(A, B, h_hub, hub0, leaves0, t, nsteps=nsteps,
+                         order=order, krylov_m=krylov_m)

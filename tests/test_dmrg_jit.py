@@ -477,3 +477,66 @@ def test_dmrg_fwd_half_sweep_is_identity_on_converged_state():
         e_h, _ = dmrg_run(h, mps, n_sweeps=1, lanczos_iters=m,
                           fine_half_sweep=True)
         assert abs(float(e_h) - e0) < 1e-10, (m, float(e_h), e0)
+
+
+def test_dmrg_star_chain_legs_matches_exact():
+    """Chain-leg star DMRG (exact dressed-leaf reduction,
+    star_chain_legs_terms) vs dense ED: K legs of length L >= 2,
+    with and without fields; the unfolded leg cores must reproduce
+    the composite leaf exactly."""
+    import networkx as nx
+
+    from tensor4all_tpu.models.spin import dense_heisenberg
+    from tensor4all_tpu.ops.dmrg_star import (
+        dmrg_star_heisenberg_legs,
+        unfold_composite_leaf,
+    )
+
+    for K, L, h in ((3, 2, 0.0), (2, 3, 0.0), (2, 2, 0.3)):
+        g = nx.Graph()
+        order = ["hub"]
+        for k in range(K):
+            prev = "hub"
+            for j in range(L):
+                v = (k, j)
+                g.add_edge(prev, v)
+                order.append(v)
+                prev = v
+        e, hub, leaves = dmrg_star_heisenberg_legs(
+            K, L, h=h, n_sweeps=8, lanczos_iters=14)
+        e_exact = np.linalg.eigvalsh(
+            np.asarray(dense_heisenberg(g, order, h=h)))[0]
+        assert abs(float(e) - e_exact) < 1e-9, \
+            (K, L, h, float(e), e_exact)
+        # composite leaves are right-canonical toward the hub, and the
+        # sequential-SVD unfolding reconstructs them exactly
+        D = 2 ** L
+        lv = np.asarray(leaves)
+        for k in range(K):
+            np.testing.assert_allclose(lv[k] @ lv[k].T, np.eye(D),
+                                       atol=1e-9)
+            cores = unfold_composite_leaf(lv[k], 2, L)
+            rec = cores[0]
+            for c in cores[1:]:
+                rec = np.tensordot(rec, c, axes=([rec.ndim - 1], [0]))
+            rec = rec.reshape(D, D)
+            np.testing.assert_allclose(rec, lv[k], atol=1e-10)
+
+
+def test_dmrg_star_chain_legs_reduces_to_single_site():
+    """L=1 chain-leg spec must agree with the native single-site-leaf
+    builder (star_pair_terms) bit-for-bit."""
+    from tensor4all_tpu.models.spin import SM, SP, SZ
+    from tensor4all_tpu.ops.dmrg_star import (
+        star_chain_legs_terms,
+        star_pair_terms,
+    )
+
+    kw = dict(pass_ops=[SZ, SP, SM],
+              complete_ops=[SZ, 0.5 * SM, 0.5 * SP], K=4,
+              onsite_leaf=0.2 * SZ)
+    A1, B1, h1 = star_pair_terms(**kw)
+    A2, B2, h2 = star_chain_legs_terms(L=1, **kw)
+    np.testing.assert_array_equal(np.asarray(A1), np.asarray(A2))
+    np.testing.assert_array_equal(np.asarray(B1), np.asarray(B2))
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
