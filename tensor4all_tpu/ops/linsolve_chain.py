@@ -38,7 +38,8 @@ def pad_rhs(cores, chi_b: int) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("n_sweeps", "minres_m", "sweep_dtype",
-                     "gemm2_apply", "reortho", "bf16", "precision"),
+                     "gemm2_apply", "reortho", "bf16", "precision",
+                     "svd_split"),
 )
 def linsolve_run(
     h: jnp.ndarray,
@@ -53,6 +54,7 @@ def linsolve_run(
     reortho: bool = True,
     bf16: bool = False,
     precision: str = "high",
+    svd_split: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sweep-solve ``(a0 + a1 H) x = b``; returns (rel_residual, x).
 
@@ -101,11 +103,76 @@ def linsolve_run(
                                 x0.astype(st), jnp.asarray(a0, st),
                                 jnp.asarray(a1, st), int(n_sweeps),
                                 int(minres_m), bool(gemm2_apply),
-                                bool(reortho), bool(bf16))
+                                bool(reortho), bool(bf16),
+                                svd_split=bool(svd_split))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_sweeps", "minres_m", "sweep_dtype",
+                     "gemm2_apply", "reortho", "bf16", "precision",
+                     "extra_sweeps", "svd_split"),
+)
+def linsolve_run_tol(
+    h: jnp.ndarray,
+    b: jnp.ndarray,
+    x0: jnp.ndarray,
+    a0: float,
+    a1: float,
+    tol: float = 1e-6,
+    max_sweeps: int = 10,
+    minres_m: int = 16,
+    sweep_dtype=None,
+    gemm2_apply: bool = False,
+    reortho: bool = True,
+    bf16: bool = False,
+    precision: str = "high",
+    extra_sweeps: int = 1,
+    svd_split: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sweep-solve ``(a0 + a1 H) x = b`` UNTIL the relative residual
+    meets ``tol`` (the reference's solve contract: sweep to tolerance
+    with a residual verify report, ref linsolve/square/updater.rs) —
+    still one XLA program, with a `lax.while_loop` over full sweeps.
+
+    Returns ``(rel_certified, rel_estimate, x, sweeps_used)``:
+
+    - ``rel_certified``: ||(a0+a1 H)x - b|| / ||b|| measured by ONE
+      f64-emulated moment scan after the loop — trustworthy down to
+      ~1e-8 relative, far below the f32 estimator's ~sqrt(eps) floor.
+      This is the verify report; assert on THIS value.
+    - ``rel_estimate``: the last in-loop sweep-dtype estimate (floor-
+      clamped; equals the floor once converged past it).
+    - ``sweeps_used``: while-loop trip count (f64 scalar array).
+
+    Stopping: estimate <= tol, OR `max_sweeps`, OR the estimate stalls
+    (< 30% improvement) for more than `extra_sweeps` consecutive
+    sweeps — at f32 sweep dtype, `tol` below ~3e-4 is only reachable
+    through the stall exit: the sweeps keep improving the TRUE residual
+    while the f32 estimator reads its own measurement floor, and the
+    f64 certification at the end reveals where the state actually
+    landed. ``tol`` is traced (re-solving with a new tolerance does not
+    recompile); `max_sweeps` is static.
+
+    All other args as in `linsolve_run`.
+    """
+    st = jnp.dtype(sweep_dtype) if sweep_dtype is not None else x0.dtype
+    with jax.default_matmul_precision(precision):
+        return _linsolve_sweeps(h.astype(st), b.astype(st),
+                                x0.astype(st), jnp.asarray(a0, st),
+                                jnp.asarray(a1, st), 0,
+                                int(minres_m), bool(gemm2_apply),
+                                bool(reortho), bool(bf16),
+                                tol=jnp.asarray(tol, jnp.float64),
+                                max_sweeps=int(max_sweeps),
+                                extra_sweeps=int(extra_sweeps),
+                                svd_split=bool(svd_split))
 
 
 def _linsolve_sweeps(h, b, x, a0, a1, n_sweeps, m,
-                     gemm2_apply=False, reortho=True, bf16=False):
+                     gemm2_apply=False, reortho=True, bf16=False,
+                     tol=None, max_sweeps=0, extra_sweeps=1,
+                     svd_split=False):
     N, chi, d, _ = x.shape
     chib = b.shape[1]
     w = h.shape[1]
@@ -328,6 +395,26 @@ def _linsolve_sweeps(h, b, x, a0, a1, n_sweeps, m,
 
     def split_theta(theta, Q0, toward_right):
         mat = theta.reshape(chi * d, d * chi)
+        if svd_split:
+            # exact dominant-subspace split: the subspace-iteration
+            # split below squares theta's singular values (a
+            # CholeskyQR-grade product), so its split error floors at
+            # ~eps * kappa(theta)^2 — measured 1.3e-3 relative residual
+            # at f32 on a kappa ~ 1e2 solve, a SYSTEMATIC fixed-point
+            # bias. DMRG/TDVP tolerate that floor (energy/trajectory
+            # are quadratically insensitive to split error; their
+            # thetas are also truncated anyway), but a residual
+            # CONTRACT is linearly sensitive, so the to-tolerance
+            # engine pays one SVD per bond for an eps-grade split.
+            U, S, Vh = jnp.linalg.svd(mat, full_matrices=False)
+            if toward_right:
+                Q = U[:, :chi]
+                left = Q.reshape(chi, d, chi)
+                right = (S[:chi, None] * Vh[:chi]).reshape(chi, d, chi)
+            else:
+                right = Vh[:chi].reshape(chi, d, chi)
+                left = (U[:, :chi] * S[None, :chi]).reshape(chi, d, chi)
+            return left, right
         if toward_right:
             Q = _colnorm_qr(mat @ (jnp.conj(mat).T @ Q0))
             Q = _colnorm_qr(mat @ (jnp.conj(mat).T @ Q))
@@ -388,12 +475,43 @@ def _linsolve_sweeps(h, b, x, a0, a1, n_sweeps, m,
             (ks_bwd, Ls_pre[ks_bwd], Lbs_pre[ks_bwd]))
         return x
 
-    x = jax.lax.fori_loop(0, n_sweeps, one_sweep, x)
+    if tol is None:
+        x = jax.lax.fori_loop(0, n_sweeps, one_sweep, x)
+        return _residual_and_fold(h, b, x, a0, a1, log_bscale)
 
-    return _residual_and_fold(h, b, x, a0, a1, log_bscale)
+    # ---- sweep-to-tolerance mode (VERDICT r3 #5; ref
+    # linsolve/square/updater.rs sweeps until the verify report meets
+    # tol). One lax.while_loop: each iteration runs a full sweep and
+    # re-measures the sweep-dtype moment residual (floor-clamped, so
+    # at f32 it bottoms out ~sqrt(eps_f32) ~ 3e-4 relative). The loop
+    # stops on (a) estimate <= tol, (b) max_sweeps, or (c) the
+    # estimate stalling — failing to improve by >=30% for more than
+    # `extra_sweeps` consecutive sweeps, which is what convergence
+    # BELOW the estimator's floor looks like from inside f32. The
+    # caller then certifies the true residual with one f64-emulated
+    # moment scan (linsolve_run_tol).
+    def cond(carry):
+        _, rel, _, k, stall = carry
+        return ((k < max_sweeps) & (rel > tol)
+                & (stall <= extra_sweeps))
+
+    def body(carry):
+        x_, rel, _, k, stall = carry
+        x_ = one_sweep(0, x_)
+        new_rel = _moment_rel_residual(hs, b, x_, a0, a1)
+        stall = jnp.where(new_rel > 0.7 * rel, stall + 1,
+                          jnp.zeros_like(stall))
+        return (x_, new_rel, rel, k + 1, stall)
+
+    carry = (x, jnp.float64(jnp.inf), jnp.float64(jnp.inf),
+             jnp.int32(0), jnp.int32(0))
+    x, rel_est, _, sweeps_used, _ = jax.lax.while_loop(cond, body,
+                                                       carry)
+    rel64 = _moment_rel_residual(hs, b, x, a0, a1, jnp.float64)
+    return rel64, rel_est, _fold_bscale(x, log_bscale), sweeps_used
 
 
-def _residual_and_fold(hs, b, x, a0, a1, log_bscale):
+def _moment_rel_residual(hs, b, x, a0, a1, resid_dtype=None):
     # ---- global relative residual ||(a0 + a1 H) x - b|| / ||b||
     # via transfer contractions: ||r||^2 = <x|(a0+a1H)^2|x>
     #   - 2 <b|(a0+a1H)|x> + <b|b>  expanded into H-moment scans.
@@ -401,6 +519,16 @@ def _residual_and_fold(hs, b, x, a0, a1, log_bscale):
     # REGARDLESS of the sweep precision: one-bf16-pass moment scans
     # measure pure noise (rel reports of 0.0/0.12 on converged states,
     # grid 2026-08-18) while costing a negligible share of the solve.
+    #
+    # resid_dtype=jnp.float64 runs the scans in (TPU-emulated) f64:
+    # the expansion's cancellation floor drops from ~sqrt(eps_f32)
+    # (~3e-4 relative) to ~sqrt(eps_f64) (~1e-8) — the CERTIFICATION
+    # grade `linsolve_run_tol` reports, per the reference's verify
+    # semantics (ref linsolve/square/updater.rs residual report).
+    if resid_dtype is not None:
+        hs = hs.astype(resid_dtype)
+        b = b.astype(resid_dtype)
+        x = x.astype(resid_dtype)
     N, chi, d, _ = x.shape
     chib = b.shape[1]
     w = hs.shape[1]
@@ -507,10 +635,19 @@ def _residual_and_fold(hs, b, x, a0, a1, log_bscale):
     # magnitude sum x eps is already a conservative bound
     r2_floor = jnp.finfo(st).eps * mag
     rel = jnp.sqrt(jnp.maximum(r2, r2_floor) / jnp.maximum(bb, 1e-300))
+    return rel.astype(jnp.float64)
+
+
+def _fold_bscale(x, log_bscale):
     # fold ||b|| back into x, one ||b||^(1/N) factor per core (the
-    # residual above is scale-invariant, so it is computed pre-fold)
-    x = x * jnp.exp(log_bscale / N).astype(st)
-    return rel.astype(jnp.float64), x
+    # moment residual is scale-invariant, so it is computed pre-fold)
+    N = x.shape[0]
+    return x * jnp.exp(log_bscale / N).astype(x.dtype)
+
+
+def _residual_and_fold(hs, b, x, a0, a1, log_bscale):
+    rel = _moment_rel_residual(hs, b, x, a0, a1)
+    return rel, _fold_bscale(x, log_bscale)
 
 
 def linsolve_sweep_flops(N: int, chi: int, chib: int, d: int, w: int,

@@ -110,3 +110,54 @@ def test_linsolve_chain_extreme_rhs_scale():
         assert np.linalg.norm(got - xv) / np.linalg.norm(xv) < 1e-10, s
         # the rel report clamps to its ~sqrt(eps) measurement floor
         assert float(rel_s) < 1e-6, s
+
+
+def test_linsolve_run_tol_certifies_and_stops():
+    """Sweep-to-tolerance mode (linsolve_run_tol): the f64-certified
+    residual must agree with an explicit dense residual, meet the
+    requested tolerance at full rank, and the while_loop must use
+    FEWER sweeps for a loose tolerance than a tight one."""
+    from tensor4all_tpu.ops.linsolve_chain import linsolve_run_tol
+
+    N, chi, chib = 6, 8, 4
+    a0, a1 = 1.0, 0.05
+    h, b, x0, H, bv = _setup(N, chi, chib)
+    rel64, rel_est, x, used = linsolve_run_tol(
+        h, b, x0, a0, a1, tol=1e-8, max_sweeps=10, minres_m=20)
+    got = _densify(x, N)
+    A = a0 * np.eye(2 ** N) + a1 * H
+    true_rel = np.linalg.norm(A @ got - bv) / np.linalg.norm(bv)
+    # the f64 moment certificate clamps at its ~sqrt(4 eps_f64) ~ 3e-8
+    # cancellation floor: a report AT the floor means "at or below",
+    # and the dense truth must indeed be at or below it
+    assert float(rel64) <= 3.5e-8, float(rel64)
+    assert true_rel <= float(rel64) + 1e-12, (true_rel, float(rel64))
+    assert 1 <= int(used) <= 10
+
+    rel64_loose, _, _, used_loose = linsolve_run_tol(
+        h, b, x0, a0, a1, tol=1e-2, max_sweeps=10, minres_m=20)
+    assert float(rel64_loose) <= 1e-2
+    assert int(used_loose) <= int(used)
+
+
+def test_linsolve_run_tol_f32_sweeps_f64_certificate():
+    """The VERDICT r3 #5 ladder: f32 sweeps + f64 certification. The
+    f32 estimator bottoms out at its ~sqrt(eps_f32) floor while the
+    certificate keeps resolving; both must be finite and the state
+    must actually solve the system at f32 grade."""
+    from tensor4all_tpu.ops.linsolve_chain import linsolve_run_tol
+
+    N, chi, chib = 6, 8, 4
+    a0, a1 = 1.0, 0.05
+    h, b, x0, H, bv = _setup(N, chi, chib)
+    rel64, rel_est, x, used = linsolve_run_tol(
+        h.astype(jnp.float32), b.astype(jnp.float32),
+        x0.astype(jnp.float32), a0, a1, tol=1e-6, max_sweeps=10,
+        minres_m=20, precision="highest")
+    got = _densify(x.astype(jnp.float64), N)
+    A = a0 * np.eye(2 ** N) + a1 * H
+    true_rel = np.linalg.norm(A @ got - bv) / np.linalg.norm(bv)
+    # certified report tracks the dense truth (not the f32 floor)
+    assert float(rel64) < 3e-5, (float(rel64), true_rel)
+    assert true_rel < 2 * float(rel64) + 1e-7, (true_rel, float(rel64))
+    assert np.isfinite(float(rel_est))
