@@ -1091,7 +1091,9 @@ def dmrg_sweep_flops(N: int, chi: int, d: int, w: int,
                      fine_reortho: bool = True,
                      gemm2_apply: bool = False,
                      fine_ns_inner: bool = False,
-                     fine_half_sweep: bool = False) -> float:
+                     fine_half_sweep: bool = False,
+                     fine_split_iters: int = 2,
+                     fine_cholqr: bool = False) -> float:
     """Analytic FLOP count of ``dmrg_run``'s sweep loop (VERDICT r1 #1:
     MFU must be measured on the REAL engine, not a synthetic kernel).
 
@@ -1131,8 +1133,11 @@ def dmrg_sweep_flops(N: int, chi: int, d: int, w: int,
         ro = 4 * m * td if reortho else 0
         return pre_f + m * (apply_f + 2 * td + 4 * td + ro + 2 * td)
 
-    # one orthogonalization of a (chi d, chi) block
-    qr_orth_f = 2.0 * (chi * d) * chi ** 2
+    # one orthogonalization of a (chi d, chi) block. Householder panels
+    # count the standard 2pq^2; shifted CholeskyQR (fine_cholqr) counts
+    # its 3 passes x (Gram 2pq^2 + triangular solve pq^2) of executed
+    # GEMM work — the model mirrors the algorithm actually run.
+    qr_orth_f = (9.0 if fine_cholqr else 2.0) * (chi * d) * chi ** 2
 
     def ns_orth_f(iters):
         return (2.0 * (chi * d) * chi ** 2       # Gram
@@ -1154,7 +1159,8 @@ def dmrg_sweep_flops(N: int, chi: int, d: int, w: int,
     m_c = lanczos_iters if coarse_lanczos_iters is None \
         else coarse_lanczos_iters
     per_update = (theta0_f + lan_f(lanczos_iters, fine_reortho)
-                  + split_f(2, False, ns_inner=fine_ns_inner) + env_f)
+                  + split_f(fine_split_iters, False,
+                            ns_inner=fine_ns_inner) + env_f)
     per_update_coarse = (theta0_f + lan_f(m_c, coarse_reortho)
                          + split_f(1, coarse_ns_split, ns_iters=4,
                                    ns_inner=True) + env_f)
