@@ -81,7 +81,93 @@ def bench_dmrg():
             result["detail"].update(_linsolve_tpu_detail())
     except Exception as e:  # noqa: BLE001
         result["detail"]["linsolve_tpu_error"] = f"{type(e).__name__}: {e}"
+    # TREE topology at production backbone chi: the jitted comb engine
+    # (VERDICT r3 #4 — first tree family with an MFU figure on device)
+    try:
+        import jax
+
+        if jax.default_backend() != "cpu":
+            result["detail"].update(_comb_tpu_detail())
+    except Exception as e:  # noqa: BLE001
+        result["detail"]["comb_tpu_error"] = f"{type(e).__name__}: {e}"
+    # TCI2 on device (VERDICT r3 #3, north-star config 2 + the
+    # production-candidate-size heavy config)
+    try:
+        import jax
+
+        if jax.default_backend() != "cpu":
+            result["detail"].update(_tci_tpu_detail())
+    except Exception as e:  # noqa: BLE001
+        result["detail"]["tci_tpu_error"] = f"{type(e).__name__}: {e}"
     return result
+
+
+def _comb_tpu_detail():
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.mxu import PEAK_BF16_TFLOPS
+    from tensor4all_tpu.ops.dmrg_comb import (
+        comb_heisenberg_stacks,
+        dmrg_comb_run,
+        dmrg_comb_sweep_flops,
+        random_comb_state,
+    )
+
+    Nb, Mt, chit, d = 16, 2, 4, 2
+    dev = jax.devices()[0]
+    wb64, wt64 = comb_heisenberg_stacks(Nb, Mt)
+    out = {"comb_engine": ("jitted one-program comb-tree DMRG, "
+                           f"Nb={Nb} Mt={Mt} chit={chit} (48 sites)")}
+    for chi, ns, reps in ((128, 4, 3), (256, 4, 3)):
+        wb = jax.device_put(wb64.astype(jnp.float32), dev)
+        wt = jax.device_put(wt64.astype(jnp.float32), dev)
+        ab0, at0 = random_comb_state(jax.random.PRNGKey(0), Nb, Mt,
+                                     chi, chit)
+        ab0 = jax.device_put(ab0.astype(jnp.float32), dev)
+        at0 = jax.device_put(at0.astype(jnp.float32), dev)
+
+        def body():
+            e, _, _ = dmrg_comb_run(
+                wb, wt, ab0, at0, n_sweeps=ns, lanczos_iters=16,
+                tooth_lanczos_iters=8, gemm2_apply=True, reortho=False,
+                ritz_solver="bisect_f32", energy_precision="mixed",
+                precision="high")
+            return float(e)
+
+        e = body()  # compile
+        t = _median_time(body, warmup=0, reps=reps)
+        fl = dmrg_comb_sweep_flops(Nb, Mt, chi, chit, d, wb.shape[1],
+                                   ns, 16, 8, gemm2_apply=True,
+                                   reortho=False)
+        tflops = fl / t / 1e12
+        key = f"comb_dmrg_Nb16Mt2_chi{chi}"
+        out.update({
+            f"{key}_{ns}sweeps_ms": round(t * 1e3, 1),
+            f"{key}_e_per_site": round(e / (Nb * (1 + Mt)), 8),
+            f"{key}_tflops": round(tflops, 2),
+            f"{key}_mfu_vs_bf16_peak": round(tflops / PEAK_BF16_TFLOPS,
+                                             4),
+        })
+    return out
+
+
+def _tci_tpu_detail():
+    from benchmarks.tci_device import run as tci_run
+
+    # full paths at cfg2 size + fused at production candidate size;
+    # the heavy host-CPU comparison (123.0 s on this 1-core VM) is a
+    # committed measurement in benchmarks/results/2026-08-19-tci-device.md,
+    # too slow to re-run inside the driver bench
+    rows = tci_run(reps=3, heavy_reps=1, heavy_host=False)
+    out = {}
+    for name, row in rows.items():
+        for k in ("ms", "rank", "n_evals", "evals_per_s",
+                  "device_fraction_profiled"):
+            if k in row:
+                out[f"{name}_{k}"] = row[k]
+        out[f"{name}_rel_err"] = float(f"{row['rel_err']:.2e}")
+    return out
 
 
 def _linsolve_tpu_detail():

@@ -697,3 +697,111 @@ def _dmrg_comb_sweeps(wb, wt, ab0, at0, n_sweeps, mB, mT, st,
 
     e = (num / den).astype(jnp.float64)
     return e, ab, at
+
+
+# ---------------------------------------------------------------------------
+# analytic FLOP model (mirrors the executed sweep work; the VERDICT r1
+# contract that MFU is measured on the REAL engine, never a synthetic
+# kernel — see ops.dmrg_chain.dmrg_sweep_flops)
+# ---------------------------------------------------------------------------
+
+def dmrg_comb_sweep_flops(Nb: int, Mt: int, chi: int, chit: int,
+                          d: int, w: int, n_sweeps: int,
+                          lanczos_iters: int = 16,
+                          tooth_lanczos_iters: int = 8,
+                          gemm2_apply: bool = False,
+                          reortho: bool = True) -> float:
+    """FLOPs of ``dmrg_comb_run``'s sweep loop (gauge prologue and the
+    final Rayleigh quotient excluded, as in the chain model). Every
+    einsum is costed with opt_einsum on the engine's exact expressions
+    and shapes; GEMM/QR split terms use the standard 2mnk / 2pq^2."""
+    import numpy as np
+    import opt_einsum as oe
+
+    def ec(expr, shapes):
+        _, info = oe.contract_path(
+            expr, *[np.empty(s, np.float32) for s in shapes])
+        return float(info.opt_cost)
+
+    mB, mT = lanczos_iters, tooth_lanczos_iters
+    C, T, D = chi, chit, d
+    LW = (C, w, C)       # backbone env
+    TE = (T, w, T)       # tooth env
+    AB = (C, D, T, C)    # backbone core
+    AT = (T, D, T)       # tooth core
+    WB = (w, w, D, D, w)
+    WT = (w, D, D, w)
+    THB = (C, D, T, D, T, C)   # backbone two-site theta
+    THR = (C, D, D, T, C)      # root-edge theta
+    THT = (T, D, D, T)         # tooth-edge theta
+
+    tooth_env_step = ec("aip,uoid,pdP,xoP->aux", [AT, WT, TE, AT])
+    up_env = ec("alx,aipb,ltoir,brB,xoPB->ptP", [LW, AB, WB, LW, AB])
+    us_step = ec("aux,uoif,aip,xoP->pfP", [TE, WT, AT, AT])
+    left_env = ec("alx,aipb,ltoir,ptP,xoPB->brB", [LW, AB, WB, TE, AB])
+    right_env = ec("brB,aipb,ltoir,ptP,xoPB->alx", [LW, AB, WB, TE, AB])
+
+    thb = float(np.prod(THB))
+    thr = float(np.prod(THR))
+    tht = float(np.prod(THT))
+
+    if gemm2_apply:
+        pre = (ec("alx,ltoir,ptP->aipxoPr", [LW, WB, TE])
+               + ec("ruyjs,quQ,bsB->rjqbyQB", [WB, TE, LW]))
+        LWT = (C, D, T, C, D, T, w)
+        WTR = (w, D, T, C, D, T, C)
+        apply_b = (ec("aipxoPr,aipjqb->xoPrjqb", [LWT, THB])
+                   + ec("xoPrjqb,rjqbyQB->xoPyQB",
+                        [(C, D, T, w, D, T, C), WTR]))
+    else:
+        pre = 0.0
+        apply_b = ec("alx,ltoir,ptP,ruyjs,quQ,bsB,aipjqb->xoPyQB",
+                     [LW, WB, TE, WB, TE, LW, THB])
+    apply_r = ec("alx,ltoir,tvjf,qfQ,brB,aijqb->xovQB",
+                 [LW, WB, WT, TE, LW, THR])
+    apply_t = ec("aux,uoif,fvjg,qgQ,aijq->xovQ",
+                 [TE, WT, WT, TE, THT])
+
+    def lan(m, apply_f, tsize):
+        ro = 4 * m * tsize if reortho else 0
+        return m * (apply_f + 8 * tsize + ro) + 2 * tsize
+
+    def split(P, cols, keep):
+        # 2 warm-started subspace iterations: per iter 2 GEMMs
+        # (P x cols x keep) + one (P, keep) QR; final rest GEMM
+        per = 2 * (2.0 * P * cols * keep) + 2.0 * P * keep ** 2
+        return 2 * per + 2.0 * P * cols * keep
+
+    # backbone-edge local update
+    theta0_b = 2.0 * C * (D * T) * (D * T) * C  # A·B contraction
+    split_b = split(C * D * T, D * T * C, C)
+    backbone = theta0_b + pre + lan(mB, apply_b, thb) + split_b
+
+    # tooth pass at one node
+    theta0_r = 2.0 * C * D * C * T * (D * T)
+    split_root = split(C * D * C, D * T, T)
+    root_solve = theta0_r + lan(mT, apply_r, thr) + split_root
+    theta0_t = 2.0 * T * D * T * (D * T)
+    split_t = split(T * D, D * T, T)
+    edge_t = theta0_t + lan(mT, apply_t, tht) + split_t
+    # descend (Mt-1 edges + Us steps), ascend (Mt-1 edges + D_next
+    # recomputes totalling (Mt-1)(Mt-2)/2 env steps), two root solves
+    # with Ds/D1 env recomputes (Mt + Mt-1 steps), final U env
+    tooth_pass = 0.0
+    if Mt > 0:
+        tooth_pass = (2 * root_solve + up_env
+                      + (Mt + Mt - 1) * tooth_env_step
+                      + (Mt - 1) * (2 * edge_t + us_step)
+                      + ((Mt - 1) * (Mt - 2) / 2) * tooth_env_step)
+
+    refresh = Mt * tooth_env_step
+    per_sweep = (Nb * Mt * tooth_env_step            # tooth_envs
+                 + max(Nb - 2, 0) * right_env        # right_env_scan
+                 + (Nb - 1) * (backbone + left_env)  # fwd edges
+                 + (Nb - 1) * backbone               # bwd edges
+                 + (Nb - 1) * right_env)             # bwd R_next
+    if Mt > 0:
+        per_sweep += ((Nb - 1) * (right_env + tooth_pass + refresh)  # fwd
+                      + tooth_pass + refresh                         # last
+                      + (Nb - 1) * (right_env + tooth_pass + refresh))
+    return n_sweeps * per_sweep

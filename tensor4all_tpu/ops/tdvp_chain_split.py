@@ -162,20 +162,28 @@ def _frame_mgs(cr_all, ci_all, q, thresh, extra=None, chunk=64):
             Pi = er_.T @ Ci - ei_.T @ Cr
             Cr = Cr - (er_ @ Pr - ei_ @ Pi)
             Ci = Ci - (er_ @ Pi + ei_ @ Pr)
-        Pr = vr.T @ Cr + vi.T @ Ci
-        Pi = vr.T @ Ci - vi.T @ Cr
-        Cr = Cr - (vr @ Pr - vi @ Pi)
-        Ci = Ci - (vr @ Pi + vi @ Pr)
+        # CGS2 ("twice is enough"): near-threshold acceptances normalize
+        # residuals by up to 1/thresh ~ 2 sqrt(q), amplifying a single
+        # pass's projection error into the accepted basis; one-pass MGS
+        # measured orth err 1.2e1 on a kappa=1e6 f32 square operand
+        # (stage-1 split of the real-time engine), 1.6e-5 with the
+        # second pass (benchmarks/results/2026-08-19-split-fidelity.md)
+        for _ in range(2):
+            Pr = vr.T @ Cr + vi.T @ Ci
+            Pi = vr.T @ Ci - vi.T @ Cr
+            Cr = Cr - (vr @ Pr - vi @ Pi)
+            Ci = Ci - (vr @ Pi + vi @ Pr)
         Lr = jnp.zeros((p, chunk), dtype)
         Li = jnp.zeros((p, chunk), dtype)
 
         def step(b, inner):
             vr, vi, Lr, Li, count, lcount = inner
             cr, ci = Cr[:, b], Ci[:, b]
-            pr = Lr.T @ cr + Li.T @ ci
-            pi = Lr.T @ ci - Li.T @ cr
-            cr = cr - (Lr @ pr - Li @ pi)
-            ci = ci - (Lr @ pi + Li @ pr)
+            for _ in range(2):
+                pr = Lr.T @ cr + Li.T @ ci
+                pi = Lr.T @ ci - Li.T @ cr
+                cr = cr - (Lr @ pr - Li @ pi)
+                ci = ci - (Lr @ pi + Li @ pr)
             nrm = jnp.sqrt(jnp.sum(cr * cr + ci * ci))
             accept = ((nrm > thresh) & (count < q)).astype(dtype)
             inv = accept / jnp.maximum(nrm, tiny)
@@ -212,8 +220,26 @@ def _corth_qr(yr, yi, seed: int = 11, complete: bool = True):
     loses a genuine direction, while pair-duplicates (i*v of an accepted
     v) give residual ~0 and are skipped. Dead slots (rank < q) are
     completed with junk directions orthogonal to the live span (the
-    warm-started subspace iteration needs full-dimensional bases)."""
+    warm-started subspace iteration needs full-dimensional bases).
+
+    Columns are pair-equilibrated to unit norm up front (span-
+    preserving; noise columns below 10 eps of the max norm are zeroed,
+    the _colnorm_qr contract). Without it the `genuine` R-diagonal mask
+    below operates on sigma-weighted columns and kills LIVE tail
+    directions of a broad Schmidt spectrum — measured as the real-time
+    split engine's fidelity collapsing to 0.19-0.69 over 4 chi=512
+    steps while the column-equilibrated _pair_cholqr held 0.99999.
+    Equilibration + the CGS2 pass in _frame_mgs take the micro-repro's
+    warm-started two-stage split from span residual 2.0e-3 to 3.8e-7
+    on a kappa=1e6 f32 operand, beating _pair_cholqr's 7.2e-6
+    (benchmarks/results/2026-08-19-split-fidelity.md)."""
     p, q = yr.shape
+    cn = jnp.sqrt(jnp.sum(yr * yr + yi * yi, axis=0, keepdims=True))
+    scale = jnp.max(cn)
+    keep = cn > 10 * jnp.finfo(yr.dtype).eps * jnp.maximum(
+        scale, jnp.finfo(yr.dtype).tiny)
+    inv = jnp.where(keep, 1.0 / jnp.where(keep, cn, 1.0), 0.0)
+    yr, yi = yr * inv, yi * inv
     e = jnp.block([[yr, -yi], [yi, yr]])
     qe, re_ = jnp.linalg.qr(e)
     # mask QR's arbitrary completion of rank-deficient input: those

@@ -49,6 +49,9 @@ class CachedFunction:
                                        mesh=mesh)
         self.f = f
         self.batch_f = batch_f
+        # kept for device-resident consumers (the fused Pi+rrLU bond
+        # update jits jax_f INTO its per-bond program)
+        self.jax_f = jax_f
         if local_dims is None:
             raise ValueError("local_dims required")
         self.local_dims = tuple(int(d) for d in local_dims)

@@ -80,7 +80,8 @@ class TCI2Options:
                  tol_margin_global_search: float = 10.0, seed: int = 0,
                  final_sweep1site: bool = True,
                  n_global_pivots: Optional[int] = None,
-                 global_search_starts: Optional[int] = None):
+                 global_search_starts: Optional[int] = None,
+                 device_bond_update: bool = False):
         self.tol = tol
         self.maxbonddim = maxbonddim
         self.max_iter = max_iter
@@ -97,6 +98,9 @@ class TCI2Options:
         self.tol_margin_global_search = tol_margin_global_search
         self.seed = seed
         self.final_sweep1site = final_sweep1site
+        # fuse Pi fill + rrLU pivot selection into ONE device program
+        # per bond (jittable f only; see TensorCI2._fused_bond_update)
+        self.device_bond_update = device_bond_update
 
 
 class TensorCI2:
@@ -123,6 +127,8 @@ class TensorCI2:
         # ref i_set_history — only the last entry is ever consumed)
         self._prev_Iset: Optional[List[List[MultiIndex]]] = None
         self._prev_Jset: Optional[List[List[MultiIndex]]] = None
+        # compiled fused bond-update programs, keyed by bucketed shapes
+        self._fused_fns: dict = {}
         if initial_pivots is None:
             initial_pivots = [tuple(0 for _ in range(L))]
         self.add_global_pivots(initial_pivots)
@@ -232,6 +238,17 @@ class TensorCI2:
         if not I_cand or not J_cand:
             return
         maxdim = opts.maxbonddim
+        if (opts.device_bond_update and opts.pivot_search == "full"
+                and self.func.jax_f is not None):
+            rank, rp, cp, lastdrop, pimax = self._fused_bond_update(
+                I_cand, J_cand, opts)
+            self.f_max = max(self.f_max, pimax)
+            if rank == 0:
+                rp, cp = np.array([0]), np.array([0])
+            self.Iset[p + 1] = IndexSet([I_cand[i] for i in rp])
+            self.Jset[p] = IndexSet([J_cand[j] for j in cp])
+            self.pivot_errors[p] = lastdrop
+            return
         if opts.pivot_search == "rook":
             I_arr = _pad_multiindex(I_cand)
             J_arr = _pad_multiindex(J_cand)
@@ -254,6 +271,85 @@ class TensorCI2:
         self.Iset[p + 1] = IndexSet([I_cand[i] for i in rp])
         self.Jset[p] = IndexSet([J_cand[j] for j in cp])
         self.pivot_errors[p] = fac.last_pivot_error
+
+    def _fused_bond_update(self, I_cand, J_cand, opts):
+        """ONE device program per bond: Pi fill (vmapped jax_f over the
+        I x J cartesian product) -> rrLU pivot selection -> meta sync.
+
+        The device-resident alternative to `_eval_matrix` + host rrLU
+        (VERDICT r3 #3): only the pivot metadata (3*rank+3 scalars)
+        crosses back to host, pivot SETS stay host-side, and candidate
+        counts are bucket-padded (padded Pi rows/cols are zeroed — the
+        rrLU kernels never select a zero row, ops/rrlu.py:444). The
+        memo cache is deliberately bypassed: at device fill rates the
+        host dict probe costs more than re-evaluating (num_evals counts
+        the LIVE product, so evals/s accounting stays honest; the
+        padded duplicates are shape artifacts).
+
+        Ref: tensorci2.rs:1583-1619 (Pi fill is THE hot loop) +
+        :1552 update_pivots.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.rrlu import _bucket, _rrlu_kernel, _rrlu_kernel_blocked
+
+        nI, nJ = len(I_cand), len(J_cand)
+        li = len(I_cand[0])
+        Ltot = self.L
+        nIp, nJp = _bucket(nI), _bucket(nJ)
+        maxdim = opts.maxbonddim or min(nI, nJ)
+        kr = min(nIp, nJp, _bucket(min(maxdim, nI, nJ)))
+        # the row/col multi-index lengths li / L-li are NOT part of the
+        # compile key: both index stacks pad to L columns and the split
+        # point enters as a traced column mask, so all L-1 bonds share
+        # one compiled program per (bucketed) candidate-count pair
+        key = (nIp, nJp, kr)
+        fn = self._fused_fns.get(key)
+        if fn is None:
+            jax_f = self.func.jax_f
+
+            @jax.jit
+            def fn(I_arr, J_arr, li_t, n_i, n_j, cap, rtol):
+                colmask = jnp.arange(Ltot) < li_t
+                idx = jnp.where(colmask[None, None, :],
+                                I_arr[:, None, :], J_arr[None, :, :])
+                idx = idx.reshape(nIp * nJp, Ltot)
+                vals = jax.vmap(jax_f)(idx).reshape(nIp, nJp)
+                live = ((jnp.arange(nIp) < n_i)[:, None]
+                        & (jnp.arange(nJp) < n_j)[None, :])
+                pi = jnp.where(live, vals, 0)
+                kernel = (_rrlu_kernel_blocked if kr >= 128
+                          else _rrlu_kernel)
+                _, _, meta = kernel(pi, rtol, 0.0, kr, cap=cap)
+                return meta, jnp.max(jnp.abs(pi))
+
+            self._fused_fns[key] = fn
+        I_arr = np.zeros((nIp, Ltot), np.int64)
+        I_arr[:nI, :li] = _pad_multiindex(I_cand)
+        I_arr[nI:, :li] = I_arr[:1, :li]
+        J_arr = np.zeros((nJp, Ltot), np.int64)
+        J_arr[:nJ, li:] = _pad_multiindex(J_cand)
+        J_arr[nJ:, li:] = J_arr[:1, li:]
+        self.func.num_evals += nI * nJ
+        cap = min(maxdim, nI, nJ)
+        meta, pimax = fn(I_arr, J_arr, li, nI, nJ, cap, opts.tol)
+        meta = np.asarray(meta)
+        # meta layout shared by both kernels: rows | cols | pivs |
+        # rank | lastdrop (blocked kernel buffers carry +block slack)
+        third = (len(meta) - 2) // 3
+        rank = min(int(meta[3 * third]), cap)
+        rows = meta[:third][:rank].astype(np.int64)
+        cols = meta[third:2 * third][:rank].astype(np.int64)
+        pivs = meta[2 * third:3 * third]
+        # reference error convention (_finalize_pivot_errors)
+        if rank >= min(nI, nJ):
+            lastdrop = 0.0
+        elif rank >= cap and rank > 0:
+            lastdrop = float(pivs[rank - 1])
+        else:
+            lastdrop = float(meta[3 * third + 1])
+        return rank, rows, cols, lastdrop, float(pimax)
 
     def _eval_block(self, I_arr: np.ndarray, J_arr: np.ndarray,
                     rows, cols) -> np.ndarray:

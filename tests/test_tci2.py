@@ -288,3 +288,33 @@ def test_floating_zone():
     pivot, err = floating_zone(tt, bf, [4, 4], init_p=[2, 2])
     assert pivot == (3, 3)
     assert abs(err - 9.0) < 1e-10
+
+
+def test_tci2_fused_device_bond_update():
+    """device_bond_update=True fuses Pi fill + rrLU into one program
+    per bond (VERDICT r3 #3); pivot sets stay on host and the result
+    must match the host bond update's accuracy at the same rank."""
+    import jax.numpy as jnp
+
+    xs = jnp.linspace(-1.0, 1.0, 8)
+    w = jnp.asarray(0.3 + 0.1 * np.arange(6))
+
+    def jf(idx):
+        x = xs[idx]
+        quad = jnp.sum(w * x * x) + 0.2 * jnp.sum(x[:-1] * x[1:])
+        return jnp.exp(-quad)
+
+    host, _, _ = crossinterpolate2(
+        jax_f=jf, local_dims=[8] * 6,
+        options=TCI2Options(tol=1e-9, max_iter=10))
+    fused, _, _ = crossinterpolate2(
+        jax_f=jf, local_dims=[8] * 6,
+        options=TCI2Options(tol=1e-9, max_iter=10,
+                            device_bond_update=True))
+    err_h = estimate_true_error(host.to_tensortrain(), host.func,
+                                n_samples=2000)
+    err_f = estimate_true_error(fused.to_tensortrain(), fused.func,
+                                n_samples=2000)
+    assert err_f < 1e-7 * fused.f_max, err_f
+    assert fused.rank == host.rank
+    assert abs(err_f - err_h) < 1e-7 * fused.f_max
