@@ -128,7 +128,7 @@ def linsolve_run_tol(
     bf16: bool = False,
     precision: str = "high",
     extra_sweeps: int = 1,
-    svd_split: bool = True,
+    svd_split: bool | str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Sweep-solve ``(a0 + a1 H) x = b`` UNTIL the relative residual
     meets ``tol`` (the reference's solve contract: sweep to tolerance
@@ -154,8 +154,20 @@ def linsolve_run_tol(
     landed. ``tol`` is traced (re-solving with a new tolerance does not
     recompile); `max_sweeps` is static.
 
+    ``svd_split``: 'auto' (default) uses SVD two-site splits on CPU
+    backends and the warm-started subspace-QR splits elsewhere —
+    `jnp.linalg.svd` inside the sweep `while_loop` aborts this
+    machine's TPU runtime outright ("Check failed: buffer != nullptr",
+    shape.h:836; reproduced at N=16 chi=64, 2026-08-19), so the device
+    default must not route through it. Pass True/False to force.
+
     All other args as in `linsolve_run`.
     """
+    if svd_split == "auto":
+        try:
+            svd_split = jax.default_backend() == "cpu"
+        except Exception:  # noqa: BLE001
+            svd_split = False
     st = jnp.dtype(sweep_dtype) if sweep_dtype is not None else x0.dtype
     with jax.default_matmul_precision(precision):
         return _linsolve_sweeps(h.astype(st), b.astype(st),

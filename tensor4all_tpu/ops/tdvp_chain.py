@@ -595,7 +595,7 @@ def tdvp_sweep_flops(N: int, chi: int, d: int, w: int, krylov_m: int,
 
 
 def tdvp_chain(h_cores, init_cores, t, chi, nsteps=1, order=2,
-               krylov_m=12, sweep_dtype=None, engine="auto"):
+               krylov_m=12, sweep_dtype=None, engine="auto", **knobs):
     """Convenience driver: pad on host, run ONE device program (the
     orthogonalization sweep is fused into it).
 
@@ -665,7 +665,7 @@ def tdvp_chain(h_cores, init_cores, t, chi, nsteps=1, order=2,
     mps0 = pad_mps([jnp.asarray(c, dtype) for c in normed], chi)
     return tdvp_run(h, mps0, t, nsteps=nsteps, order=order,
                     krylov_m=krylov_m, sweep_dtype=sweep_dtype,
-                    orthogonalize=True)
+                    orthogonalize=True, **knobs)
 
 
 def tdvp_run_sharded(

@@ -826,10 +826,11 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
 
 
 def tdvp_chain_split(h_cores, init_cores, t, chi, nsteps=1, order=2,
-                     krylov_m=12, dtype=jnp.float32):
+                     krylov_m=12, dtype=jnp.float32, **knobs):
     """Convenience driver for the split engine: pad on host, run ONE
     real-arithmetic device program. ``t`` complex (e.g. ``-1j*T``);
-    ``init_cores`` may be real or complex."""
+    ``init_cores`` may be real or complex. Extra ``knobs`` forward to
+    `tdvp_run_split` (karatsuba, cholqr_split, bf16_tail, ...)."""
     import numpy as np
 
     h = pad_mpo([jnp.asarray(np.real(np.asarray(c)), dtype)
@@ -848,4 +849,4 @@ def tdvp_chain_split(h_cores, init_cores, t, chi, nsteps=1, order=2,
     t = complex(t)
     return tdvp_run_split(h, mr, mi, t.real, t.imag, nsteps=nsteps,
                           order=order, krylov_m=krylov_m,
-                          orthogonalize=True)
+                          orthogonalize=True, **knobs)

@@ -540,3 +540,27 @@ def test_dmrg_star_chain_legs_reduces_to_single_site():
     np.testing.assert_array_equal(np.asarray(A1), np.asarray(A2))
     np.testing.assert_array_equal(np.asarray(B1), np.asarray(B2))
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+
+def test_dmrg_fine_cholqr_and_split_iters_energy_parity():
+    """r4 fine-sweep knobs (shifted-CholeskyQR splits; one warm-started
+    subspace iteration per split — the production chi>=512 schedule)
+    reach the same ground-state energy as the default QR/2-iteration
+    path."""
+    from tensor4all_tpu.ops.dmrg_chain import dmrg_run
+
+    g = chain(8)
+    h_cores = hamiltonian_cores(g, heisenberg)
+    h = pad_mpo([jnp.asarray(c) for c in h_cores])
+    from tensor4all_tpu.tt.compression import right_orthogonalize
+    from tensor4all_tpu.tt.tensortrain import TensorTrain
+
+    tt = right_orthogonalize(TensorTrain.random(
+        jax.random.PRNGKey(0), [2] * 8, rank=32))
+    mps0 = pad_mps(list(tt.cores), 32)
+    e0 = np.linalg.eigvalsh(dense_heisenberg(g, list(g.nodes)))[0]
+    for knobs in (dict(fine_cholqr=True),
+                  dict(fine_split_iters=1),
+                  dict(fine_cholqr=True, fine_split_iters=1)):
+        e, _ = dmrg_run(h, mps0, n_sweeps=4, lanczos_iters=16, **knobs)
+        assert abs(float(e) - e0) < 1e-11, knobs

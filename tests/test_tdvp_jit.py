@@ -474,3 +474,18 @@ def test_tdvp_star_chain_legs_matches_dense_expm():
 
     fid = abs(np.vdot(gold, psi))
     assert fid > 1 - 1e-8, fid
+
+
+def test_tdvp_chain_cholqr_split_real_time():
+    """cholqr_split (GEMM-only shifted-CholeskyQR splits, the r4
+    production knob at chi=512) holds the dense-expm trajectory
+    contract of the default Householder path."""
+    N, chi = 8, 32
+    h_cores, cores0, H, psi0 = _setup(N, chi)
+    T = 0.08
+    mps = tdvp_chain(h_cores, cores0, -1j * T, chi, nsteps=4, order=2,
+                     engine="jit", cholqr_split=True)
+    got = _densify(mps, N)
+    expect = expm(-1j * T * H) @ psi0
+    assert np.linalg.norm(got - expect) < 5e-5
+    assert abs(np.linalg.norm(got) - 1.0) < 1e-8

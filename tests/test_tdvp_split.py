@@ -133,3 +133,38 @@ def test_split_tdvp_imag_time_matches_complex_engine():
     assert np.linalg.norm(got - np.real(ref)
                           .astype(complex)) < 1e-6 or \
         np.linalg.norm(got - ref) < 1e-6
+
+
+def test_split_tdvp_karatsuba_and_cholqr_knobs():
+    """r4 speed knobs hold the trajectory contract: Karatsuba 3-GEMM
+    complex multiplies and the pair-CholeskyQR splits must reproduce
+    the default engine's dense-expm parity (these knobs back the
+    production bench rows).
+
+    karatsuba composes with rank GROWTH (bond-2 start, chi=8);
+    cholqr_split is projector-completing by contract (dead columns stay
+    zero — _pair_cholqr docstring), so its variants run on a FULL-RANK
+    start, the production bench regime. A growth start under
+    cholqr_split measurably under-evolves (6e-2 here) — that is the
+    documented semantics, not an accuracy bug."""
+    for chi_init, knob_list in (
+        (2, [dict(karatsuba=True)]),
+        (8, [dict(cholqr_split=True),
+             dict(karatsuba=True, cholqr_split=True)]),
+    ):
+        h_cores, cores, H = _chain_fixture(6, chi_init=chi_init)
+        T = 0.3
+        acc = cores[0][0]
+        for c in cores[1:]:
+            acc = np.einsum("...a,aib->...ib", acc, c)
+        psi0 = acc.reshape(-1)
+        psi0 = psi0 / np.linalg.norm(psi0)
+        expect = expm(-1j * T * H) @ psi0
+        for knobs in knob_list:
+            mr, mi = tdvp_chain_split(h_cores, cores, -1j * T, chi=8,
+                                      nsteps=6, order=2, krylov_m=12,
+                                      dtype=jnp.float64, **knobs)
+            got = _vec(mr, mi)
+            ph = np.vdot(got, expect)
+            got = got * ph / abs(ph)
+            assert np.linalg.norm(got - expect) < 5e-6, knobs
