@@ -256,13 +256,17 @@ def _tdvp_tpu_detail():
 
     out = {"tdvp_engine": "jitted one-program, f32 imaginary-time"}
     for chi_p, knobs in (
-        # r3 production schedules (1abf8c9 + r3 grid 2026-08-18): 3-pass
-        # applies, 3-term-recurrence Krylov, two-GEMM apply; at chi=512
-        # the bf16 Krylov TAIL + short backward Krylov win 17% more
-        # (factorial coefficient decay — tdvp_run docstring); FLOP model
-        # mirrors the knobs (ADVICE r2)
+        # production schedules (r3 grid 2026-08-18 + r4 grid
+        # 2026-08-19): 3-pass applies, 3-term-recurrence Krylov,
+        # two-GEMM apply; at chi=512 the bf16 Krylov TAIL + short
+        # backward Krylov win 17% more (factorial coefficient decay —
+        # tdvp_run docstring) and the r4 shifted-CholeskyQR splits
+        # (cholqr_split) replace the 2.5 ms Householder panels
+        # (1082.8 ms / 37.7% MFU vs 1131.5 / 36.1% without — r4 grid);
+        # FLOP model mirrors the knobs (ADVICE r2)
         (256, {}),
-        (512, dict(bf16_tail=2, krylov_m1=6, expm_max_squarings=8)),
+        (512, dict(bf16_tail=2, krylov_m1=6, expm_max_squarings=8,
+                   cholqr_split=True)),
     ):
         if chi_p == chi:
             h_p, mps_p = h_d, mps_d

@@ -27,7 +27,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .dmrg_chain import _colnorm_qr, pad_mpo, pad_mps  # noqa: F401
+from .dmrg_chain import _cholqr, _colnorm_qr, pad_mpo, pad_mps  # noqa: F401
 
 
 def pad_rhs(cores, chi_b: int) -> jnp.ndarray:
@@ -84,10 +84,15 @@ def linsolve_run(
         is the engine default, matching ops.dmrg_chain's fine sweeps.
 
     The returned rel_residual is the GLOBAL ||(a0 + a1 H) x - b|| /
-    ||b|| evaluated by H-moment transfer contractions at the sweep
-    dtype (always at >= 3-pass matmul precision), clamped to the
-    expansion's ~sqrt(eps) cancellation floor — a report AT the floor
-    means "at or below".
+    ||b|| evaluated by ONE f64-emulated H-moment transfer scan —
+    trustworthy to ~1e-8 relative. (It was the sweep-dtype scan until
+    r4: measured against the f64 scan on the 2-sweep chi=256 bench
+    state, the f32 estimate read 7.0e-4 where the true residual was
+    7.1e-3 — the f32 moment expansion's accumulated-roundoff error
+    exceeds its nominal eps*|terms| floor by the ~sqrt(chi d w)
+    accumulation factor, so it under-reports near its floor. The f32
+    scan remains in use only as the tol loop's internal stall control,
+    `linsolve_run_tol` rel_estimate.)
 
     Scale management: b is right-orthogonalized INSIDE the program with
     per-step renormalization, accumulating log||b|| in f64 — random
@@ -111,7 +116,8 @@ def linsolve_run(
     jax.jit,
     static_argnames=("max_sweeps", "minres_m", "sweep_dtype",
                      "gemm2_apply", "reortho", "bf16", "precision",
-                     "extra_sweeps", "svd_split"),
+                     "extra_sweeps", "svd_split", "split_mode",
+                     "refine_sweeps"),
 )
 def linsolve_run_tol(
     h: jnp.ndarray,
@@ -129,6 +135,8 @@ def linsolve_run_tol(
     precision: str = "high",
     extra_sweeps: int = 1,
     svd_split: bool | str = "auto",
+    split_mode: str = "interleaved",
+    refine_sweeps: int = 2,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Sweep-solve ``(a0 + a1 H) x = b`` UNTIL the relative residual
     meets ``tol`` (the reference's solve contract: sweep to tolerance
@@ -143,23 +151,55 @@ def linsolve_run_tol(
       This is the verify report; assert on THIS value.
     - ``rel_estimate``: the last in-loop sweep-dtype estimate (floor-
       clamped; equals the floor once converged past it).
-    - ``sweeps_used``: while-loop trip count (f64 scalar array).
+    - ``sweeps_used``: while-loop trip count (f64 scalar array),
+      EXCLUDING the ``refine_sweeps`` epilogue.
 
     Stopping: estimate <= tol, OR `max_sweeps`, OR the estimate stalls
     (< 30% improvement) for more than `extra_sweeps` consecutive
-    sweeps — at f32 sweep dtype, `tol` below ~3e-4 is only reachable
-    through the stall exit: the sweeps keep improving the TRUE residual
-    while the f32 estimator reads its own measurement floor, and the
-    f64 certification at the end reveals where the state actually
-    landed. ``tol`` is traced (re-solving with a new tolerance does not
-    recompile); `max_sweeps` is static.
+    sweeps. At f32 sweep dtype the estimator cannot see below its
+    ~sqrt(eps_f32) ~ 3e-4 measurement floor, so a tight ``tol`` is
+    reached through the stall exit PLUS the ``refine_sweeps`` epilogue:
+    a STATIC number of python-unrolled extra sweeps after the loop
+    (the true residual keeps improving below the estimator floor; the
+    epilogue buys the final decades blind, and the f64 certificate
+    reveals where the state landed). ``tol`` is traced (re-solving with
+    a new tolerance does not recompile); `max_sweeps` is static.
 
     ``svd_split``: 'auto' (default) uses SVD two-site splits on CPU
-    backends and the warm-started subspace-QR splits elsewhere —
+    backends and the ``split_mode`` splits elsewhere —
     `jnp.linalg.svd` inside the sweep `while_loop` aborts this
     machine's TPU runtime outright ("Check failed: buffer != nullptr",
     shape.h:836; reproduced at N=16 chi=64, 2026-08-19), so the device
     default must not route through it. Pass True/False to force.
+
+    ``split_mode`` (ignored under ``svd_split``):
+
+    - ``"interleaved"`` (default): warm-started subspace iteration
+      with an orthonormalization BETWEEN the two half-products
+      (Z = orth(M^H Q); Q = orth(M Z), column-equilibrated Householder
+      `_colnorm_qr`). The fused form rounds the product M M^H Q at
+      eps * sigma_max^2, burying every direction below
+      ~sqrt(eps_f32) * sigma_max and flooring the solve at ~1e-3
+      relative (measured: the tol loop stalled at 7e-3 certified, r4
+      grid). Keeping each intermediate at dynamic range sigma (exactly
+      how ops.tdvp_chain_split splits) drops the split floor to
+      eps-grade — all f32, which matters on TPU (see "f64"). The orth
+      must be Householder, not `_cholqr`: the iterates at the chain
+      ends are heavily rank-deficient and `_cholqr`'s projector
+      completion ZEROES sub-threshold columns, collapsing live
+      directions whose equilibrated norms sit under 10*eps_f32 of the
+      max (measured: cert 1.7e-3 with `_cholqr` interleave vs 9.3e-7
+      with Householder on the same solve; the f64 split dodges this
+      only because eps_f64 keeps those columns above threshold).
+    - ``"fused"``: `linsolve_run`'s throughput split (fewer orths,
+      ~1e-3 split floor) — fine when tol is loose.
+    - ``"f64"``: run the splits in (emulated) f64. Numerically ideal
+      and the CPU reference, but HOSTILE on this TPU: emulated-f64
+      GEMM/Cholesky inside the sweep while_loop ran ~30x slower than
+      f32 (34.7 s for 4 sweeps at chi=256), returned NaN at chi=512
+      (also at chi=256 with bf16 Krylov), and once crashed the TPU
+      worker outright (2026-08-20 probes) — while the SAME f64 kernels
+      pass standalone tests. Use on CPU-grade backends only.
 
     All other args as in `linsolve_run`.
     """
@@ -168,6 +208,8 @@ def linsolve_run_tol(
             svd_split = jax.default_backend() == "cpu"
         except Exception:  # noqa: BLE001
             svd_split = False
+    if split_mode not in ("interleaved", "fused", "f64"):
+        raise ValueError(f"unknown split_mode {split_mode!r}")
     st = jnp.dtype(sweep_dtype) if sweep_dtype is not None else x0.dtype
     with jax.default_matmul_precision(precision):
         return _linsolve_sweeps(h.astype(st), b.astype(st),
@@ -178,13 +220,16 @@ def linsolve_run_tol(
                                 tol=jnp.asarray(tol, jnp.float64),
                                 max_sweeps=int(max_sweeps),
                                 extra_sweeps=int(extra_sweeps),
-                                svd_split=bool(svd_split))
+                                svd_split=bool(svd_split),
+                                split_mode=str(split_mode),
+                                refine_sweeps=int(refine_sweeps))
 
 
 def _linsolve_sweeps(h, b, x, a0, a1, n_sweeps, m,
                      gemm2_apply=False, reortho=True, bf16=False,
                      tol=None, max_sweeps=0, extra_sweeps=1,
-                     svd_split=False):
+                     svd_split=False, split_mode="fused",
+                     refine_sweeps=0):
     N, chi, d, _ = x.shape
     chib = b.shape[1]
     w = h.shape[1]
@@ -238,6 +283,13 @@ def _linsolve_sweeps(h, b, x, a0, a1, n_sweeps, m,
     def safe_log(v):
         return jnp.where(v > 0, jnp.log(jnp.maximum(v, 1e-300)), 0.0)
 
+    # In tol mode the gauge runs in f64 so the CERTIFIED residual is
+    # measured against the caller's b to f64 grade — an f32 gauge
+    # re-encodes b with ~sqrt(N)*eps_f32 ~ 3e-7 relative error, right
+    # at the 1e-6 certification target (see linsolve_run_tol).
+    if tol is not None:
+        b = b.astype(jnp.float64)
+    bdt = b.dtype
     bmax = jnp.max(jnp.abs(b), axis=(1, 2, 3), keepdims=True)
     b = b / jnp.where(bmax > 0, bmax, 1.0)
     log_bscale = jnp.sum(safe_log(bmax.astype(jnp.float64)))
@@ -252,10 +304,10 @@ def _linsolve_sweeps(h, b, x, a0, a1, n_sweeps, m,
             prev = jnp.einsum("adb,bc->adc", get(b, k - 1),
                               jnp.conj(R1).T)
             mx = jnp.max(jnp.abs(prev)).astype(jnp.float64)
-            prev = prev / jnp.where(mx > 0, mx, 1.0).astype(st)
+            prev = prev / jnp.where(mx > 0, mx, 1.0).astype(bdt)
             pn = jnp.sqrt(jnp.sum(jnp.abs(prev) ** 2)
                           .astype(jnp.float64))
-            prev = prev / jnp.where(pn > 0, pn, 1.0).astype(st)
+            prev = prev / jnp.where(pn > 0, pn, 1.0).astype(bdt)
             ls = ls + safe_log(mx) + safe_log(pn)
             return (put(put(b, k, core), k - 1, prev), ls), None
 
@@ -264,6 +316,8 @@ def _linsolve_sweeps(h, b, x, a0, a1, n_sweeps, m,
         return b, log_bscale
 
     b, log_bscale = right_orthogonalize_b(b, log_bscale)
+    b64 = b if tol is not None else None
+    b = b.astype(st)
 
     # ---- environments
     L_bound = jnp.zeros((chi, w, chi), st).at[0, 0, 0].set(1.0)
@@ -427,16 +481,54 @@ def _linsolve_sweeps(h, b, x, a0, a1, n_sweeps, m,
                 right = Vh[:chi].reshape(chi, d, chi)
                 left = (U[:, :chi] * S[None, :chi]).reshape(chi, d, chi)
             return left, right
+        orth = _colnorm_qr
+        if split_mode == "f64":
+            # f64 subspace iteration: numerically ideal (split bias
+            # ~eps_f64 * kappa^2 ~ 1e-12) but TPU-HOSTILE — see the
+            # linsolve_run_tol docstring for the measured slowdowns,
+            # NaNs and a worker crash. The orthogonalizer must be
+            # `_cholqr` (GEMM-only): the TPU f64 Householder kernel is
+            # 54-108 ms per (chi d, chi) panel.
+            wide = (jnp.complex128 if jnp.iscomplexobj(mat)
+                    else jnp.float64)
+            mat = mat.astype(wide)
+            Q0 = Q0.astype(wide)
+            orth = _cholqr
+        if split_mode == "interleaved":
+            # orthonormalize BETWEEN the half-products: each product
+            # then rounds at eps * sigma_max * ||orthonormal operand||
+            # instead of eps * sigma_max^2, so the split resolves
+            # directions all the way down to ~eps_f32 * sigma_max —
+            # the fused form's ~sqrt(eps) * sigma_max blind spot is
+            # what stalled the tol loop at 7e-3 (r4 grid). Householder
+            # (_colnorm_qr), NOT _cholqr: the chain-end iterates are
+            # heavily rank-deficient and _cholqr's projector completion
+            # zeroes live-but-small columns (see linsolve_run_tol).
+            if toward_right:
+                Q = Q0
+                for _ in range(2):
+                    Z = _colnorm_qr(jnp.conj(mat).T @ Q)
+                    Q = _colnorm_qr(mat @ Z)
+                left = Q.reshape(chi, d, chi)
+                right = (jnp.conj(Q).T @ mat).reshape(chi, d, chi)
+            else:
+                Q = Q0
+                for _ in range(2):
+                    Z = _colnorm_qr(mat @ Q)
+                    Q = _colnorm_qr(jnp.conj(mat).T @ Z)
+                right = jnp.conj(Q).T.reshape(chi, d, chi)
+                left = (mat @ Q).reshape(chi, d, chi)
+            return left, right
         if toward_right:
-            Q = _colnorm_qr(mat @ (jnp.conj(mat).T @ Q0))
-            Q = _colnorm_qr(mat @ (jnp.conj(mat).T @ Q))
-            left = Q.reshape(chi, d, chi)
-            right = (jnp.conj(Q).T @ mat).reshape(chi, d, chi)
+            Q = orth(mat @ (jnp.conj(mat).T @ Q0))
+            Q = orth(mat @ (jnp.conj(mat).T @ Q))
+            left = Q.astype(st).reshape(chi, d, chi)
+            right = (jnp.conj(Q).T @ mat).astype(st).reshape(chi, d, chi)
         else:
-            Q = _colnorm_qr(jnp.conj(mat).T @ (mat @ Q0))
-            Q = _colnorm_qr(jnp.conj(mat).T @ (mat @ Q))
-            right = jnp.conj(Q).T.reshape(chi, d, chi)
-            left = (mat @ Q).reshape(chi, d, chi)
+            Q = orth(jnp.conj(mat).T @ (mat @ Q0))
+            Q = orth(jnp.conj(mat).T @ (mat @ Q))
+            right = jnp.conj(Q).T.astype(st).reshape(chi, d, chi)
+            left = (mat @ Q).astype(st).reshape(chi, d, chi)
         return left, right
 
     def one_sweep(_, x):
@@ -510,6 +602,11 @@ def _linsolve_sweeps(h, b, x, a0, a1, n_sweeps, m,
     def body(carry):
         x_, rel, _, k, stall = carry
         x_ = one_sweep(0, x_)
+        # sweep-dtype estimate for the stall control only: it floors
+        # at ~sqrt(eps(st)) relative, and the f64 work stays OUT of
+        # the while_loop (emulated f64 inside the TPU sweep loop is
+        # 30x slow and has NaN'd / crashed the worker — see the
+        # linsolve_run_tol docstring).
         new_rel = _moment_rel_residual(hs, b, x_, a0, a1)
         stall = jnp.where(new_rel > 0.7 * rel, stall + 1,
                           jnp.zeros_like(stall))
@@ -519,7 +616,14 @@ def _linsolve_sweeps(h, b, x, a0, a1, n_sweeps, m,
              jnp.int32(0), jnp.int32(0))
     x, rel_est, _, sweeps_used, _ = jax.lax.while_loop(cond, body,
                                                        carry)
-    rel64 = _moment_rel_residual(hs, b, x, a0, a1, jnp.float64)
+    # refine epilogue: python-unrolled sweeps OUTSIDE the while_loop.
+    # The f32 estimator cannot steer below its ~3e-4 floor, but the
+    # interleaved splits keep genuinely improving the true residual;
+    # these static extra sweeps buy the final decades blind and the
+    # f64 certificate below reveals where the state landed.
+    for _ in range(refine_sweeps):
+        x = one_sweep(0, x)
+    rel64 = _moment_rel_residual(hs, b64, x, a0, a1, jnp.float64)
     return rel64, rel_est, _fold_bscale(x, log_bscale), sweeps_used
 
 
@@ -658,7 +762,14 @@ def _fold_bscale(x, log_bscale):
 
 
 def _residual_and_fold(hs, b, x, a0, a1, log_bscale):
-    rel = _moment_rel_residual(hs, b, x, a0, a1)
+    # f64-certified report (see linsolve_run docstring): the sweep-
+    # dtype moment scan under-reports near its floor, so the returned
+    # residual is always certification-grade. Note b here is the
+    # SWEEP-dtype gauged rhs, so the report carries the gauge's
+    # ~sqrt(N)*eps(st) re-encoding (~3e-7 at f32) — fine for the
+    # fixed-sweep engine's 1e-3-grade regime; the tol engine gauges b
+    # in f64 and certifies against the caller's b exactly.
+    rel = _moment_rel_residual(hs, b, x, a0, a1, jnp.float64)
     return rel, _fold_bscale(x, log_bscale)
 
 
