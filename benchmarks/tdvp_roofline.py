@@ -97,6 +97,54 @@ def decompose(N: int, chi: int, d: int, w: int, m: int, nsteps: int,
     }
 
 
+def decompose_split(N: int, chi: int, d: int, w: int, m: int,
+                    nsteps: int, order: int = 2, m1: int | None = None,
+                    bf16_tail: int = 0,
+                    karatsuba: bool = True) -> dict:
+    """Pass-weighted apply light speed for the REAL-TIME split engine
+    (``ops.tdvp_chain_split.tdvp_run_split``), VERDICT r3 #2.
+
+    Mirrors ``tdvp_sweep_flops(complex_dtype=True, karatsuba=...)``:
+    a complex-complex H-apply runs ``cmul_x`` real GEMM streams per
+    logical GEMM (4, or 3 under Karatsuba — _cmul_ein3), each stream
+    priced at 3 bf16 MXU passes when full-precision ('high') and 1
+    pass when in the bf16 tail (same i<tail cond as the imaginary-time
+    engine). The per-bond precontractions multiply a complex pair by
+    the REAL MPO core — 2 real einsum streams, always 'high' (3-pass).
+    """
+    apply2 = (2.0 * (chi * d * w) * (chi * d) * (d * chi)
+              + 2.0 * (chi * d) * (w * d * chi) * (d * chi))
+    apply1 = (2.0 * (chi * d * w) * chi * (d * chi)
+              + 2.0 * (chi * d) * (chi * w) * chi)
+    pre2 = (2.0 * (chi * d) * w * (chi * d * w)
+            + 2.0 * (w * d * chi) * w * (d * chi))
+    pre1 = 2.0 * (chi * d * w) * w * (d * chi)
+    m1 = m if m1 is None else m1
+    cmul_x = 3.0 if karatsuba else 4.0
+
+    nb = (N - 1) * (2 if order == 2 else 1) * nsteps
+    # complex applies, pass-weighted: i < bf16_tail full (3-pass
+    # per real stream), i >= tail single-pass — per real stream
+    a_full = (min(bf16_tail, m) * apply2 + min(bf16_tail, m1) * apply1
+              ) if bf16_tail else (m * apply2 + m1 * apply1)
+    a_tail = ((m - bf16_tail) * apply2 + max(m1 - bf16_tail, 0) * apply1
+              ) if bf16_tail else 0.0
+    t_apply_light = nb * (cmul_x * (3 * a_full + a_tail)
+                          + 2 * 3 * (pre2 + pre1)) / PEAK_BF16
+    from tensor4all_tpu.ops.tdvp_chain import tdvp_sweep_flops
+
+    total = tdvp_sweep_flops(N, chi, d, w, m, nsteps, order=order,
+                             complex_dtype=True, reortho=False,
+                             gemm2_apply=True, krylov_m1=m1,
+                             karatsuba=karatsuba)
+    return {
+        "bond_visits": nb,
+        "total_tf": total / 1e12,
+        "t_apply_light_s": t_apply_light,
+        "mfu_ceiling_nongemm_free": total / t_apply_light / PEAK_BF16,
+    }
+
+
 if __name__ == "__main__":
     # measured rows: bench.py TDVP detail (STATUS/BENCH journal)
     for chi, t_meas, kn in ((256, 0.403, {}),
@@ -112,3 +160,20 @@ if __name__ == "__main__":
               f"= {resid/r['bond_visits']*1e3:.2f} ms/bond fixed; "
               f"non-GEMM-free MFU ceiling "
               f"{r['mfu_ceiling_nongemm_free']:.1%}")
+    # real-time split engine (t_meas from the r4 grid — pass measured
+    # seconds on the command line to re-derive, else model-only)
+    for chi, t_meas in ((256, float(sys.argv[1]) if len(sys.argv) > 1
+                         else None),
+                        (512, float(sys.argv[2]) if len(sys.argv) > 2
+                         else None)):
+        r = decompose_split(32, chi, 2, 5, 12, 4, m1=8, bf16_tail=3)
+        line = (f"split rt chi={chi}: model {r['total_tf']:.2f} TF; "
+                f"apply light-speed {r['t_apply_light_s']*1e3:.0f} ms; "
+                f"non-GEMM-free MFU ceiling "
+                f"{r['mfu_ceiling_nongemm_free']:.1%}")
+        if t_meas is not None:
+            resid = t_meas - r["t_apply_light_s"]
+            line += (f"; measured {t_meas*1e3:.0f} ms -> "
+                     f"{r['t_apply_light_s']/t_meas:.0%} of roofline, "
+                     f"residual {resid/r['bond_visits']*1e3:.2f} ms/bond")
+        print(line)
