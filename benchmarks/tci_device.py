@@ -165,18 +165,19 @@ def run(reps: int = 3, heavy_reps: int = 1, heavy_host: bool = True):
             row["device_fraction_profiled"] = round(
                 dev_acc[0] / t_last, 3)
         out[name] = row
-        print(name, row, flush=True)
+        print(name, row, file=sys.stderr, flush=True)
         return row
 
-    one("tci_cfg2_host", 10, 1e-8, False, "host", reps=reps)
-    if not on_cpu:
-        one("tci_cfg2_jaxf", 10, 1e-8, False, "jaxf", reps=reps)
-        one("tci_cfg2_fused", 10, 1e-8, False, "fused", reps=reps)
-    if heavy_host:
+    if reps:
+        one("tci_cfg2_host", 10, 1e-8, False, "host", reps=reps)
+        if not on_cpu:
+            one("tci_cfg2_jaxf", 10, 1e-8, False, "jaxf", reps=reps)
+            one("tci_cfg2_fused", 10, 1e-8, False, "fused", reps=reps)
+    if heavy_host and heavy_reps:
         # 123 s on the 1-core host VM — skipped inside the driver bench
         # (committed measurement: results/2026-08-19-tci-device.md)
         one("tci_heavy_host", 64, 1e-9, True, "host", reps=heavy_reps)
-    if not on_cpu:
+    if not on_cpu and heavy_reps:
         one("tci_heavy_jaxf", 64, 1e-9, True, "jaxf", reps=heavy_reps)
         one("tci_heavy_fused", 64, 1e-9, True, "fused",
             reps=heavy_reps)

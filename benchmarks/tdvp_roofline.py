@@ -35,6 +35,7 @@ import opt_einsum as oe
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from benchmarks.mxu import PEAK_BF16_TFLOPS  # noqa: E402
+from tensor4all_tpu.ops.tdvp_chain import bond_gemm_flops  # noqa: E402
 
 PEAK_BF16 = PEAK_BF16_TFLOPS * 1e12  # TPU v5 lite; single source of truth
 
@@ -53,13 +54,7 @@ def decompose(N: int, chi: int, d: int, w: int, m: int, nsteps: int,
     Mirrors ops.tdvp_chain.tdvp_sweep_flops for the production knobs
     (gemm2_apply=True, reortho=False) used by bench.py's TDVP rows.
     """
-    apply2 = (2.0 * (chi * d * w) * (chi * d) * (d * chi)
-              + 2.0 * (chi * d) * (w * d * chi) * (d * chi))
-    apply1 = (2.0 * (chi * d * w) * chi * (d * chi)
-              + 2.0 * (chi * d) * (chi * w) * chi)
-    pre2 = (2.0 * (chi * d) * w * (chi * d * w)
-            + 2.0 * (w * d * chi) * w * (d * chi))
-    pre1 = 2.0 * (chi * d * w) * w * (d * chi)
+    apply2, apply1, pre2, pre1 = bond_gemm_flops(chi, d, w)
     env = _ec("alx,aib,loir,xoB->brB",
               [(chi, w, chi), (chi, d, chi), (w, d, d, w), (chi, d, chi)])
     td2, td1 = chi * d * d * chi, chi * d * chi
@@ -85,7 +80,7 @@ def decompose(N: int, chi: int, d: int, w: int, m: int, nsteps: int,
     a3 = (min(bf16_tail, m) * apply2 + min(bf16_tail, m1) * apply1
           + pre2 + pre1) if bf16_tail else (
         m * apply2 + m1 * apply1 + pre2 + pre1)
-    a1 = ((m - bf16_tail) * apply2
+    a1 = (max(m - bf16_tail, 0) * apply2
           + max(m1 - bf16_tail, 0) * apply1) if bf16_tail else 0.0
     t_apply_light = nb * (3 * a3 + a1) / PEAK_BF16
     return {
@@ -112,23 +107,19 @@ def decompose_split(N: int, chi: int, d: int, w: int, m: int,
     engine). The per-bond precontractions multiply a complex pair by
     the REAL MPO core — 2 real einsum streams, always 'high' (3-pass).
     """
-    apply2 = (2.0 * (chi * d * w) * (chi * d) * (d * chi)
-              + 2.0 * (chi * d) * (w * d * chi) * (d * chi))
-    apply1 = (2.0 * (chi * d * w) * chi * (d * chi)
-              + 2.0 * (chi * d) * (chi * w) * chi)
-    pre2 = (2.0 * (chi * d) * w * (chi * d * w)
-            + 2.0 * (w * d * chi) * w * (d * chi))
-    pre1 = 2.0 * (chi * d * w) * w * (d * chi)
+    apply2, apply1, pre2, pre1 = bond_gemm_flops(chi, d, w)
     m1 = m if m1 is None else m1
     cmul_x = 3.0 if karatsuba else 4.0
 
     nb = (N - 1) * (2 if order == 2 else 1) * nsteps
     # complex applies, pass-weighted: i < bf16_tail full (3-pass
-    # per real stream), i >= tail single-pass — per real stream
+    # per real stream), i >= tail single-pass — per real stream.
+    # Both terms clamp at 0 (ADVICE r4: bf16_tail > m must not
+    # produce negative tail FLOPs).
     a_full = (min(bf16_tail, m) * apply2 + min(bf16_tail, m1) * apply1
               ) if bf16_tail else (m * apply2 + m1 * apply1)
-    a_tail = ((m - bf16_tail) * apply2 + max(m1 - bf16_tail, 0) * apply1
-              ) if bf16_tail else 0.0
+    a_tail = (max(m - bf16_tail, 0) * apply2
+              + max(m1 - bf16_tail, 0) * apply1) if bf16_tail else 0.0
     t_apply_light = nb * (cmul_x * (3 * a_full + a_tail)
                           + 2 * 3 * (pre2 + pre1)) / PEAK_BF16
     from tensor4all_tpu.ops.tdvp_chain import tdvp_sweep_flops
@@ -160,12 +151,19 @@ if __name__ == "__main__":
               f"= {resid/r['bond_visits']*1e3:.2f} ms/bond fixed; "
               f"non-GEMM-free MFU ceiling "
               f"{r['mfu_ceiling_nongemm_free']:.1%}")
-    # real-time split engine (t_meas from the r4 grid — pass measured
-    # seconds on the command line to re-derive, else model-only)
-    for chi, t_meas in ((256, float(sys.argv[1]) if len(sys.argv) > 1
-                         else None),
-                        (512, float(sys.argv[2]) if len(sys.argv) > 2
-                         else None)):
+    # real-time split engine: pass measured seconds as chi=seconds
+    # pairs (e.g. `python benchmarks/tdvp_roofline.py 512=1.08`), else
+    # model-only (ADVICE r4: positional argv required a dummy first
+    # argument to supply only chi=512)
+    meas = {}
+    for arg in sys.argv[1:]:
+        try:
+            chi_s, sec_s = arg.split("=", 1)
+            meas[int(chi_s)] = float(sec_s)
+        except ValueError:
+            sys.exit(f"usage: {sys.argv[0]} [CHI=SECONDS ...] "
+                     f"(got {arg!r})")
+    for chi, t_meas in ((256, meas.get(256)), (512, meas.get(512))):
         r = decompose_split(32, chi, 2, 5, 12, 4, m1=8, bf16_tail=3)
         line = (f"split rt chi={chi}: model {r['total_tf']:.2f} TF; "
                 f"apply light-speed {r['t_apply_light_s']*1e3:.0f} ms; "

@@ -516,6 +516,24 @@ def _tdvp_sweeps(h, mps0, t, nsteps, order, krylov_m, sweep_dtype,
     return mps
 
 
+def bond_gemm_flops(chi: int, d: int, w: int):
+    """Per-bond FLOPs of the two-GEMM (``gemm2_apply``) local applies:
+    ``(apply2, apply1, pre2, pre1)``. apply2/apply1 are the per-Krylov-
+    iteration two-site/one-site H·theta streams; pre2/pre1 the per-bond
+    MPO precontractions. Single source of truth shared by
+    ``tdvp_sweep_flops`` and ``benchmarks/tdvp_roofline.py`` (ADVICE
+    r4: the formulas were duplicated in three places and could silently
+    desynchronize from the engine)."""
+    apply2 = (2.0 * (chi * d * w) * (chi * d) * (d * chi)
+              + 2.0 * (chi * d) * (w * d * chi) * (d * chi))
+    apply1 = (2.0 * (chi * d * w) * chi * (d * chi)
+              + 2.0 * (chi * d) * (chi * w) * chi)
+    pre2 = (2.0 * (chi * d) * w * (chi * d * w)
+            + 2.0 * (w * d * chi) * w * (d * chi))
+    pre1 = 2.0 * (chi * d * w) * w * (d * chi)
+    return apply2, apply1, pre2, pre1
+
+
 def tdvp_sweep_flops(N: int, chi: int, d: int, w: int, krylov_m: int,
                      nsteps: int, order: int = 2,
                      complex_dtype: bool = False,
@@ -543,13 +561,7 @@ def tdvp_sweep_flops(N: int, chi: int, d: int, w: int, krylov_m: int,
 
     m = krylov_m
     if gemm2_apply:
-        apply2_f = (2.0 * (chi * d * w) * (chi * d) * (d * chi)
-                    + 2.0 * (chi * d) * (w * d * chi) * (d * chi))
-        apply1_f = (2.0 * (chi * d * w) * chi * (d * chi)
-                    + 2.0 * (chi * d) * (chi * w) * chi)
-        pre2_f = (2.0 * (chi * d) * w * (chi * d * w)
-                  + 2.0 * (w * d * chi) * w * (d * chi))
-        pre1_f = 2.0 * (chi * d * w) * w * (d * chi)
+        apply2_f, apply1_f, pre2_f, pre1_f = bond_gemm_flops(chi, d, w)
     else:
         apply2_f = ec("alx,lpim,mqjr,aijb,brB->xpqB",
                       [(chi, w, chi), (w, d, d, w), (w, d, d, w),
