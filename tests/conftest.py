@@ -24,6 +24,22 @@ jax.config.update("jax_enable_x64", True)
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _release_xla_executables():
+    """Drop compiled-executable caches after every test module.
+
+    Each XLA:CPU executable pins several mmap regions; with the full
+    suite's ~500 jit-heavy tests the process deterministically crosses
+    the kernel's default vm.max_map_count (65530) and LLVM's JIT
+    segfaults inside a later compile (reproduced at
+    test_linsolve_jit.py::test_linsolve_chain_indefinite_operator —
+    ~30k maps by 16% of the suite). Per-module clearing keeps the map
+    count bounded; cross-module executable reuse is rare, so the
+    recompile cost is noise."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     import numpy as np
