@@ -492,6 +492,62 @@ def _sec_comb(chi, ns=4, reps=3):
     }
 
 
+def _sec_comb_tdvp(chi, nsteps=4, reps=3):
+    """Tree-topology TIME EVOLUTION at production backbone chi: the
+    jitted comb TDVP engine (r4 047679f) — trees get both flagship
+    solvers on device, with MFU from the analytic model mirroring the
+    executed Euler-tour sweep work."""
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.mxu import PEAK_BF16_TFLOPS
+    from tensor4all_tpu.ops.dmrg_comb import (
+        comb_heisenberg_stacks,
+        random_comb_state,
+    )
+    from tensor4all_tpu.ops.tdvp_comb import (
+        tdvp_comb_run,
+        tdvp_comb_sweep_flops,
+    )
+
+    Nb, Mt, chit, d = 16, 2, 4, 2
+    mB, mT = 12, 8
+    dev = jax.devices()[0]
+    wb64, wt64 = comb_heisenberg_stacks(Nb, Mt)
+    wb = jax.device_put(wb64.astype(jnp.float32), dev)
+    wt = jax.device_put(wt64.astype(jnp.float32), dev)
+    ab0, at0 = random_comb_state(jax.random.PRNGKey(0), Nb, Mt, chi,
+                                 chit)
+    ab0 = jax.device_put(ab0.astype(jnp.float32), dev)
+    at0 = jax.device_put(at0.astype(jnp.float32), dev)
+
+    def body():
+        ab, at = tdvp_comb_run(
+            wb, wt, ab0, at0, -0.05, nsteps=nsteps, order=2,
+            krylov_m=mB, tooth_krylov_m=mT,
+            sweep_dtype=jnp.float32, gemm2_apply=True, reortho=False,
+            precision="high", expm_max_squarings=8)
+        return ab, at, float(jnp.sum(jnp.abs(ab[0])))
+
+    ab, at, _ = body()  # compile
+    assert bool(jnp.isfinite(ab).all() & jnp.isfinite(at).all()), \
+        f"comb TDVP chi={chi} state NaN"
+    t = _median_time(lambda: body()[2], warmup=0, reps=reps)
+    fl = tdvp_comb_sweep_flops(Nb, Mt, chi, chit, d, wb.shape[1],
+                               nsteps, order=2, krylov_m=mB,
+                               tooth_krylov_m=mT, gemm2_apply=True,
+                               reortho=False)
+    tflops = fl / t / 1e12
+    key = f"comb_tdvp_Nb16Mt2_chi{chi}"
+    return {
+        "comb_tdvp_engine": ("jitted one-program comb-tree TDVP, "
+                             "Nb=16 Mt=2 chit=4 (48 sites)"),
+        f"{key}_{nsteps}steps_ms": round(t * 1e3, 1),
+        f"{key}_tflops": round(tflops, 2),
+        f"{key}_mfu_vs_bf16_peak": round(tflops / PEAK_BF16_TFLOPS, 4),
+    }
+
+
 def _sec_tci_cfg2():
     """TCI2 on device, north-star config 2 (VERDICT r3 #3)."""
     from benchmarks.tci_device import run as tci_run
@@ -545,6 +601,7 @@ def _sections():
          lambda: _sec_linsolve_tol(256, 128)),
         ("dmrg_chi2048", 220, _sec_dmrg_prod(2048)),
         ("comb_chi512", 150, lambda: _sec_comb(512)),
+        ("comb_tdvp_chi256", 150, lambda: _sec_comb_tdvp(256)),
         ("tci_heavy", 160, _sec_tci_heavy),
     ]
 

@@ -574,3 +574,155 @@ def _tdvp_comb_sweeps(wb, wt, ab0, at0, t, nsteps, order, mB, mT, m1,
 
     ab, at = jax.lax.fori_loop(0, nsteps, one_step, (ab, at))
     return ab, at
+
+
+# ---------------------------------------------------------------------------
+# analytic FLOP model (mirrors the executed sweep work; the VERDICT r1
+# contract that MFU is measured on the REAL engine, never a synthetic
+# kernel — see ops.dmrg_comb.dmrg_comb_sweep_flops)
+# ---------------------------------------------------------------------------
+
+def tdvp_comb_sweep_flops(Nb: int, Mt: int, chi: int, chit: int,
+                          d: int, w: int, nsteps: int,
+                          order: int = 2,
+                          krylov_m: int = 12,
+                          tooth_krylov_m: int = 8,
+                          krylov_m1: int | None = None,
+                          gemm2_apply: bool = False,
+                          reortho: bool = True) -> float:
+    """FLOPs of ``tdvp_comb_run``'s step loop (gauge prologue excluded,
+    as in the chain/DMRG models). Every einsum is costed with
+    opt_einsum on the engine's exact expressions and shapes; GEMM/QR
+    split terms use the standard 2mnk / 2pq^2 counts. Propagators with
+    a zero coefficient (turn/end corrections) still EXECUTE in the
+    traced program, so they are counted.
+
+    The knob parameters MUST mirror the ``tdvp_comb_run`` call being
+    measured (ADVICE r2 contract)."""
+    import numpy as np
+    import opt_einsum as oe
+
+    def ec(expr, shapes):
+        _, info = oe.contract_path(
+            expr, *[np.empty(s, np.float32) for s in shapes])
+        return float(info.opt_cost)
+
+    mB, mT = krylov_m, tooth_krylov_m
+    m1 = mT if krylov_m1 is None else krylov_m1
+    C, T, D = chi, chit, d
+    LW = (C, w, C)       # backbone env
+    TE = (T, w, T)       # tooth env
+    AB = (C, D, T, C)    # backbone core
+    AT = (T, D, T)       # tooth core
+    WB = (w, w, D, D, w)
+    WT = (w, D, D, w)
+    THB = (C, D, T, D, T, C)   # backbone two-site theta
+    THR = (C, D, D, T, C)      # root-edge theta
+    THT = (T, D, D, T)         # tooth-edge theta
+
+    tooth_env_step = ec("aip,uoid,pdP,xoP->aux", [AT, WT, TE, AT])
+    up_env = ec("alx,aipb,ltoir,brB,xoPB->ptP", [LW, AB, WB, LW, AB])
+    us_step = ec("aux,uoif,aip,xoP->pfP", [TE, WT, AT, AT])
+    left_env = ec("alx,aipb,ltoir,ptP,xoPB->brB", [LW, AB, WB, TE, AB])
+    right_env = ec("brB,aipb,ltoir,ptP,xoPB->alx", [LW, AB, WB, TE, AB])
+
+    thb = float(np.prod(THB))
+    thr = float(np.prod(THR))
+    tht = float(np.prod(THT))
+    node_sz = float(np.prod(AB))
+    t1_sz = float(np.prod(AT))
+
+    if gemm2_apply:
+        pre = (ec("alx,ltoir,ptP->aipxoPr", [LW, WB, TE])
+               + ec("ruyjs,quQ,bsB->rjqbyQB", [WB, TE, LW]))
+        LWT = (C, D, T, C, D, T, w)
+        WTR = (w, D, T, C, D, T, C)
+        apply_b = (ec("aipxoPr,aipjqb->xoPrjqb", [LWT, THB])
+                   + ec("xoPrjqb,rjqbyQB->xoPyQB",
+                        [(C, D, T, w, D, T, C), WTR]))
+    else:
+        pre = 0.0
+        apply_b = ec("alx,ltoir,ptP,ruyjs,quQ,bsB,aipjqb->xoPyQB",
+                     [LW, WB, TE, WB, TE, LW, THB])
+    apply_r = ec("alx,ltoir,tvjf,qfQ,brB,aijqb->xovQB",
+                 [LW, WB, WT, TE, LW, THR])
+    apply_t = ec("aux,uoif,fvjg,qgQ,aijq->xovQ",
+                 [TE, WT, WT, TE, THT])
+    apply_n1 = ec("alx,ltoir,ptP,brB,aipb->xoPB",
+                  [LW, WB, TE, LW, AB])
+    apply_t1 = ec("ptP,toif,qfQ,piq->PoQ", [TE, WT, TE, AT])
+
+    def lan(m, apply_f, tsize):
+        ro = 4 * m * tsize if reortho else 0
+        return m * (apply_f + 8 * tsize + ro) + 2 * tsize
+
+    def split(P, cols, keep):
+        # split_mat: 2 warm-started subspace iterations (2 GEMMs +
+        # one (P, keep) QR each) + the final rest GEMM
+        per = 2 * (2.0 * P * cols * keep) + 2.0 * P * keep ** 2
+        return 2 * per + 2.0 * P * cols * keep
+
+    # backbone-edge visit (theta build, propagator, split); the
+    # backward pass's transposed split has identical sizes
+    theta0_b = 2.0 * C * (D * T) * (D * T) * C
+    backbone = (theta0_b + pre + lan(mB, apply_b, thb)
+                + split(C * D * T, D * T * C, C))
+
+    # node arrival/closing corrections (always executed)
+    corr_n = lan(m1, apply_n1, node_sz)
+    corr_t = lan(m1, apply_t1, t1_sz)
+
+    theta0_r = 2.0 * C * D * C * T * (D * T)
+    theta0_t = 2.0 * T * D * T * (D * T)
+
+    dive = 0.0
+    if Mt > 0:
+        # Ds stack
+        dive += Mt * tooth_env_step
+        # root edge down (+ rewind when Mt > 1)
+        dive += theta0_r + lan(mT, apply_r, thr) + split(C * D * C,
+                                                         D * T, T)
+        dive += up_env
+        if Mt > 1:
+            dive += corr_t
+        # descend
+        dive += (Mt - 1) * (theta0_t + lan(mT, apply_t, tht)
+                            + split(T * D, D * T, T) + us_step)
+        dive += max(Mt - 2, 0) * corr_t
+        # ascend: D_next/D_j1 env recomputes sum to triangular counts
+        dive += (Mt - 1) * (theta0_t + lan(mT, apply_t, tht)
+                            + split(D * T, T * D, T) + corr_t)
+        dive += ((Mt - 2) * (Mt - 1) / 2 + (Mt - 1) * Mt / 2) \
+            * tooth_env_step
+        # root edge up (transposed split) + Tk_new + closing correction
+        dive += (Mt - 1) * tooth_env_step
+        dive += theta0_r + lan(mT, apply_r, thr) + split(D * T,
+                                                         C * D * C, T)
+        dive += Mt * tooth_env_step + corr_n
+
+    # pass P (forward): tooth envs, right-env scan, per-edge work, the
+    # end-of-pass arrival + dive
+    pass_fwd = (Nb * Mt * tooth_env_step
+                + max(Nb - 2, 0) * right_env
+                + (Nb - 1) * (right_env + corr_n + dive + backbone
+                              + left_env)
+                + corr_n + dive)
+    # reverse pass: tooth envs, leading dive, per-edge work (uses the
+    # stored Ls — no left-env updates)
+    pass_bwd = (Nb * Mt * tooth_env_step
+                + dive
+                + (Nb - 1) * (backbone + right_env + corr_n + dive))
+    if Mt == 0:
+        # chain reduction: no dives; corrections still run per edge
+        pass_fwd = (max(Nb - 2, 0) * right_env
+                    + (Nb - 1) * (right_env + corr_n + backbone
+                                  + left_env))
+        pass_bwd = (Nb - 1) * (backbone + right_env + corr_n)
+
+    if order == 2:
+        per_step = pass_fwd + pass_bwd
+    else:
+        # Lie: forward pass + exact backbone re-gauge QRs
+        per_step = pass_fwd + (Nb - 1) * (
+            2.0 * (D * T * C) * C ** 2 + 2.0 * C * (D * T * C) * C)
+    return nsteps * per_step

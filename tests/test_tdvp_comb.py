@@ -167,3 +167,29 @@ def test_tdvp_comb_gemm2_and_f32(key):
     dev = np.linalg.norm(got / np.linalg.norm(got)
                          - expect / np.linalg.norm(expect))
     assert dev < 1e-4
+
+
+def test_tdvp_comb_flop_model_sanity():
+    """The analytic FLOP model tracks the engine's executed work: the
+    Mt=0 chain reduction prices within 10% of the chain engine's own
+    model (the engines differ in per-edge correction/refresh structure,
+    so exact agreement is not expected), scales superlinearly in chi,
+    and grows with teeth."""
+    from tensor4all_tpu.ops.tdvp_chain import tdvp_sweep_flops
+    from tensor4all_tpu.ops.tdvp_comb import tdvp_comb_sweep_flops
+
+    a = tdvp_comb_sweep_flops(32, 0, 128, 1, 2, 5, 2, order=2,
+                              krylov_m=12, krylov_m1=8,
+                              gemm2_apply=True, reortho=False)
+    b = tdvp_sweep_flops(32, 128, 2, 5, 12, 2, order=2, reortho=False,
+                         gemm2_apply=True, krylov_m1=8)
+    assert abs(a - b) / b < 0.10, (a, b)
+
+    f1 = tdvp_comb_sweep_flops(8, 2, 64, 4, 2, 5, 2)
+    f2 = tdvp_comb_sweep_flops(8, 2, 128, 4, 2, 5, 2)
+    assert f2 > 3.0 * f1  # two-site work is ~chi^3
+    f3 = tdvp_comb_sweep_flops(8, 3, 64, 4, 2, 5, 2)
+    assert f3 > f1
+    # order 1 is roughly half an order-2 step
+    f4 = tdvp_comb_sweep_flops(8, 2, 64, 4, 2, 5, 2, order=1)
+    assert 0.3 * f1 < f4 < 0.8 * f1
