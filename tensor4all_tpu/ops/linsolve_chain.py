@@ -39,7 +39,7 @@ def pad_rhs(cores, chi_b: int) -> jnp.ndarray:
     jax.jit,
     static_argnames=("n_sweeps", "minres_m", "sweep_dtype",
                      "gemm2_apply", "reortho", "bf16", "precision",
-                     "svd_split"),
+                     "svd_split", "certify"),
 )
 def linsolve_run(
     h: jnp.ndarray,
@@ -55,6 +55,7 @@ def linsolve_run(
     bf16: bool = False,
     precision: str = "high",
     svd_split: bool = False,
+    certify: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sweep-solve ``(a0 + a1 H) x = b``; returns (rel_residual, x).
 
@@ -84,15 +85,25 @@ def linsolve_run(
         is the engine default, matching ops.dmrg_chain's fine sweeps.
 
     The returned rel_residual is the GLOBAL ||(a0 + a1 H) x - b|| /
-    ||b|| evaluated by ONE f64-emulated H-moment transfer scan —
-    trustworthy to ~1e-8 relative. (It was the sweep-dtype scan until
-    r4: measured against the f64 scan on the 2-sweep chi=256 bench
-    state, the f32 estimate read 7.0e-4 where the true residual was
-    7.1e-3 — the f32 moment expansion's accumulated-roundoff error
-    exceeds its nominal eps*|terms| floor by the ~sqrt(chi d w)
-    accumulation factor, so it under-reports near its floor. The f32
-    scan remains in use only as the tol loop's internal stall control,
-    `linsolve_run_tol` rel_estimate.)
+    ||b||. With ``certify=True`` (default) it is evaluated by ONE
+    f64-emulated H-moment transfer scan — trustworthy to ~1e-8
+    relative. (It was the sweep-dtype scan until r4: measured against
+    the f64 scan on the 2-sweep chi=256 bench state, the f32 estimate
+    read 7.0e-4 where the true residual was 7.1e-3 — the f32 moment
+    expansion's accumulated-roundoff error exceeds its nominal
+    eps*|terms| floor by the ~sqrt(chi d w) accumulation factor, so it
+    under-reports near its floor. The f32 scan remains in use only as
+    the tol loop's internal stall control, `linsolve_run_tol`
+    rel_estimate.)
+
+    ``certify=False`` returns the sweep-dtype ('high'-precision)
+    estimate instead — an ESTIMATE-grade number that under-reports
+    near its ~sqrt(eps(st)) floor, per the above. Use it only when the
+    report will be certified separately: the f64-emulated scan is
+    ~15-30x slower per GEMM on TPUs and costs several SECONDS at
+    chi=512 (r5 measurement: 5.9 s vs 0.7 s for the whole 2-sweep
+    solve), so throughput-sensitive callers time certify=False and run
+    one certify=True call (or `linsolve_run_tol`) for the verdict.
 
     Scale management: b is right-orthogonalized INSIDE the program with
     per-step renormalization, accumulating log||b|| in f64 — random
@@ -109,7 +120,8 @@ def linsolve_run(
                                 jnp.asarray(a1, st), int(n_sweeps),
                                 int(minres_m), bool(gemm2_apply),
                                 bool(reortho), bool(bf16),
-                                svd_split=bool(svd_split))
+                                svd_split=bool(svd_split),
+                                certify=bool(certify))
 
 
 @functools.partial(
@@ -229,7 +241,7 @@ def _linsolve_sweeps(h, b, x, a0, a1, n_sweeps, m,
                      gemm2_apply=False, reortho=True, bf16=False,
                      tol=None, max_sweeps=0, extra_sweeps=1,
                      svd_split=False, split_mode="fused",
-                     refine_sweeps=0):
+                     refine_sweeps=0, certify=True):
     N, chi, d, _ = x.shape
     chib = b.shape[1]
     w = h.shape[1]
@@ -581,6 +593,13 @@ def _linsolve_sweeps(h, b, x, a0, a1, n_sweeps, m,
 
     if tol is None:
         x = jax.lax.fori_loop(0, n_sweeps, one_sweep, x)
+        if not certify:
+            # estimate-grade report (see linsolve_run docstring):
+            # sweep-dtype scans at 'high' matmul precision, floor-
+            # clamped; the f64 certification scan stays out of the
+            # program entirely.
+            rel = _moment_rel_residual(h, b, x, a0, a1)
+            return rel, _fold_bscale(x, log_bscale)
         return _residual_and_fold(h, b, x, a0, a1, log_bscale)
 
     # ---- sweep-to-tolerance mode (VERDICT r3 #5; ref

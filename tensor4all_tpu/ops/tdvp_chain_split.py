@@ -276,6 +276,88 @@ def _corth_qr(yr, yi, seed: int = 11, complete: bool = True):
     return _merge_into_dead(qr_, qi_, jr, ji)
 
 
+def _stacked_qr_pair(yr, yi):
+    """Complex-span-preserving basis conditioning by ONE real QR of the
+    STACKED pair [Yr; Yi] (2p x q) — no embedding doubling, no
+    frame-MGS.
+
+    Why this is legal as the INNER step of a subspace iteration: real
+    QR replaces Y by Y T with T a real invertible q x q matrix, and
+    real-invertible IS complex-invertible, so the COMPLEX column span
+    is exactly preserved. Why it conditions: the stacked columns come
+    out real-orthonormal, so the complex Gram is I + iK with K real
+    skew-symmetric and ||K|| <= 1 — eigenvalues in [0, 2], i.e. a
+    bounded condition number independent of kappa(Y) (it degrades only
+    where the complex span is genuinely rank-deficient: a column pair
+    v, iv maps to a K eigenvalue at +-1). Columns are pair-equilibrated
+    first and QR's arbitrary completion of sub-noise columns is masked
+    by the R-diagonal (the `_colnorm_qr` contract). NOT a complex
+    orthonormalization — outputs feed another GEMM, never a tensor
+    factor."""
+    p, _ = yr.shape
+    yr, yi = _eqpair_cols(yr, yi)
+    e = jnp.concatenate([yr, yi], axis=0)
+    qe, re_ = jnp.linalg.qr(e)
+    rdiag = jnp.abs(jnp.diagonal(re_))
+    genuine = (rdiag > 100 * jnp.finfo(yr.dtype).eps
+               * jnp.maximum(jnp.max(rdiag),
+                             jnp.finfo(yr.dtype).tiny)).astype(yr.dtype)
+    qe = qe * genuine[None, :]
+    return qe[:p], qe[p:]
+
+
+def _ns_polar_pair(wr, wi, iters: int = 48):
+    """GEMM-only complex polar orthonormalization in pair arithmetic:
+    Higham's Newton-Schulz polar iteration X <- X (3I - X^H X) / 2
+    applied to the operand directly. No Cholesky, no triangular solve,
+    no embedded QR, no sequential MGS — every step is q x q / p x q
+    GEMMs, which is what this TPU wants.
+
+    Convergence: each singular value follows s <- s (3 - s^2) / 2,
+    monotone to 1 from any s in (0, sqrt(3)); X is pre-scaled by its
+    Frobenius norm so s_max <= 1, and a tiny direction s needs about
+    log_1.5(1/s) steps to surface — 48 iterations resolve relative
+    s >= ~1e-8, past f32 resolution. Exact dead columns (s = 0) are
+    fixed points and stay exactly zero (the complete_basis=False
+    contract). Unlike the stacked-QR real basis (whose complex Gram is
+    near-singular by (v, iv) pairing — measured lambda_min ~ 1e-11),
+    the iteration acts on the COMPLEX operand, so the limit is the true
+    complex polar factor: orthonormal columns spanning col(X), i.e.
+    exactly what the two-site split needs, including the small-Schmidt
+    tail (span error ~ eps at every scale; verified against dense expm
+    and the corth gold trajectory)."""
+    dt = wr.dtype
+    q = wr.shape[1]
+    hi = jax.lax.Precision.HIGHEST
+    mm = functools.partial(jnp.matmul, precision=hi)
+    nrm = jnp.sqrt(jnp.sum(wr * wr + wi * wi).astype(jnp.float64))
+    s = (1.0 / jnp.maximum(nrm, jnp.finfo(jnp.float64).tiny)).astype(dt)
+    xr, xi = wr * s, wi * s
+    eye = jnp.eye(q, dtype=dt)
+    for _ in range(iters):
+        gr = mm(xr.T, xr) + mm(xi.T, xi)
+        gi = mm(xr.T, xi) - mm(xi.T, xr)
+        tr = 1.5 * eye - 0.5 * gr
+        ti = -0.5 * gi
+        xr, xi = mm(xr, tr) - mm(xi, ti), mm(xr, ti) + mm(xi, tr)
+    return xr, xi
+
+
+def _eqpair_cols(yr, yi):
+    """Pair-column equilibration: scale each complex column (yr_j, yi_j)
+    to unit joint norm; columns below the 10-eps noise threshold of the
+    largest are zeroed (the `_colnorm_qr` contract). Span-preserving
+    and free — used by `split_orth='eq'` as the inner conditioner of
+    the two-site subspace iteration (the dynamic-range guard the r4
+    fidelity fix introduced, without the QR)."""
+    cn = jnp.sqrt(jnp.sum(yr * yr + yi * yi, axis=0, keepdims=True))
+    scale = jnp.max(cn)
+    keep = cn > 10 * jnp.finfo(yr.dtype).eps * jnp.maximum(
+        scale, jnp.finfo(yr.dtype).tiny)
+    inv = jnp.where(keep, 1.0 / jnp.where(keep, cn, 1.0), 0.0)
+    return yr * inv, yi * inv
+
+
 def _pair_cholqr(yr, yi, shifts=(1e-4, 1e-6, 0.0)):
     """GEMM-only COMPLEX orthonormalization in pair arithmetic:
     column-equilibrated shifted CholeskyQR through the INTERLEAVED real
@@ -332,7 +414,7 @@ def _pair_cholqr(yr, yi, shifts=(1e-4, 1e-6, 0.0)):
                      "split_iters", "complete_basis", "precision",
                      "reortho", "bf16_tail", "krylov_m1",
                      "expm_max_squarings", "gemm2_apply", "karatsuba",
-                     "cholqr_split"),
+                     "cholqr_split", "split_orth"),
 )
 def tdvp_run_split(
     h: jnp.ndarray,
@@ -354,22 +436,71 @@ def tdvp_run_split(
     gemm2_apply: bool = False,
     karatsuba: bool = False,
     cholqr_split: bool = False,
+    split_orth: str = "qr",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Evolve ``exp((t_re + i t_im) * H)|mps0>`` with a REAL padded MPO
     ``h`` and a complex state given as the (real, imag) pair; returns the
     evolved pair. All arrays f32/f64 real — no complex dtypes anywhere,
     so the whole program runs on complex-less TPUs with the chi^3 work
     on the MXU.
+
+    ``split_orth`` picks the INNER basis conditioner of each two-site
+    subspace iteration (the OUTER complex orthonormalization always
+    runs at corth grade — its output is a tensor factor). The inner
+    step only needs a complex-span-preserving, well-conditioned
+    transform, not complex orthonormality, and the complex
+    orthonormalizations are the engine's dominant per-bond fixed cost
+    on TPU (the ~q sequential frame-MGS steps of `_corth_qr`):
+
+    - ``"qr"`` (default): inner corth too — two complex
+      orthonormalizations per iteration, the accuracy reference
+      (gold-overlap 1-8e-7 at chi=256, 4 steps).
+    - ``"cholqr1"``: ONE-pass complex CholeskyQR (`_pair_cholqr`,
+      single small shift) — GEMMs + one (2q) Cholesky + one triangular
+      solve, no embedded QR, no MGS. Its ~sqrt(eps) orthonormality
+      floor does not matter in the INNER slot: the inner only needs
+      complex CONDITIONING so the outer's noise-masking cannot zero a
+      live direction, and CholeskyQR conditions to kappa ~ 1 even
+      where it cannot orthonormalize to eps. Machine-precision
+      trajectories on every fixture measured (6e-15 f64, both the
+      near-real and the generic-complex starts) — the recommended
+      production knob.
+    - ``"stacked"``: ONE real Householder QR of the stacked pair
+      [Zr; Zi] — span-exact and half the embedded panel width, but the
+      real basis of a complex space can pair up (v, iv) directions
+      (complex Gram I + iK with lambda_min -> 0), leaving the outer
+      operand complex-ill-conditioned; measured STATE-DEPENDENT: 5e-6
+      on one f64 fixture, 4.4e-3 on another (where "qr" holds 5e-15).
+      A documented negative result — use "cholqr1".
+    - ``"polar"``: "stacked" inner AND a GEMM-only outer — the
+      Newton-Schulz complex polar iteration (`_ns_polar_pair`). No
+      embedded QR, no frame-MGS, no Cholesky/triangular solve anywhere
+      in the hot path — but the iteration passes through the Gram
+      X^H X, so directions with relative sigma below ~sqrt(eps(dtype))
+      are rounded away (the SAME blind spot that makes cholqr_split
+      lose to "qr" on accuracy; _corth_qr's no-Gram design is the
+      point). Measured: f64 trajectory err 1.8e-3 at split_iters=1
+      (vs 5e-6 for "stacked"), recovered to 7.6e-6 by split_iters=2.
+      A measured negative result for the f32 production path — use
+      "stacked", which pays one Householder panel but squares nothing.
+    - ``"eq"``: free pair-column equilibration only (unit joint norms,
+      noise columns zeroed — `ops.dmrg_comb.split_mat`'s form).
+      Fastest inner, but measured 6e-4 gold-infidelity over 4 chi=256
+      steps (vs 8e-7 for "qr"): without the inner re-basis the f32
+      outer product buries small Schmidt directions. Use where
+      trajectory error budgets are loose.
     """
     if order not in (1, 2):
         raise ValueError("order must be 1 or 2")
+    if split_orth not in ("qr", "cholqr1", "stacked", "eq", "polar"):
+        raise ValueError(f"unknown split_orth {split_orth!r}")
     with jax.default_matmul_precision(precision):
         return _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps,
                                   order, krylov_m, orthogonalize,
                                   split_iters, complete_basis, reortho,
                                   bf16_tail, krylov_m1,
                                   expm_max_squarings, gemm2_apply,
-                                  karatsuba, cholqr_split)
+                                  karatsuba, cholqr_split, split_orth)
 
 
 def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
@@ -377,7 +508,7 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
                        complete_basis=True, reortho=True, bf16_tail=0,
                        krylov_m1=None, expm_max_squarings=20,
                        gemm2_apply=False, karatsuba=False,
-                       cholqr_split=False):
+                       cholqr_split=False, split_orth="qr"):
     """``complete_basis=False`` skips dead-slot junk completion in every
     orthonormalization — exact for states that keep FULL padded rank
     throughout (e.g. full-rank random inits in benchmarks); states whose
@@ -598,15 +729,30 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
         intermediate at dynamic range sigma, as in dmrg_chain)."""
         mr_ = thr.reshape(chi * d, d * chi)
         mi_ = thi.reshape(chi * d, d * chi)
+        # inner-step basis conditioner + outer orthonormalizer (see
+        # tdvp_run_split docstring): only the OUTER factor needs
+        # complex orthonormality
+        if split_orth == "eq":
+            inner = _eqpair_cols
+        elif split_orth == "cholqr1":
+            inner = functools.partial(_pair_cholqr, shifts=(1e-8,))
+        elif split_orth in ("stacked", "polar"):
+            inner = _stacked_qr_pair
+        else:
+            inner = lambda zr, zi: corth(zr, zi,  # noqa: E731
+                                         complete=complete_basis)
+        if split_orth == "polar":
+            outer = _ns_polar_pair
+        else:
+            outer = lambda yr, yi: corth(yr, yi,  # noqa: E731
+                                         complete=complete_basis)
         if toward_right:
             q0r_, q0i_ = q0r, q0i
             for _ in range(split_iters):
-                zr, zi = corth(mr_.T @ q0r_ + mi_.T @ q0i_,
-                                   mr_.T @ q0i_ - mi_.T @ q0r_,
-                                   complete=complete_basis)  # M^H Q0
-                qr_, qi_ = corth(mr_ @ zr - mi_ @ zi,
-                                     mr_ @ zi + mi_ @ zr,
-                                     complete=complete_basis)
+                zr, zi = inner(mr_.T @ q0r_ + mi_.T @ q0i_,
+                               mr_.T @ q0i_ - mi_.T @ q0r_)  # M^H Q0
+                qr_, qi_ = outer(mr_ @ zr - mi_ @ zi,
+                                 mr_ @ zi + mi_ @ zr)
                 q0r_, q0i_ = qr_, qi_
             left_r = qr_.reshape(chi, d, chi)
             left_i = qi_.reshape(chi, d, chi)
@@ -617,12 +763,10 @@ def _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps, order,
         else:
             q0r_, q0i_ = q0r, q0i
             for _ in range(split_iters):
-                zr, zi = corth(mr_ @ q0r_ - mi_ @ q0i_,
-                                   mr_ @ q0i_ + mi_ @ q0r_,
-                                   complete=complete_basis)
-                qr_, qi_ = corth(mr_.T @ zr + mi_.T @ zi,
-                                     mr_.T @ zi - mi_.T @ zr,
-                                     complete=complete_basis)  # M^H Z
+                zr, zi = inner(mr_ @ q0r_ - mi_ @ q0i_,
+                               mr_ @ q0i_ + mi_ @ q0r_)
+                qr_, qi_ = outer(mr_.T @ zr + mi_.T @ zi,
+                                 mr_.T @ zi - mi_.T @ zr)  # M^H Z
                 q0r_, q0i_ = qr_, qi_
             right_r = qr_.T.reshape(chi, d, chi)
             right_i = (-qi_.T).reshape(chi, d, chi)  # (Q^H)

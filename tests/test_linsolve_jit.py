@@ -161,3 +161,23 @@ def test_linsolve_run_tol_f32_sweeps_f64_certificate():
     assert float(rel64) < 3e-5, (float(rel64), true_rel)
     assert true_rel < 2 * float(rel64) + 1e-7, (true_rel, float(rel64))
     assert np.isfinite(float(rel_est))
+
+
+def test_linsolve_certify_knob():
+    """certify=False must return the SAME solution with an
+    estimate-grade residual report: the estimate under-reports near
+    its sqrt(eps) floor (that is why certify=True exists), so the
+    contract is solution equality + a finite, positive estimate within
+    the certified report's neighborhood on an unconverged solve."""
+    N, chi, chib = 6, 8, 4
+    a0, a1 = 1.0, 0.2
+    h, b, x0, H, bv = _setup(N, chi, chib)
+    # 1 sweep: residual well above both floors, estimate ~ certificate
+    rel_c, x_c = linsolve_run(h, b, x0, a0, a1, n_sweeps=1,
+                              minres_m=4, certify=True)
+    rel_e, x_e = linsolve_run(h, b, x0, a0, a1, n_sweeps=1,
+                              minres_m=4, certify=False)
+    np.testing.assert_allclose(np.asarray(x_e), np.asarray(x_c),
+                               rtol=0, atol=1e-13)
+    assert np.isfinite(float(rel_e)) and float(rel_e) > 0
+    assert abs(float(rel_e) - float(rel_c)) < 0.05 * float(rel_c) + 1e-8

@@ -168,3 +168,48 @@ def test_split_tdvp_karatsuba_and_cholqr_knobs():
             ph = np.vdot(got, expect)
             got = got * ph / abs(ph)
             assert np.linalg.norm(got - expect) < 5e-6, knobs
+
+
+def test_split_tdvp_split_orth_modes():
+    """The cheap inner-conditioner modes (split_orth='eq'/'stacked':
+    one corth per subspace iteration — the production latency knobs)
+    must hold the dense-expm trajectory contract, both on a rank-growth
+    start and on a full-rank start with the full production knob
+    stack."""
+    for chi_init, knobs in (
+        (2, dict(split_orth="eq")),
+        (2, dict(split_orth="stacked")),
+        (2, dict(split_orth="cholqr1")),
+        (8, dict(split_orth="eq", karatsuba=True, reortho=False,
+                 complete_basis=False, split_iters=1)),
+        (8, dict(split_orth="stacked", karatsuba=True, reortho=False,
+                 complete_basis=False, split_iters=1)),
+        # the production knob (bench _sec_tdvp_rt): one-pass pair-
+        # CholeskyQR inner conditioning
+        (8, dict(split_orth="cholqr1", karatsuba=True, reortho=False,
+                 complete_basis=False, split_iters=1)),
+        # polar needs split_iters=2: its Gram pass loses sigma_rel <
+        # sqrt(eps) directions and the second subspace iteration must
+        # recover them (documented negative result, see tdvp_run_split)
+        (8, dict(split_orth="polar", karatsuba=True, reortho=False,
+                 complete_basis=False, split_iters=2)),
+    ):
+        h_cores, cores, H = _chain_fixture(6, chi_init=chi_init)
+        T = 0.3
+        acc = cores[0][0]
+        for c in cores[1:]:
+            acc = np.einsum("...a,aib->...ib", acc, c)
+        psi0 = acc.reshape(-1)
+        psi0 = psi0 / np.linalg.norm(psi0)
+        expect = expm(-1j * T * H) @ psi0
+        mr, mi = tdvp_chain_split(h_cores, cores, -1j * T, chi=8,
+                                  nsteps=6, order=2, krylov_m=12,
+                                  dtype=jnp.float64, **knobs)
+        got = _vec(mr, mi)
+        ph = np.vdot(got, expect)
+        got = got * ph / abs(ph)
+        # polar's Gram blind spot leaves it a touch above the others
+        # even with the si=2 recovery (7.6e-6 measured — the documented
+        # negative result); eq/stacked hold the 5e-6 grade
+        bound = 2e-5 if knobs.get("split_orth") == "polar" else 5e-6
+        assert np.linalg.norm(got - expect) < bound, (chi_init, knobs)
