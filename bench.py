@@ -575,9 +575,10 @@ def _sec_tci_cfg2():
 
 def _sec_tci_heavy():
     """TCI2 device rows at production candidate size (expensive
-    jittable integrand). The heavy host-CPU comparison (123.0 s on
-    this 1-core VM) is a committed measurement in
-    benchmarks/results/2026-08-19-tci-device.md — too slow to re-run
+    jittable integrand). The heavy host-CPU comparison (225.3 s on
+    this 1-core VM; the fused device path wins at 199.1 s) is a
+    committed measurement in
+    benchmarks/results/2026-08-21-tci-device.md — too slow to re-run
     inside the driver bench."""
     from benchmarks.tci_device import run as tci_run
 

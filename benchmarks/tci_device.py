@@ -174,8 +174,8 @@ def run(reps: int = 3, heavy_reps: int = 1, heavy_host: bool = True):
             one("tci_cfg2_jaxf", 10, 1e-8, False, "jaxf", reps=reps)
             one("tci_cfg2_fused", 10, 1e-8, False, "fused", reps=reps)
     if heavy_host and heavy_reps:
-        # 123 s on the 1-core host VM — skipped inside the driver bench
-        # (committed measurement: results/2026-08-19-tci-device.md)
+        # 225 s on the 1-core host VM — skipped inside the driver bench
+        # (committed measurement: results/2026-08-21-tci-device.md)
         one("tci_heavy_host", 64, 1e-9, True, "host", reps=heavy_reps)
     if not on_cpu and heavy_reps:
         one("tci_heavy_jaxf", 64, 1e-9, True, "jaxf", reps=heavy_reps)
