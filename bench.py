@@ -618,7 +618,9 @@ def _sections():
         ("linsolve_tol_chi256", 100,
          lambda: _sec_linsolve_tol(256, 64)),
         ("dmrg_chi2048", 220, _sec_dmrg_prod(2048)),
-        ("comb_chi512", 150, lambda: _sec_comb(512)),
+        # 2 sweeps: a throughput row (MFU is sweep-count invariant) —
+        # 4 sweeps at chi=512 cost 390 s warm and starved the tail
+        ("comb_chi512", 150, lambda: _sec_comb(512, ns=2)),
         ("comb_tdvp_chi256", 150, lambda: _sec_comb_tdvp(256)),
         ("tci_heavy", 160, _sec_tci_heavy),
     ]
