@@ -9,7 +9,8 @@ timeout. The fixes, in order of importance:
 1. SIGTERM/SIGINT print the JSON accumulated SO FAR and exit 0 — a
    timeout can no longer erase the run.
 2. Sections run in value order under a wall budget
-   (``T4A_BENCH_BUDGET_S``, default 1200 s) with per-section cold-cost
+   (``T4A_BENCH_BUDGET_S``, default 2700 s — sized to the measured
+   full warm-cache run, 2325 s) with per-section cold-cost
    estimates, adaptively rescaled by the observed actual/estimate
    ratio (warm-cache runs complete everything; cold runs skip the
    tail and say so in ``detail.skipped_sections``).
@@ -617,13 +618,18 @@ def _sections():
         ("dmrg_chi1024", 140, _sec_dmrg_prod(1024)),
         ("mxu", 50, _sec_mxu),
         ("tdvp_rt_chi256", 110, lambda: _sec_tdvp_rt(256)),
-        ("linsolve_chi512", 90, lambda: _sec_linsolve_fixed(512, 256)),
-        ("linsolve_chi256", 80, lambda: _sec_linsolve_fixed(256, 128)),
+        # certify is a static argname: each fixed section compiles TWO
+        # programs cold (timed certify=False + one certified report)
+        ("linsolve_chi512", 150, lambda: _sec_linsolve_fixed(512, 256)),
+        ("linsolve_chi256", 120, lambda: _sec_linsolve_fixed(256, 128)),
         ("linsolve_tol_chi256", 100,
          lambda: _sec_linsolve_tol(256, 64)),
         ("dmrg_chi2048", 220, _sec_dmrg_prod(2048)),
-        # 2 sweeps: a throughput row (MFU is sweep-count invariant) —
-        # 4 sweeps at chi=512 cost 390 s warm and starved the tail
+        # 2 sweeps: a throughput row — MFU is sweep-count invariant to
+        # within the un-modeled gauge prologue (measured 26.22% at
+        # ns=2 vs 26.25% at ns=4); 4 sweeps cost 390 s warm and
+        # starved the tail. e_per_site at 2 sweeps is less converged
+        # (comb256's 4-sweep row carries the convergence point).
         ("comb_chi512", 150, lambda: _sec_comb(512, ns=2)),
         ("comb_tdvp_chi256", 150, lambda: _sec_comb_tdvp(256)),
         ("tci_heavy", 160, _sec_tci_heavy),

@@ -234,12 +234,7 @@ def _corth_qr(yr, yi, seed: int = 11, complete: bool = True):
     on a kappa=1e6 f32 operand, beating _pair_cholqr's 7.2e-6
     (benchmarks/results/2026-08-19-split-fidelity.md)."""
     p, q = yr.shape
-    cn = jnp.sqrt(jnp.sum(yr * yr + yi * yi, axis=0, keepdims=True))
-    scale = jnp.max(cn)
-    keep = cn > 10 * jnp.finfo(yr.dtype).eps * jnp.maximum(
-        scale, jnp.finfo(yr.dtype).tiny)
-    inv = jnp.where(keep, 1.0 / jnp.where(keep, cn, 1.0), 0.0)
-    yr, yi = yr * inv, yi * inv
+    yr, yi = _eqpair_cols(yr, yi)
     e = jnp.block([[yr, -yi], [yi, yr]])
     qe, re_ = jnp.linalg.qr(e)
     # mask QR's arbitrary completion of rank-deficient input: those
@@ -347,9 +342,11 @@ def _eqpair_cols(yr, yi):
     """Pair-column equilibration: scale each complex column (yr_j, yi_j)
     to unit joint norm; columns below the 10-eps noise threshold of the
     largest are zeroed (the `_colnorm_qr` contract). Span-preserving
-    and free — used by `split_orth='eq'` as the inner conditioner of
-    the two-site subspace iteration (the dynamic-range guard the r4
-    fidelity fix introduced, without the QR)."""
+    and free. The SINGLE definition of the noise threshold for every
+    pair orthonormalizer — `_corth_qr`, `_pair_cholqr`,
+    `_stacked_qr_pair` all equilibrate through here (the dynamic-range
+    guard the r4 fidelity fix introduced), and `split_orth='eq'` uses
+    it alone as the inner conditioner."""
     cn = jnp.sqrt(jnp.sum(yr * yr + yi * yi, axis=0, keepdims=True))
     scale = jnp.max(cn)
     keep = cn > 10 * jnp.finfo(yr.dtype).eps * jnp.maximum(
@@ -381,11 +378,7 @@ def _pair_cholqr(yr, yi, shifts=(1e-4, 1e-6, 0.0)):
     p, q = yr.shape
     dt = yr.dtype
     eps = jnp.finfo(dt).eps
-    cn = jnp.sqrt(jnp.sum(yr * yr + yi * yi, axis=0, keepdims=True))
-    scale = jnp.max(cn)
-    keep = cn > 10 * eps * jnp.maximum(scale, jnp.finfo(dt).tiny)
-    inv = jnp.where(keep, 1.0 / jnp.where(keep, cn, 1.0), 0.0)
-    qr_, qi_ = yr * inv, yi * inv
+    qr_, qi_ = _eqpair_cols(yr, yi)
     hi = jax.lax.Precision.HIGHEST
     eye = jnp.eye(q, dtype=dt)
     for s in shifts:
@@ -494,6 +487,12 @@ def tdvp_run_split(
         raise ValueError("order must be 1 or 2")
     if split_orth not in ("qr", "cholqr1", "stacked", "eq", "polar"):
         raise ValueError(f"unknown split_orth {split_orth!r}")
+    if split_orth == "polar" and complete_basis:
+        # _ns_polar_pair has no junk completion: dead columns are fixed
+        # points, so a rank-growth run would silently rank-lock
+        raise ValueError(
+            "split_orth='polar' cannot complete dead slots; it requires "
+            "complete_basis=False (full-rank states only)")
     with jax.default_matmul_precision(precision):
         return _tdvp_sweeps_split(h, mps0_r, mps0_i, t_re, t_im, nsteps,
                                   order, krylov_m, orthogonalize,

@@ -213,3 +213,14 @@ def test_split_tdvp_split_orth_modes():
         # negative result); eq/stacked hold the 5e-6 grade
         bound = 2e-5 if knobs.get("split_orth") == "polar" else 5e-6
         assert np.linalg.norm(got - expect) < bound, (chi_init, knobs)
+
+
+def test_split_orth_polar_requires_incomplete_basis():
+    """polar has no junk completion (dead columns are fixed points of
+    the NS iteration): the engine must refuse the rank-growth contract
+    instead of silently rank-locking."""
+    h_cores, cores, _ = _chain_fixture(4, chi_init=2)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="complete_basis"):
+        tdvp_chain_split(h_cores, cores, -0.1j, chi=4, nsteps=1,
+                         split_orth="polar")
